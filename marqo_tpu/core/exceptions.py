@@ -1,0 +1,115 @@
+"""Core (domain) errors.
+
+Parity: reference src/marqo/core/exceptions.py. These are raised by the
+domain layer and translated to HTTP errors by the API layer's ordered
+mapping (reference src/marqo/tensor_search/api.py:88-141).
+"""
+
+from marqo_tpu.exceptions import MarqoError, InvalidArgumentError
+
+
+class IndexExistsError(MarqoError):
+    pass
+
+
+class IndexNotFoundError(MarqoError):
+    pass
+
+
+class OperationConflictError(MarqoError):
+    pass
+
+
+class BackendCommunicationError(MarqoError):
+    pass
+
+
+class BackendTimeoutError(MarqoError):
+    pass
+
+
+class ZeroMagnitudeVectorError(InvalidArgumentError):
+    pass
+
+
+class InvalidFieldNameError(InvalidArgumentError):
+    pass
+
+
+class InvalidDataTypeError(InvalidArgumentError):
+    pass
+
+
+class InvalidDataRangeError(InvalidArgumentError):
+    pass
+
+
+class FilterStringParsingError(InvalidArgumentError):
+    pass
+
+
+class UnsupportedFeatureError(InvalidArgumentError):
+    pass
+
+
+class ParsingError(MarqoError):
+    pass
+
+
+class VespaDocumentParsingError(ParsingError):
+    """Kept name-compatible with the reference for error-envelope parity."""
+    pass
+
+
+class MarqoDocumentParsingError(ParsingError, InvalidArgumentError):
+    pass
+
+
+class InvalidTensorFieldError(MarqoDocumentParsingError):
+    pass
+
+
+class DuplicateDocumentError(MarqoDocumentParsingError):
+    pass
+
+
+class TooManyFieldsError(MarqoError):
+    pass
+
+
+class DeviceError(MarqoError):
+    pass
+
+
+class ModelError(MarqoError):
+    pass
+
+
+class ModelNotInCacheError(ModelError):
+    pass
+
+
+class ModelLoadError(ModelError):
+    pass
+
+
+class ModelDownloadError(ModelError):
+    pass
+
+
+class VectoriseError(ModelError):
+    """Raised when encoding content fails (reference s2_inference errors)."""
+    pass
+
+
+class ApplicationNotInitializedError(MarqoError):
+    """Raised when the settings store was not bootstrapped yet."""
+    pass
+
+
+class ApplicationRollbackError(MarqoError):
+    pass
+
+
+class InternalError(MarqoError):
+    pass

@@ -1,0 +1,116 @@
+"""Numerical parity of the JAX text encoder vs. the torch/HF reference.
+
+The reference requirement (BASELINE.md): embeddings within 1e-3 cosine of
+the PyTorch implementation. We verify with randomly-initialized HF models —
+this checks the architecture + weight-conversion are exactly equivalent,
+independent of any specific checkpoint.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import torch
+from transformers import BertConfig, BertModel
+
+from marqo_tpu.models.bert import (config_from_hf, encode_tokens,
+                                   params_from_torch_state_dict)
+
+
+def _small_hf_bert(seed=0):
+    torch.manual_seed(seed)
+    cfg = BertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=2,
+    )
+    model = BertModel(cfg, add_pooling_layer=False).eval()
+    return cfg, model
+
+
+def _torch_mean_pool(hidden, mask):
+    m = mask.unsqueeze(-1).float()
+    return (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+
+
+@pytest.fixture(scope="module")
+def bert_pair():
+    hf_cfg, torch_model = _small_hf_bert()
+    config = config_from_hf(hf_cfg)
+    params = params_from_torch_state_dict(torch_model.state_dict(), config)
+    return torch_model, config, params
+
+
+def _random_batch(config, batch=4, seq=24, seed=1):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, config.vocab_size, size=(batch, seq))
+    mask = np.ones((batch, seq), dtype=np.int64)
+    # ragged lengths
+    for i in range(batch):
+        pad_from = rng.integers(seq // 2, seq + 1)
+        mask[i, pad_from:] = 0
+        ids[i, pad_from:] = 0
+    return ids.astype(np.int64), mask
+
+
+class TestBertParity:
+    def test_mean_pool_cosine_parity(self, bert_pair):
+        torch_model, config, params = bert_pair
+        ids, mask = _random_batch(config)
+        with torch.no_grad():
+            out = torch_model(input_ids=torch.tensor(ids),
+                              attention_mask=torch.tensor(mask))
+            ref = _torch_mean_pool(out.last_hidden_state, torch.tensor(mask))
+            ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+
+        ours = np.asarray(encode_tokens(
+            params, jnp.asarray(ids), jnp.asarray(mask), config,
+            compute_dtype=jnp.float32))
+        cos = (ref * ours).sum(-1)
+        assert np.all(cos > 1 - 1e-5), cos
+
+    def test_bf16_compute_within_1e3_cosine(self, bert_pair):
+        torch_model, config, params = bert_pair
+        ids, mask = _random_batch(config, seed=2)
+        with torch.no_grad():
+            out = torch_model(input_ids=torch.tensor(ids),
+                              attention_mask=torch.tensor(mask))
+            ref = _torch_mean_pool(out.last_hidden_state, torch.tensor(mask))
+            ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+        ours = np.asarray(encode_tokens(
+            params, jnp.asarray(ids), jnp.asarray(mask), config,
+            compute_dtype=jnp.bfloat16))
+        cos = (ref * ours).sum(-1)
+        assert np.all(cos > 1 - 1e-3), cos
+
+    def test_cls_pooling_parity(self, bert_pair):
+        torch_model, config, params = bert_pair
+        from dataclasses import replace
+        config = replace(config, pooling="cls")
+        ids, mask = _random_batch(config, seed=3)
+        with torch.no_grad():
+            out = torch_model(input_ids=torch.tensor(ids),
+                              attention_mask=torch.tensor(mask))
+            ref = out.last_hidden_state[:, 0]
+            ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+        ours = np.asarray(encode_tokens(
+            params, jnp.asarray(ids), jnp.asarray(mask), config,
+            compute_dtype=jnp.float32))
+        cos = (ref * ours).sum(-1)
+        assert np.all(cos > 1 - 1e-5), cos
+
+    def test_padding_invariance(self, bert_pair):
+        """Embeddings must not change when the batch is padded to a bucket."""
+        _, config, params = bert_pair
+        ids, mask = _random_batch(config, batch=2, seq=16, seed=4)
+        short = np.asarray(encode_tokens(
+            params, jnp.asarray(ids), jnp.asarray(mask), config,
+            compute_dtype=jnp.float32))
+        pad_ids = np.zeros((2, 32), dtype=np.int64)
+        pad_mask = np.zeros((2, 32), dtype=np.int64)
+        pad_ids[:, :16] = ids
+        pad_mask[:, :16] = mask
+        padded = np.asarray(encode_tokens(
+            params, jnp.asarray(pad_ids), jnp.asarray(pad_mask), config,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(short, padded, atol=2e-5)
