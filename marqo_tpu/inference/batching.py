@@ -1,0 +1,60 @@
+"""Static-shape bucketing for XLA compile-once execution.
+
+XLA traces/compiles per shape; serving traffic has ragged batch and sequence
+sizes. We pad every encode to a (batch, seq) bucket from a small fixed grid
+so the steady state hits only cached executables. This replaces the
+reference's fixed torch batch=16 loop (s2_inference.py:123-158,
+MARQO_MAX_VECTORISE_BATCH_SIZE) with a TPU-friendly scheme: large batches to
+fill the MXU, a bounded compile-cache footprint.
+"""
+
+from typing import Iterator, List, Sequence, Tuple
+
+from marqo_tpu.api import configs
+
+
+def _buckets(var: str) -> List[int]:
+    vals = [int(v) for v in configs.read_env_vars_and_defaults_list(var)]
+    return sorted(set(vals))
+
+
+def seq_buckets() -> List[int]:
+    return _buckets("MARQO_TPU_COMPILE_BUCKETS")
+
+
+def batch_buckets() -> List[int]:
+    return _buckets("MARQO_TPU_BATCH_BUCKETS")
+
+
+def pick_bucket(value: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket ≥ value (largest bucket if value exceeds all)."""
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+def pick_seq_bucket(max_len: int) -> int:
+    return pick_bucket(max_len, seq_buckets())
+
+
+def pick_batch_bucket(n: int) -> int:
+    return pick_bucket(n, batch_buckets())
+
+
+def iter_batches(n_items: int, max_batch: int) -> Iterator[Tuple[int, int]]:
+    """Yield (start, size) chunks of at most max_batch items."""
+    start = 0
+    while start < n_items:
+        size = min(max_batch, n_items - start)
+        yield start, size
+        start += size
+
+
+def generate_batches(seq: List, batch_size: int) -> Iterator[List]:
+    """Parity helper (reference tensor_search/utils.py:334 generate_batches)."""
+    if batch_size <= 0:
+        from marqo_tpu.exceptions import InvalidArgumentError
+        raise InvalidArgumentError("Batch size must be greater than 0")
+    for start, size in iter_batches(len(seq), batch_size):
+        yield seq[start:start + size]

@@ -1,0 +1,298 @@
+"""Embedding-model classes: the JAX replacements for the reference's torch
+model wrappers (clip_utils.py / hugging_face_model.py / sbert_utils.py /
+random_utils.py / no_model_utils.py).
+
+Every model exposes:
+  load()                       — materialize params on the target device
+  encode(contents, normalize)  — list of content → (n, dims) float32 numpy
+  memory_bytes()               — HBM footprint for cache eviction
+"""
+
+import hashlib
+import os
+from abc import ABC, abstractmethod
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marqo_tpu.core.exceptions import (InvalidArgumentError, ModelLoadError,
+                                       VectoriseError)
+from marqo_tpu.inference.batching import pick_batch_bucket, pick_seq_bucket
+from marqo_tpu.inference.types import Device, Modality
+from marqo_tpu.logging import get_logger
+from marqo_tpu.models.bert import (TextEncoderConfig, config_from_hf,
+                                   encode_tokens_jit, init_params,
+                                   params_from_torch_state_dict)
+from marqo_tpu.models.tokenizer import TextTokenizer
+
+logger = get_logger(__name__)
+
+
+def _jax_device(device: Device):
+    platform = "cpu" if device == Device.CPU else None
+    try:
+        if platform is None:
+            return jax.devices()[0]
+        return jax.devices(platform)[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
+class EmbeddingModel(ABC):
+    """Base model wrapper (role of reference AbstractEmbeddingModel,
+    core/inference/embedding_models/abstract_embedding_model.py)."""
+
+    def __init__(self, model_name: str, properties: dict, device: Device,
+                 model_auth: Optional[Any] = None):
+        self.model_name = model_name
+        self.properties = dict(properties or {})
+        self.device = device
+        self.model_auth = model_auth
+        self.loaded = False
+
+    @property
+    def dimensions(self) -> int:
+        return int(self.properties.get("dimensions", 0))
+
+    @abstractmethod
+    def load(self) -> None:
+        ...
+
+    @abstractmethod
+    def encode(self, contents: List[Any], normalize: bool = True,
+               modality: Modality = Modality.TEXT) -> np.ndarray:
+        ...
+
+    def memory_bytes(self) -> int:
+        return 0
+
+
+class JaxHFTextModel(EmbeddingModel):
+    """BERT/RoBERTa-family text encoder on TPU (replaces reference
+    HuggingFaceModel, hugging_face_model.py:24, and SBERT wrapper).
+
+    Checkpoint sources, in order:
+      1. ``model_properties["localpath"]`` — local HF-format directory
+      2. the HF hub via transformers (when cached / network available)
+      3. deterministic random-init when ``model_properties["random_init"]``
+         is set (test/bench mode: identical compute graph, synthetic weights)
+    """
+
+    compute_dtype = jnp.bfloat16
+
+    def __init__(self, model_name, properties, device, model_auth=None):
+        super().__init__(model_name, properties, device, model_auth)
+        self.config: Optional[TextEncoderConfig] = None
+        self.params = None
+        self.tokenizer: Optional[TextTokenizer] = None
+        self._jdevice = _jax_device(device)
+        self._param_bytes = 0
+
+    # --- loading ---------------------------------------------------------
+
+    def _hf_repo(self) -> str:
+        return self.properties.get("name", self.model_name)
+
+    def load(self) -> None:
+        max_len = int(self.properties.get("tokens", 128))
+        localpath = self.properties.get("localpath")
+        if localpath:
+            self._load_from_dir(localpath, max_len)
+        elif self.properties.get("random_init"):
+            self._load_random_init(max_len)
+        else:
+            try:
+                self._load_from_hub(self._hf_repo(), max_len)
+            except Exception as e:
+                raise ModelLoadError(
+                    f"Could not load model `{self.model_name}` from "
+                    f"`{self._hf_repo()}`: {e}. If running offline, provide "
+                    f"model_properties.localpath or a model_location.",
+                    cause=e)
+        self.loaded = True
+        self._param_bytes = sum(
+            a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params))
+
+    def _pooling(self) -> str:
+        return str(self.properties.get("pooling_method", "mean")).lower()
+
+    def _load_from_dir(self, path: str, max_len: int) -> None:
+        from transformers import AutoConfig
+        hf_cfg = AutoConfig.from_pretrained(path)
+        self.config = self._finalize_config(config_from_hf(hf_cfg))
+        state_dict = _load_state_dict(path)
+        self.params = jax.device_put(
+            params_from_torch_state_dict(state_dict, self.config,
+                                         dtype=self.compute_dtype),
+            self._jdevice)
+        self.tokenizer = TextTokenizer.from_pretrained(path, max_length=max_len)
+
+    def _load_from_hub(self, repo: str, max_len: int) -> None:
+        from transformers import AutoConfig, AutoModel
+        hf_cfg = AutoConfig.from_pretrained(repo)
+        self.config = self._finalize_config(config_from_hf(hf_cfg))
+        torch_model = AutoModel.from_pretrained(repo)
+        self.params = jax.device_put(
+            params_from_torch_state_dict(torch_model.state_dict(), self.config,
+                                         dtype=self.compute_dtype),
+            self._jdevice)
+        del torch_model
+        self.tokenizer = TextTokenizer.from_pretrained(repo, max_length=max_len)
+
+    def _load_random_init(self, max_len: int) -> None:
+        """Deterministic synthetic weights with the real architecture."""
+        arch = self.properties.get("architecture", {})
+        self.config = self._finalize_config(TextEncoderConfig(
+            vocab_size=int(arch.get("vocab_size", 30522)),
+            hidden_size=int(arch.get("hidden_size", 768)),
+            num_layers=int(arch.get("num_layers", 12)),
+            num_heads=int(arch.get("num_heads", 12)),
+            intermediate_size=int(arch.get("intermediate_size", 3072)),
+        ))
+        seed = int.from_bytes(
+            hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
+        params = init_params(self.config, jax.random.PRNGKey(seed),
+                             dtype=self.compute_dtype)
+        self.params = jax.device_put(params, self._jdevice)
+        self.tokenizer = TextTokenizer.build_test_wordpiece(max_length=max_len)
+
+    def _finalize_config(self, config: TextEncoderConfig) -> TextEncoderConfig:
+        from dataclasses import replace
+        return replace(config, pooling=self._pooling(), normalize=False)
+
+    # --- encoding --------------------------------------------------------
+
+    def encode(self, contents: List[Any], normalize: bool = True,
+               modality: Modality = Modality.TEXT) -> np.ndarray:
+        if modality != Modality.TEXT:
+            raise VectoriseError(
+                f"Model `{self.model_name}` only supports text content")
+        texts = [c if isinstance(c, str) else str(c) for c in contents]
+        if not texts:
+            return np.zeros((0, self.dimensions or self.config.hidden_size),
+                            dtype=np.float32)
+        seq_bucket = pick_seq_bucket(
+            min(self.tokenizer.max_token_length(texts), self.tokenizer.max_length))
+        batch = self.tokenizer.encode_batch(texts, pad_to=seq_bucket)
+        n = len(texts)
+        batch_bucket = pick_batch_bucket(n)
+        outputs = []
+        start = 0
+        while start < n:
+            size = min(batch_bucket, n - start)
+            ids = np.zeros((batch_bucket, seq_bucket), dtype=np.int32)
+            mask = np.zeros((batch_bucket, seq_bucket), dtype=np.int32)
+            ids[:size] = batch["input_ids"][start:start + size]
+            mask[:size] = batch["attention_mask"][start:start + size]
+            # pad rows must still be valid: give them one real token so
+            # mean-pool denominators never hit zero
+            mask[size:, 0] = 1
+            emb = encode_tokens_jit(
+                self.params,
+                jax.device_put(jnp.asarray(ids), self._jdevice),
+                jax.device_put(jnp.asarray(mask), self._jdevice),
+                self.config, compute_dtype=self.compute_dtype)
+            outputs.append(np.asarray(emb)[:size])
+            start += size
+        result = np.concatenate(outputs, axis=0)
+        if normalize:
+            norms = np.linalg.norm(result, axis=-1, keepdims=True)
+            result = result / np.maximum(norms, 1e-12)
+        return result.astype(np.float32)
+
+    def memory_bytes(self) -> int:
+        return self._param_bytes
+
+
+class TestModel(JaxHFTextModel):
+    """Tiny real JAX encoder for orchestration tests (reference ships
+    `test`/sbert-test, model_registry.py:976): full TPU compute path,
+    milliseconds to load."""
+
+    def load(self) -> None:
+        self.properties.setdefault("random_init", True)
+        self.properties.setdefault("architecture", {
+            "vocab_size": 128, "hidden_size": 16, "num_layers": 2,
+            "num_heads": 2, "intermediate_size": 32,
+        })
+        self.properties.setdefault("dimensions", 16)
+        super().load()
+
+
+class RandomModel(EmbeddingModel):
+    """Deterministic content-hash random vectors (reference
+    s2_inference/random_utils.py): same content → same vector, no device work.
+    """
+
+    def load(self) -> None:
+        self.loaded = True
+
+    def encode(self, contents: List[Any], normalize: bool = True,
+               modality: Modality = Modality.TEXT) -> np.ndarray:
+        dims = self.dimensions or 384
+        out = np.zeros((len(contents), dims), dtype=np.float32)
+        for i, content in enumerate(contents):
+            key = hashlib.sha256(
+                repr(content).encode("utf-8", "ignore")).digest()
+            seed = int.from_bytes(key[:8], "little") % (2 ** 31)
+            rng = np.random.default_rng(seed)
+            vec = rng.standard_normal(dims).astype(np.float32)
+            out[i] = vec
+        if normalize:
+            out /= np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
+
+
+class NoModel(EmbeddingModel):
+    """Storage-only indexes / custom vectors (reference no_model_utils.py:
+    vectorise must never be called)."""
+
+    def load(self) -> None:
+        self.loaded = True
+
+    def encode(self, contents, normalize=True, modality=Modality.TEXT):
+        raise VectoriseError(
+            "Cannot vectorise anything with `no_model`. This model is intended "
+            "for adding documents and searching with custom vectors only. If "
+            "vectorisation is needed, please use a different model.")
+
+
+def _load_state_dict(path: str) -> dict:
+    """Load torch weights from an HF-format directory (.safetensors or .bin)."""
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.isfile(st_path):
+        from safetensors.torch import load_file
+        return load_file(st_path)
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.isfile(bin_path):
+        import torch
+        return torch.load(bin_path, map_location="cpu", weights_only=True)
+    raise ModelLoadError(f"No model weights found under `{path}`")
+
+
+def load_model(model_name: str, properties: dict, device: Device,
+               model_auth=None) -> EmbeddingModel:
+    """Loader dispatch (reference model_registry.py:2133-2145 _get_model_load_mappings)."""
+    model_type = str(properties.get("type", "hf")).lower()
+    if model_type in ("hf", "sbert", "hf_stella"):
+        cls = JaxHFTextModel
+    elif model_type in ("clip", "open_clip", "multilingual_clip", "fp16_clip"):
+        from marqo_tpu.models.clip import JaxCLIPModel
+        cls = JaxCLIPModel
+    elif model_type == "languagebind":
+        from marqo_tpu.models.clip import JaxCLIPModel
+        cls = JaxCLIPModel  # A/V towers share the CLIP-style wrapper
+    elif model_type == "random":
+        cls = RandomModel
+    elif model_type == "test":
+        cls = TestModel
+    elif model_type == "no_model":
+        cls = NoModel
+    else:
+        raise InvalidArgumentError(
+            f"Unknown model type `{model_type}` for model `{model_name}`")
+    model = cls(model_name, properties, device, model_auth)
+    model.load()
+    return model

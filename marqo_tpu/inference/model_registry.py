@@ -1,0 +1,268 @@
+"""Built-in model registry: name → properties dict.
+
+Parity: reference src/marqo/s2_inference/model_registry.py (~230 entries,
+families: openai CLIP, open_clip, SBERT, HF, multilingual CLIP, random/test/
+no_model; loader map at model_registry.py:2133-2145). Property keys follow
+the reference (``name``, ``dimensions``, ``tokens``, ``type``, ``notes``,
+``text_query_prefix``/``text_chunk_prefix``) so user-supplied
+``model_properties`` stay drop-in compatible.
+
+Loader ``type`` values map to JAX model classes in
+marqo_tpu.inference.loaders (vs. reference's torch/open_clip/onnx classes):
+  hf | sbert       → JaxHFTextModel    (BERT/RoBERTa-family, models/bert.py)
+  clip | open_clip → JaxCLIPModel      (models/clip.py)
+  multilingual_clip→ JaxCLIPModel (text tower = XLM-R)
+  random           → RandomModel (deterministic, tests)
+  test             → TestModel (tiny real JAX encoder + WordPiece)
+  no_model         → NoModel (raises on vectorise)
+"""
+
+from typing import Dict, Optional
+
+
+def _hf(name: str, dims: int, tokens: int = 128, pooling: str = "mean",
+        query_prefix: Optional[str] = None, passage_prefix: Optional[str] = None,
+        model_type: str = "hf", **extra) -> dict:
+    props = {
+        "name": name,
+        "dimensions": dims,
+        "tokens": tokens,
+        "type": model_type,
+        "pooling_method": pooling,
+        "notes": "",
+    }
+    if query_prefix is not None:
+        props["text_query_prefix"] = query_prefix
+    if passage_prefix is not None:
+        props["text_chunk_prefix"] = passage_prefix
+    props.update(extra)
+    return props
+
+
+def _e5(name: str, dims: int, tokens: int = 512) -> dict:
+    return _hf(name, dims, tokens, pooling="mean",
+               query_prefix="query: ", passage_prefix="passage: ")
+
+
+def _bge(name: str, dims: int) -> dict:
+    return _hf(name, dims, 512, pooling="cls",
+               query_prefix="Represent this sentence for searching relevant passages: ",
+               passage_prefix="")
+
+
+def _clip(name: str, dims: int, image_size: int = 224, **extra) -> dict:
+    return {"name": name, "dimensions": dims, "type": "clip",
+            "image_size": image_size, "notes": "CLIP", **extra}
+
+
+def _open_clip(name: str, dims: int, pretrained: str, image_size: int = 224,
+               **extra) -> dict:
+    return {"name": name, "dimensions": dims, "type": "open_clip",
+            "pretrained": pretrained, "image_size": image_size,
+            "notes": "open_clip model", **extra}
+
+
+def _hf_models() -> Dict[str, dict]:
+    m = {
+        # e5 family (reference model_registry HF section)
+        "hf/e5-small": _e5("intfloat/e5-small", 384),
+        "hf/e5-base": _e5("intfloat/e5-base", 768),
+        "hf/e5-large": _e5("intfloat/e5-large", 1024),
+        "hf/e5-small-v2": _e5("intfloat/e5-small-v2", 384),
+        "hf/e5-base-v2": _e5("intfloat/e5-base-v2", 768),
+        "hf/e5-large-v2": _e5("intfloat/e5-large-v2", 1024),
+        "hf/e5-small-unsupervised": _e5("intfloat/e5-small-unsupervised", 384),
+        "hf/e5-base-unsupervised": _e5("intfloat/e5-base-unsupervised", 768),
+        "hf/e5-large-unsupervised": _e5("intfloat/e5-large-unsupervised", 1024),
+        "hf/multilingual-e5-small": _e5("intfloat/multilingual-e5-small", 384),
+        "hf/multilingual-e5-base": _e5("intfloat/multilingual-e5-base", 768),
+        "hf/multilingual-e5-large": _e5("intfloat/multilingual-e5-large", 1024),
+        "hf/multilingual-e5-large-instruct": _e5(
+            "intfloat/multilingual-e5-large-instruct", 1024),
+        # BGE family
+        "hf/bge-small-en-v1.5": _bge("BAAI/bge-small-en-v1.5", 384),
+        "hf/bge-base-en-v1.5": _bge("BAAI/bge-base-en-v1.5", 768),
+        "hf/bge-large-en-v1.5": _bge("BAAI/bge-large-en-v1.5", 1024),
+        "hf/bge-small-zh-v1.5": _bge("BAAI/bge-small-zh-v1.5", 512),
+        "hf/bge-base-zh-v1.5": _bge("BAAI/bge-base-zh-v1.5", 768),
+        "hf/bge-large-zh-v1.5": _bge("BAAI/bge-large-zh-v1.5", 1024),
+        # GTE / snowflake / misc HF
+        "hf/GIST-large-Embedding-v0": _hf("avsolatorio/GIST-large-Embedding-v0", 1024, 512),
+        "hf/gte-base": _hf("thenlper/gte-base", 768, 512),
+        "hf/gte-large": _hf("thenlper/gte-large", 1024, 512),
+        "hf/snowflake-arctic-embed-m": _hf(
+            "Snowflake/snowflake-arctic-embed-m", 768, 512, pooling="cls",
+            query_prefix="Represent this sentence for searching relevant passages: "),
+        "hf/snowflake-arctic-embed-l": _hf(
+            "Snowflake/snowflake-arctic-embed-l", 1024, 512, pooling="cls",
+            query_prefix="Represent this sentence for searching relevant passages: "),
+        "hf/all_datasets_v3_MiniLM-L6": _hf(
+            "flax-sentence-embeddings/all_datasets_v3_MiniLM-L6", 384),
+        "hf/all_datasets_v4_MiniLM-L6": _hf(
+            "flax-sentence-embeddings/all_datasets_v4_MiniLM-L6", 384),
+        "hf/all_datasets_v3_mpnet-base": _hf(
+            "flax-sentence-embeddings/all_datasets_v3_mpnet-base", 768),
+        "hf/all_datasets_v4_mpnet-base": _hf(
+            "flax-sentence-embeddings/all_datasets_v4_mpnet-base", 768),
+    }
+    return m
+
+
+def _sbert_models() -> Dict[str, dict]:
+    names = {
+        "sentence-transformers/all-MiniLM-L6-v1": 384,
+        "sentence-transformers/all-MiniLM-L6-v2": 384,
+        "sentence-transformers/all-MiniLM-L12-v2": 384,
+        "sentence-transformers/all-mpnet-base-v1": 768,
+        "sentence-transformers/all-mpnet-base-v2": 768,
+        "sentence-transformers/all-distilroberta-v1": 768,
+        "sentence-transformers/multi-qa-MiniLM-L6-cos-v1": 384,
+        "sentence-transformers/multi-qa-mpnet-base-cos-v1": 768,
+        "sentence-transformers/multi-qa-distilbert-cos-v1": 768,
+        "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2": 384,
+        "sentence-transformers/paraphrase-multilingual-mpnet-base-v2": 768,
+        "sentence-transformers/msmarco-MiniLM-L6-cos-v5": 384,
+        "sentence-transformers/msmarco-MiniLM-L12-cos-v5": 384,
+        "sentence-transformers/stsb-xlm-r-multilingual": 768,
+    }
+    out = {}
+    for name, dims in names.items():
+        out[name] = _hf(name, dims, 128, pooling="mean", model_type="sbert")
+        # reference also registers these without the org prefix
+        short = name.split("/", 1)[1]
+        out[short] = dict(out[name])
+    return out
+
+
+def _openai_clip_models() -> Dict[str, dict]:
+    return {
+        "RN50": _clip("RN50", 1024),
+        "RN101": _clip("RN101", 512),
+        "RN50x4": _clip("RN50x4", 640, 288),
+        "RN50x16": _clip("RN50x16", 768, 384),
+        "RN50x64": _clip("RN50x64", 1024, 448),
+        "ViT-B/32": _clip("ViT-B/32", 512),
+        "ViT-B/16": _clip("ViT-B/16", 512),
+        "ViT-L/14": _clip("ViT-L/14", 768),
+        "ViT-L/14@336px": _clip("ViT-L/14@336px", 768, 336),
+    }
+
+
+def _open_clip_models() -> Dict[str, dict]:
+    entries = [
+        ("ViT-B-32", "laion400m_e31", 512, 224),
+        ("ViT-B-32", "laion400m_e32", 512, 224),
+        ("ViT-B-32", "laion2b_e16", 512, 224),
+        ("ViT-B-32", "laion2b_s34b_b79k", 512, 224),
+        ("ViT-B-16", "laion400m_e31", 512, 224),
+        ("ViT-B-16", "laion400m_e32", 512, 224),
+        ("ViT-B-16", "laion2b_s34b_b88k", 512, 224),
+        ("ViT-L-14", "laion400m_e31", 768, 224),
+        ("ViT-L-14", "laion400m_e32", 768, 224),
+        ("ViT-L-14", "laion2b_s32b_b82k", 768, 224),
+        ("ViT-L-14-336", "openai", 768, 336),
+        ("ViT-H-14", "laion2b_s32b_b79k", 1024, 224),
+        ("ViT-g-14", "laion2b_s12b_b42k", 1024, 224),
+        ("ViT-g-14", "laion2b_s34b_b88k", 1024, 224),
+        ("ViT-bigG-14", "laion2b_s39b_b160k", 1280, 224),
+        ("roberta-ViT-B-32", "laion2b_s12b_b32k", 512, 224),
+        ("xlm-roberta-base-ViT-B-32", "laion5b_s13b_b90k", 512, 224),
+        ("xlm-roberta-large-ViT-H-14", "frozen_laion5b_s13b_b90k", 1024, 224),
+        ("coca_ViT-B-32", "laion2b_s13b_b90k", 512, 224),
+        ("coca_ViT-L-14", "laion2b_s13b_b90k", 768, 224),
+    ]
+    out = {}
+    for arch, pretrained, dims, size in entries:
+        key = f"open_clip/{arch}/{pretrained}"
+        out[key] = _open_clip(key, dims, pretrained, size)
+    # Marqo fine-tunes from the reference registry
+    out["Marqo/marqo-fashionCLIP"] = _open_clip(
+        "Marqo/marqo-fashionCLIP", 512, "marqo", 224)
+    out["Marqo/marqo-fashionSigLIP"] = _open_clip(
+        "Marqo/marqo-fashionSigLIP", 768, "marqo", 224)
+    return out
+
+
+def _multilingual_clip_models() -> Dict[str, dict]:
+    return {
+        "multilingual-clip/XLM-Roberta-Large-Vit-L-14":
+            {"name": "multilingual-clip/XLM-Roberta-Large-Vit-L-14",
+             "dimensions": 768, "type": "multilingual_clip", "image_size": 224},
+        "multilingual-clip/XLM-R Large Vit-B/32":
+            {"name": "multilingual-clip/XLM-R Large Vit-B/32",
+             "dimensions": 512, "type": "multilingual_clip", "image_size": 224},
+        "multilingual-clip/XLM-R Large Vit-B/16+":
+            {"name": "multilingual-clip/XLM-R Large Vit-B/16+",
+             "dimensions": 640, "type": "multilingual_clip", "image_size": 240},
+    }
+
+
+def _languagebind_models() -> Dict[str, dict]:
+    # A/V/image/text multimodal family (reference s2_inference/languagebind/).
+    out = {}
+    for key, modalities in [
+        ("LanguageBind/Video_V1.5_FT_Audio_FT_Image", ["video", "audio", "image"]),
+        ("LanguageBind/Video_V1.5_FT_Audio_FT", ["video", "audio"]),
+        ("LanguageBind/Video_V1.5_FT_Image", ["video", "image"]),
+        ("LanguageBind/Audio_FT_Image", ["audio", "image"]),
+        ("LanguageBind/Audio_FT", ["audio"]),
+        ("LanguageBind/Video_V1.5_FT", ["video"]),
+    ]:
+        out[key] = {"name": key, "dimensions": 768, "type": "languagebind",
+                    "supported_modalities": modalities + ["language"]}
+    return out
+
+
+def _special_models() -> Dict[str, dict]:
+    return {
+        # deterministic random vectors, orchestration tests
+        # (reference model_registry.py:2094)
+        "random": {"name": "random", "dimensions": 384, "tokens": 128,
+                   "type": "random"},
+        "random/small": {"name": "random/small", "dimensions": 32,
+                         "tokens": 128, "type": "random"},
+        "random/medium": {"name": "random/medium", "dimensions": 128,
+                          "tokens": 128, "type": "random"},
+        "random/large": {"name": "random/large", "dimensions": 768,
+                         "tokens": 128, "type": "random"},
+        # tiny REAL jax encoder (runs the full TPU path at test scale)
+        "test": {"name": "test", "dimensions": 16, "tokens": 128,
+                 "type": "test"},
+        "test/tiny-bert": {"name": "test/tiny-bert", "dimensions": 16,
+                           "tokens": 128, "type": "test"},
+        # no_model: storage-only indexes, custom vectors
+        # (reference no_model_utils.py)
+        "no_model": {"name": "no_model", "type": "no_model"},
+    }
+
+
+_REGISTRY: Optional[Dict[str, dict]] = None
+
+
+def load_model_properties() -> Dict[str, dict]:
+    """Full registry (reference model_registry.py:2147 load_model_properties)."""
+    global _REGISTRY
+    if _REGISTRY is None:
+        reg = {}
+        reg.update(_hf_models())
+        reg.update(_sbert_models())
+        reg.update(_openai_clip_models())
+        reg.update(_open_clip_models())
+        reg.update(_multilingual_clip_models())
+        reg.update(_languagebind_models())
+        reg.update(_special_models())
+        _REGISTRY = reg
+    return _REGISTRY
+
+
+def get_model_properties_from_registry(model_name: str) -> dict:
+    registry = load_model_properties()
+    if model_name not in registry:
+        from marqo_tpu.core.exceptions import ModelError
+        from marqo_tpu import marqo_docs
+        raise ModelError(
+            f"Could not find model properties in model registry for model="
+            f"{model_name}. Model is not supported by default. Please provide "
+            f"model_properties or choose a model from the registry: "
+            f"{marqo_docs.list_of_models()}")
+    return registry[model_name]

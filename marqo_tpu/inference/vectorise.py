@@ -1,0 +1,254 @@
+"""The inference engine's public API: ``vectorise()`` and the live-model cache.
+
+Parity: reference src/marqo/s2_inference/s2_inference.py —
+  vectorise() (:48), model cache `_available_models` keyed `name||device`
+  (:260-283), thread-locked load with busy rejection (:293-298),
+  memory-threshold eviction (:463-500), eject_model (:774),
+  get_loaded_models (:161), output normalization to List[List[float]]
+  (:705-749).
+
+TPU specifics: the "memory threshold" budgets HBM for live param pytrees;
+encoding runs through bucketed static shapes (loaders.py) so the steady
+state never recompiles.
+"""
+
+import datetime
+import threading
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from marqo_tpu.api import configs
+from marqo_tpu.core.exceptions import (DeviceError, InvalidArgumentError,
+                                       ModelNotInCacheError, VectoriseError)
+from marqo_tpu.inference.inference_cache import MarqoInferenceCache
+from marqo_tpu.inference.loaders import EmbeddingModel, load_model
+from marqo_tpu.inference.model_registry import (
+    get_model_properties_from_registry, load_model_properties)
+from marqo_tpu.inference.types import Device, Modality
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+# model_cache_key -> {"model": EmbeddingModel, "most_recently_used_time": dt,
+#                     "model_size": GiB}
+_available_models: Dict[str, dict] = {}
+MODEL_PROPERTIES = load_model_properties()
+_lock = threading.Lock()
+
+_inference_cache: Optional[MarqoInferenceCache] = None
+_inference_cache_lock = threading.Lock()
+
+
+def _get_inference_cache() -> MarqoInferenceCache:
+    global _inference_cache
+    if _inference_cache is None:
+        with _inference_cache_lock:
+            if _inference_cache is None:
+                _inference_cache = MarqoInferenceCache()
+    return _inference_cache
+
+
+def _create_model_cache_key(model_name: str, device: str,
+                            model_properties: Optional[dict] = None) -> str:
+    """Cache key (reference s2_inference.py:260 _create_model_cache_key)."""
+    if model_properties is None:
+        model_properties = {}
+    return (model_name + "||" +
+            str(model_properties.get("name", "")) + "||" +
+            str(model_properties.get("dimensions", "")) + "||" +
+            str(model_properties.get("type", "")) + "||" +
+            str(model_properties.get("tokens", "")) + "||" +
+            str(device))
+
+
+def _resolve_properties(model_name: str,
+                        model_properties: Optional[dict]) -> dict:
+    if model_properties is not None and len(model_properties) > 0:
+        props = dict(model_properties)
+        props.setdefault("name", model_name)
+        return props
+    return get_model_properties_from_registry(model_name)
+
+
+def _model_size_gib(model: EmbeddingModel, properties: dict) -> float:
+    if "model_size" in properties:
+        return float(properties["model_size"])
+    return model.memory_bytes() / (1024 ** 3)
+
+
+def _used_memory_gib(device: Device) -> float:
+    return sum(entry["model_size"] for entry in _available_models.values()
+               if entry["model"].device == device)
+
+
+def _device_threshold_gib(device: Device) -> float:
+    var = ("MARQO_MAX_CPU_MODEL_MEMORY" if device == Device.CPU
+           else "MARQO_MAX_TPU_MODEL_MEMORY")
+    return configs.read_env_vars_and_defaults_floats(var) or 4.0
+
+
+def _evict_lru_until_fits(device: Device, incoming_gib: float) -> None:
+    """LRU-evict models on `device` until `incoming_gib` fits the threshold
+    (reference _check_memory_threshold_for_model, s2_inference.py:463-500)."""
+    threshold = _device_threshold_gib(device)
+    if incoming_gib > threshold:
+        raise DeviceError(
+            f"Model size {incoming_gib:.2f}GiB exceeds device threshold "
+            f"{threshold}GiB on {device.value}. Increase "
+            f"MARQO_MAX_{'CPU' if device == Device.CPU else 'TPU'}_MODEL_MEMORY.")
+    while _used_memory_gib(device) + incoming_gib > threshold:
+        candidates = [(k, v) for k, v in _available_models.items()
+                      if v["model"].device == device]
+        if not candidates:
+            break
+        key, _ = min(candidates, key=lambda kv: kv[1]["most_recently_used_time"])
+        logger.info(f"Evicting model `{key}` from {device.value} cache to free memory")
+        del _available_models[key]
+
+
+def _update_available_models(model_cache_key: str, model_name: str,
+                             properties: dict, device: Device,
+                             model_auth=None) -> EmbeddingModel:
+    """Thread-locked model load with busy rejection + LRU eviction
+    (reference _update_available_models, s2_inference.py:286-337)."""
+    if model_cache_key in _available_models:
+        entry = _available_models[model_cache_key]
+        entry["most_recently_used_time"] = datetime.datetime.now()
+        return entry["model"]
+
+    acquired = _lock.acquire(blocking=False)
+    if not acquired:
+        from marqo_tpu.api.exceptions import TooManyRequestsError
+        raise TooManyRequestsError(
+            "Request rejected: another request is currently loading a model. "
+            "Please wait for the other request to finish and try again.")
+    try:
+        if model_cache_key in _available_models:  # lost the race, already loaded
+            entry = _available_models[model_cache_key]
+            entry["most_recently_used_time"] = datetime.datetime.now()
+            return entry["model"]
+        logger.info(f"Loading model `{model_name}` on {device.value}")
+        model = load_model(model_name, properties, device, model_auth)
+        size = _model_size_gib(model, properties)
+        _evict_lru_until_fits(device, size)
+        _available_models[model_cache_key] = {
+            "model": model,
+            "most_recently_used_time": datetime.datetime.now(),
+            "model_size": size,
+        }
+        return model
+    finally:
+        _lock.release()
+
+
+def vectorise(model_name: str,
+              content: Union[str, List[Any]],
+              model_properties: Optional[dict] = None,
+              device: Optional[str] = None,
+              normalize_embeddings: bool = True,
+              model_auth=None,
+              enable_cache: bool = False,
+              modality: Modality = Modality.TEXT,
+              **kwargs) -> List[List[float]]:
+    """Embed content → List[List[float]] (reference s2_inference.py:48).
+
+    ``content`` may be a single string or a list of strings / preprocessed
+    media tensors. ``enable_cache`` consults the embedding-result cache
+    (search-query path passes True, as in the reference).
+    """
+    if content is None or (isinstance(content, list) and len(content) == 0):
+        raise VectoriseError("Received empty content for vectorise")
+    contents = [content] if isinstance(content, str) else list(content)
+
+    dev = Device.normalize(device)
+    properties = _resolve_properties(model_name, model_properties)
+    cache_key = _create_model_cache_key(model_name, dev.value, properties)
+    model = _update_available_models(cache_key, model_name, properties, dev,
+                                     model_auth)
+
+    cache = _get_inference_cache()
+    results: List[Optional[List[float]]] = [None] * len(contents)
+    misses: List[int] = []
+    if enable_cache and cache.enabled and normalize_embeddings:
+        for i, item in enumerate(contents):
+            hit = cache.get(cache_key, item)
+            if hit is not None:
+                results[i] = hit
+            else:
+                misses.append(i)
+    else:
+        misses = list(range(len(contents)))
+
+    if misses:
+        try:
+            encoded = model.encode([contents[i] for i in misses],
+                                   normalize=normalize_embeddings,
+                                   modality=modality)
+        except VectoriseError:
+            raise
+        except Exception as e:
+            raise VectoriseError(
+                f"Error vectorising content with model `{model_name}`: {e}",
+                cause=e) from e
+        encoded = _float_list(encoded)
+        for j, i in enumerate(misses):
+            results[i] = encoded[j]
+            if enable_cache and cache.enabled and normalize_embeddings:
+                cache.set(cache_key, contents[i], encoded[j])
+
+    return results  # type: ignore[return-value]
+
+
+def _float_list(arr) -> List[List[float]]:
+    """Normalize encoder output (reference _convert_vectorized_output,
+    s2_inference.py:705-749)."""
+    arr = np.asarray(arr, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    return arr.tolist()
+
+
+def get_model_dimensions(model_name: str,
+                         model_properties: Optional[dict] = None) -> int:
+    props = _resolve_properties(model_name, model_properties)
+    dims = props.get("dimensions")
+    if not dims:
+        raise InvalidArgumentError(
+            f"Model `{model_name}` has no `dimensions` in its properties")
+    return int(dims)
+
+
+def get_loaded_models() -> dict:
+    """Loaded-model listing (reference s2_inference.py:161 + api /models)."""
+    models = []
+    for key, entry in _available_models.items():
+        model_name = key.split("||")[0]
+        models.append({"model_name": model_name,
+                       "model_device": entry["model"].device.value})
+    return {"models": models}
+
+
+def eject_model(model_name: str, device: str) -> dict:
+    """Remove a model from the cache (reference s2_inference.py:774)."""
+    dev = Device.normalize(device)
+    to_remove = [key for key, entry in _available_models.items()
+                 if key.split("||")[0] == model_name
+                 and entry["model"].device == dev]
+    if not to_remove:
+        raise ModelNotInCacheError(
+            f"The model_name `{model_name}` device `{device}` is not cached or found")
+    for key in to_remove:
+        del _available_models[key]
+    return {"result": "success",
+            "message": f"successfully eject model_name `{model_name}` "
+                       f"from device `{dev.value}`"}
+
+
+def clear_loaded_models() -> None:
+    _available_models.clear()
+
+
+def clear_inference_cache() -> None:
+    global _inference_cache
+    _inference_cache = None

@@ -1,0 +1,90 @@
+"""Host-side tokenization feeding the TPU encoders.
+
+Uses the HuggingFace ``tokenizers`` Rust library (baked in) for WordPiece/BPE;
+outputs fixed-shape numpy batches padded to compile-once bucket sizes
+(inference/batching.py). Parity anchor: reference tokenization inside
+HuggingFaceModel.encode (hugging_face_model.py:172-220) at default max
+sequence length 128 (reference s2_inference/configs.py get_default_seq_length).
+"""
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from tokenizers import Tokenizer
+from tokenizers.models import WordPiece
+from tokenizers.normalizers import BertNormalizer
+from tokenizers.pre_tokenizers import BertPreTokenizer
+from tokenizers.processors import TemplateProcessing
+
+
+class TextTokenizer:
+    """Thin wrapper producing padded/truncated (input_ids, attention_mask)."""
+
+    def __init__(self, tokenizer: Tokenizer, max_length: int = 128,
+                 pad_id: int = 0):
+        self._tok = tokenizer
+        self.max_length = max_length
+        self.pad_id = pad_id
+
+    @classmethod
+    def from_file(cls, path: str, max_length: int = 128) -> "TextTokenizer":
+        tok = Tokenizer.from_file(path)
+        pad_id = tok.token_to_id("[PAD]") or tok.token_to_id("<pad>") or 0
+        return cls(tok, max_length=max_length, pad_id=pad_id)
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str,
+                        max_length: int = 128) -> "TextTokenizer":
+        """Load tokenizer.json from a local dir or (if reachable) the HF hub."""
+        local = os.path.join(name_or_path, "tokenizer.json")
+        if os.path.isfile(local):
+            return cls.from_file(local, max_length=max_length)
+        tok = Tokenizer.from_pretrained(name_or_path)
+        pad_id = tok.token_to_id("[PAD]") or tok.token_to_id("<pad>") or 0
+        return cls(tok, max_length=max_length, pad_id=pad_id)
+
+    @classmethod
+    def build_test_wordpiece(cls, extra_words: Optional[List[str]] = None,
+                             max_length: int = 128) -> "TextTokenizer":
+        """Deterministic in-memory WordPiece tokenizer for tests / the
+        ``test`` registry model (reference model_registry.py:976 ships a
+        tiny sbert-test model for the same purpose)."""
+        specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        alphabet = list("abcdefghijklmnopqrstuvwxyz0123456789")
+        vocab_tokens = specials + alphabet + ["##" + c for c in alphabet]
+        for w in (extra_words or []):
+            if w not in vocab_tokens:
+                vocab_tokens.append(w)
+        vocab = {tok: i for i, tok in enumerate(vocab_tokens)}
+        model = WordPiece(vocab, unk_token="[UNK]", max_input_chars_per_word=64)
+        tok = Tokenizer(model)
+        tok.normalizer = BertNormalizer(lowercase=True)
+        tok.pre_tokenizer = BertPreTokenizer()
+        tok.post_processor = TemplateProcessing(
+            single="[CLS] $A [SEP]",
+            pair="[CLS] $A [SEP] $B [SEP]",
+            special_tokens=[("[CLS]", vocab["[CLS]"]), ("[SEP]", vocab["[SEP]"])],
+        )
+        return cls(tok, max_length=max_length, pad_id=vocab["[PAD]"])
+
+    def encode_batch(self, texts: List[str],
+                     pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Tokenize a batch. Truncates to ``max_length``; pads all rows to
+        ``pad_to`` (a bucket size) or the longest row."""
+        encodings = self._tok.encode_batch(list(texts))
+        lengths = [min(len(e.ids), self.max_length) for e in encodings]
+        width = pad_to if pad_to is not None else max(lengths or [1])
+        width = max(1, min(width, self.max_length)) if pad_to is None else pad_to
+        n = len(texts)
+        ids = np.full((n, width), self.pad_id, dtype=np.int32)
+        mask = np.zeros((n, width), dtype=np.int32)
+        for i, e in enumerate(encodings):
+            L = min(len(e.ids), width)
+            ids[i, :L] = e.ids[:L]
+            mask[i, :L] = 1
+        return {"input_ids": ids, "attention_mask": mask, "lengths": lengths}
+
+    def max_token_length(self, texts: List[str]) -> int:
+        return max((min(len(e.ids), self.max_length)
+                    for e in self._tok.encode_batch(list(texts))), default=1)
