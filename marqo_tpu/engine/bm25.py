@@ -1,0 +1,101 @@
+"""Per-field BM25 inverted index.
+
+Role parity: Vespa's bm25 posting lists + weakAnd retrieval (the
+reference enables ``indexing: index | bm25`` on lexical fields,
+structured_vespa_schema.py:84-101, and ranks with per-field bm25
+aggregation, :245-308). Python reference implementation; the native C++
+engine (engine/cpp) implements the same contract for large corpora.
+
+Scoring: classic Okapi BM25 (k1=1.2, b=0.75 — Vespa's defaults).
+Query semantics: weakAnd over optional terms (OR), required phrases must
+all appear in at least one searched field (reference
+utils.parse_lexical_query: "quoted required phrases" vs optional terms).
+"""
+
+import math
+import re
+import threading
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Set, Tuple
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(text: str) -> List[str]:
+    return _TOKEN_RE.findall(str(text).lower())
+
+
+class Bm25FieldIndex:
+    """Inverted index for one lexical field."""
+
+    def __init__(self):
+        # term -> {doc_id: term_frequency}
+        self.postings: Dict[str, Dict[str, int]] = defaultdict(dict)
+        self.doc_lengths: Dict[str, int] = {}
+        self.total_length = 0
+
+    def add(self, doc_id: str, text: str) -> None:
+        tokens = tokenize(text)
+        if doc_id in self.doc_lengths:
+            self.remove(doc_id)
+        self.doc_lengths[doc_id] = len(tokens)
+        self.total_length += len(tokens)
+        for tok in tokens:
+            self.postings[tok][doc_id] = self.postings[tok].get(doc_id, 0) + 1
+
+    def remove(self, doc_id: str) -> None:
+        length = self.doc_lengths.pop(doc_id, None)
+        if length is None:
+            return
+        self.total_length -= length
+        for term_postings in self.postings.values():
+            term_postings.pop(doc_id, None)
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_lengths)
+
+    def avg_length(self) -> float:
+        n = self.num_docs
+        return (self.total_length / n) if n else 0.0
+
+    def idf(self, term: str) -> float:
+        n, df = self.num_docs, len(self.postings.get(term, ()))
+        if df == 0:
+            return 0.0
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def score_terms(self, terms: List[str],
+                    allowed: Optional[Set[str]] = None) -> Dict[str, float]:
+        """BM25 scores for docs matching any term (weakAnd)."""
+        scores: Dict[str, float] = defaultdict(float)
+        avg_len = self.avg_length() or 1.0
+        for term in terms:
+            postings = self.postings.get(term)
+            if not postings:
+                continue
+            idf = self.idf(term)
+            for doc_id, tf in postings.items():
+                if allowed is not None and doc_id not in allowed:
+                    continue
+                dl = self.doc_lengths.get(doc_id, 0)
+                denom = tf + K1 * (1 - B + B * dl / avg_len)
+                scores[doc_id] += idf * (tf * (K1 + 1)) / denom
+        return scores
+
+    def docs_with_phrase(self, phrase: str) -> Set[str]:
+        """Docs containing all tokens of the phrase (conjunctive term match;
+        positional adjacency is enforced by the native engine)."""
+        tokens = tokenize(phrase)
+        if not tokens:
+            return set(self.doc_lengths)
+        result: Optional[Set[str]] = None
+        for tok in tokens:
+            docs = set(self.postings.get(tok, ()))
+            result = docs if result is None else (result & docs)
+            if not result:
+                return set()
+        return result or set()

@@ -1,0 +1,595 @@
+"""In-process vector-store engine: document store + tensor ANN + BM25 +
+filters + hybrid fusion.
+
+Role parity: the Vespa content node + HybridSearcher container plugin
+(SURVEY.md §2.2) — per-schema document store, per-tensor-field vector index,
+bm25 posting lists, filter evaluation, rank expressions (score modifiers),
+parallel hybrid legs fused with weighted RRF
+(vespa/.../HybridSearcher.java:92-285: alpha·1/(k+rank) tensor leg,
+(1-alpha)·1/(k+rank) lexical leg, k=60, alpha=0.5 defaults).
+
+This is the Python reference engine (numpy brute-force scoring — exact, the
+``approximate=False`` path); the native C++ engine (engine/cpp) implements
+the same interface with HNSW for ``approximate=True`` at scale, and shards
+documents by id-hash across content shards (reference services.xml
+distribution, SURVEY.md D1).
+"""
+
+import threading
+from collections import defaultdict
+from typing import Any, Dict, Iterable, List, Optional, Set, Tuple
+
+import numpy as np
+
+from marqo_tpu.core import constants
+from marqo_tpu.core.exceptions import (IndexExistsError, IndexNotFoundError,
+                                       InvalidArgumentError)
+from marqo_tpu.core.models.score_modifier import (ScoreModifier,
+                                                  ScoreModifierType)
+from marqo_tpu.core.search.search_filter import SearchFilter
+from marqo_tpu.engine.bm25 import Bm25FieldIndex, tokenize
+from marqo_tpu.engine.descriptor import IndexDescriptor
+from marqo_tpu.engine.filter_eval import evaluate_node
+
+
+# --- scoring ---------------------------------------------------------------
+
+def closeness(metric: str, query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """Vespa-compatible closeness = 1/(1+distance) per metric
+    (rank feature closeness(field), reference embedding_similarity profile)."""
+    if matrix.size == 0:
+        return np.zeros((0,), dtype=np.float32)
+    if metric == "prenormalized-angular":
+        dist = 1.0 - matrix @ query
+    elif metric == "angular":
+        q = query / max(np.linalg.norm(query), 1e-12)
+        norms = np.maximum(np.linalg.norm(matrix, axis=1), 1e-12)
+        cos = np.clip((matrix @ q) / norms, -1.0, 1.0)
+        dist = np.arccos(cos)
+    elif metric == "dotproduct":
+        # Vespa dotproduct: distance = -dot; closeness uses the raw dot
+        dot = matrix @ query
+        return dot.astype(np.float32)
+    elif metric == "euclidean":
+        dist = np.linalg.norm(matrix - query[None, :], axis=1)
+    elif metric == "hamming":
+        dist = np.sum(np.sign(matrix) != np.sign(query[None, :]), axis=1)
+    elif metric == "geodegrees":
+        # lat/lng pairs in degrees; great-circle distance in km
+        lat1, lng1 = np.radians(matrix[:, 0]), np.radians(matrix[:, 1])
+        lat2, lng2 = np.radians(query[0]), np.radians(query[1])
+        dlat, dlng = lat2 - lat1, lng2 - lng1
+        a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlng / 2) ** 2
+        dist = 6371.0 * 2 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+    else:
+        raise InvalidArgumentError(f"Unknown distance metric: {metric}")
+    return (1.0 / (1.0 + dist)).astype(np.float32)
+
+
+# --- per-shard storage -------------------------------------------------------
+
+class _FieldTensors:
+    """Append-only chunk store for one tensor field (per shard)."""
+
+    def __init__(self, dimensions: int):
+        self.dimensions = dimensions
+        self._doc_ids: List[str] = []
+        self._chunks: List[str] = []
+        self._vectors: List[np.ndarray] = []
+        self._live_docs: Set[str] = set()
+        self._matrix: Optional[np.ndarray] = None
+        self._rows_by_doc: Dict[str, List[int]] = defaultdict(list)
+
+    def add(self, doc_id: str, chunks: List[str], embeddings) -> None:
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.ndim == 1:
+            emb = emb[None, :]
+        if emb.shape[0] != len(chunks):
+            raise InvalidArgumentError(
+                f"chunks ({len(chunks)}) and embeddings ({emb.shape[0]}) "
+                f"count mismatch")
+        if emb.size and emb.shape[1] != self.dimensions:
+            raise InvalidArgumentError(
+                f"Expected embeddings of dimension {self.dimensions}, got "
+                f"{emb.shape[1]}")
+        self.remove(doc_id)
+        self._live_docs.add(doc_id)
+        for chunk, vec in zip(chunks, emb):
+            self._rows_by_doc[doc_id].append(len(self._doc_ids))
+            self._doc_ids.append(doc_id)
+            self._chunks.append(chunk)
+            self._vectors.append(vec)
+        self._matrix = None
+
+    def remove(self, doc_id: str) -> None:
+        if doc_id not in self._live_docs:
+            return
+        self._live_docs.discard(doc_id)
+        rows = self._rows_by_doc.pop(doc_id, [])
+        if rows:
+            self._matrix = None  # lazily compacted on next matrix build
+
+    def _compact(self) -> None:
+        keep = [i for i, d in enumerate(self._doc_ids) if d in self._live_docs]
+        self._doc_ids = [self._doc_ids[i] for i in keep]
+        self._chunks = [self._chunks[i] for i in keep]
+        self._vectors = [self._vectors[i] for i in keep]
+        self._rows_by_doc = defaultdict(list)
+        for i, d in enumerate(self._doc_ids):
+            self._rows_by_doc[d].append(i)
+
+    def matrix(self) -> Tuple[np.ndarray, List[str], List[str]]:
+        if self._matrix is None:
+            if len(self._live_docs) != len(set(self._doc_ids)) or \
+                    any(d not in self._live_docs for d in self._doc_ids):
+                self._compact()
+            self._matrix = (np.stack(self._vectors)
+                            if self._vectors else
+                            np.zeros((0, self.dimensions), dtype=np.float32))
+        return self._matrix, self._doc_ids, self._chunks
+
+    def doc_tensors(self, doc_id: str) -> List[Tuple[str, np.ndarray]]:
+        return [(self._chunks[i], self._vectors[i])
+                for i in self._rows_by_doc.get(doc_id, [])]
+
+    @property
+    def vector_count(self) -> int:
+        return sum(len(rows) for rows in self._rows_by_doc.values())
+
+
+class _Shard:
+    def __init__(self, descriptor: IndexDescriptor):
+        self.descriptor = descriptor
+        self.docs: Dict[str, dict] = {}
+        self.tensors: Dict[str, _FieldTensors] = {}
+        self.lexical: Dict[str, Bm25FieldIndex] = {}
+        self.lock = threading.RLock()
+
+    def _tensor_store(self, field: str) -> _FieldTensors:
+        if field not in self.tensors:
+            self.tensors[field] = _FieldTensors(self.descriptor.model_dimensions)
+        return self.tensors[field]
+
+    def _lexical_index(self, field: str) -> Bm25FieldIndex:
+        if field not in self.lexical:
+            self.lexical[field] = Bm25FieldIndex()
+        return self.lexical[field]
+
+    def _is_lexical_field(self, field: str, value: Any) -> bool:
+        if self.descriptor.dynamic_fields:
+            return isinstance(value, str) or (
+                isinstance(value, list) and all(isinstance(v, str) for v in value))
+        f = self.descriptor.field_map.get(field)
+        return f is not None and f.lexical
+
+    def feed(self, doc_id: str, fields: dict, tensors: dict) -> None:
+        with self.lock:
+            self.delete(doc_id)
+            self.docs[doc_id] = dict(fields)
+            for field, value in fields.items():
+                if self._is_lexical_field(field, value):
+                    text = " ".join(value) if isinstance(value, list) else value
+                    self._lexical_index(field).add(doc_id, text)
+            for field, payload in (tensors or {}).items():
+                self._tensor_store(field).add(
+                    doc_id, payload["chunks"], payload["embeddings"])
+
+    def delete(self, doc_id: str) -> bool:
+        with self.lock:
+            existed = doc_id in self.docs
+            self.docs.pop(doc_id, None)
+            for idx in self.lexical.values():
+                idx.remove(doc_id)
+            for ts in self.tensors.values():
+                ts.remove(doc_id)
+            return existed
+
+    def allowed_docs(self, search_filter: Optional[SearchFilter]) -> Optional[Set[str]]:
+        if search_filter is None or search_filter.root is None:
+            return None
+        return {doc_id for doc_id, doc in self.docs.items()
+                if evaluate_node(search_filter.root, doc, doc_id)}
+
+
+# --- results ----------------------------------------------------------------
+
+class Hit:
+    __slots__ = ("doc_id", "score", "fields", "highlight", "raw_tensor_score",
+                 "raw_lexical_score")
+
+    def __init__(self, doc_id: str, score: float, fields: dict,
+                 highlight: Optional[dict] = None,
+                 raw_tensor_score: Optional[float] = None,
+                 raw_lexical_score: Optional[float] = None):
+        self.doc_id = doc_id
+        self.score = score
+        self.fields = fields
+        self.highlight = highlight
+        self.raw_tensor_score = raw_tensor_score
+        self.raw_lexical_score = raw_lexical_score
+
+    def __repr__(self):
+        return f"Hit({self.doc_id!r}, {self.score:.4f})"
+
+
+class QueryResult:
+    def __init__(self, hits: List[Hit], total: int):
+        self.hits = hits
+        self.total = total
+
+
+# --- the engine --------------------------------------------------------------
+
+class StoreEngine:
+    """One engine instance hosting many indexes, each split into shards by
+    id-hash (reference Vespa content-cluster distribution, SURVEY.md D1)."""
+
+    def __init__(self, n_shards: int = 1):
+        self.n_shards = max(1, n_shards)
+        self._indexes: Dict[str, List[_Shard]] = {}
+        self._descriptors: Dict[str, IndexDescriptor] = {}
+        self._lock = threading.RLock()
+
+    # -- DDL --
+
+    def create_index(self, descriptor: IndexDescriptor) -> None:
+        with self._lock:
+            if descriptor.name in self._indexes:
+                raise IndexExistsError(f"Index {descriptor.name} already exists")
+            self._indexes[descriptor.name] = [
+                _Shard(descriptor) for _ in range(self.n_shards)]
+            self._descriptors[descriptor.name] = descriptor
+
+    def update_index(self, descriptor: IndexDescriptor) -> None:
+        """Semi-structured schema growth: swap the descriptor in place."""
+        with self._lock:
+            shards = self._shards(descriptor.name)
+            self._descriptors[descriptor.name] = descriptor
+            for shard in shards:
+                shard.descriptor = descriptor
+
+    def delete_index(self, name: str) -> None:
+        with self._lock:
+            if name not in self._indexes:
+                raise IndexNotFoundError(f"Index {name} not found")
+            del self._indexes[name]
+            del self._descriptors[name]
+
+    def has_index(self, name: str) -> bool:
+        return name in self._indexes
+
+    def list_indexes(self) -> List[str]:
+        return list(self._indexes)
+
+    def _shards(self, name: str) -> List[_Shard]:
+        try:
+            return self._indexes[name]
+        except KeyError:
+            raise IndexNotFoundError(f"Index {name} not found")
+
+    def _shard_for(self, name: str, doc_id: str) -> _Shard:
+        shards = self._shards(name)
+        return shards[hash(doc_id) % len(shards)]
+
+    # -- documents --
+
+    def feed(self, index_name: str, doc_id: str, fields: dict,
+             tensors: Optional[dict] = None) -> None:
+        self._shard_for(index_name, doc_id).feed(doc_id, fields, tensors or {})
+
+    def get(self, index_name: str, doc_id: str) -> Optional[dict]:
+        shard = self._shard_for(index_name, doc_id)
+        with shard.lock:
+            doc = shard.docs.get(doc_id)
+            return dict(doc) if doc is not None else None
+
+    def get_tensors(self, index_name: str, doc_id: str) -> Dict[str, list]:
+        shard = self._shard_for(index_name, doc_id)
+        with shard.lock:
+            result = {}
+            for field, ts in shard.tensors.items():
+                pairs = ts.doc_tensors(doc_id)
+                if pairs:
+                    result[field] = [
+                        {"chunk": c, "embedding": v.tolist()} for c, v in pairs]
+            return result
+
+    def delete(self, index_name: str, doc_id: str) -> bool:
+        return self._shard_for(index_name, doc_id).delete(doc_id)
+
+    def delete_all(self, index_name: str) -> int:
+        count = 0
+        for shard in self._shards(index_name):
+            with shard.lock:
+                count += len(shard.docs)
+                doc_ids = list(shard.docs)
+            for doc_id in doc_ids:
+                shard.delete(doc_id)
+        return count
+
+    def visit_all(self, index_name: str) -> Iterable[Tuple[str, dict]]:
+        for shard in self._shards(index_name):
+            with shard.lock:
+                items = list(shard.docs.items())
+            for doc_id, doc in items:
+                yield doc_id, dict(doc)
+
+    def doc_count(self, index_name: str) -> int:
+        return sum(len(s.docs) for s in self._shards(index_name))
+
+    def vector_count(self, index_name: str) -> int:
+        return sum(ts.vector_count for s in self._shards(index_name)
+                   for ts in s.tensors.values())
+
+    # -- queries --
+
+    def query_tensor(self, index_name: str, vector, limit: int,
+                     offset: int = 0,
+                     searchable_fields: Optional[List[str]] = None,
+                     search_filter: Optional[SearchFilter] = None,
+                     score_modifiers: Optional[List[ScoreModifier]] = None,
+                     ef_search: Optional[int] = None,
+                     approximate: bool = True,
+                     attributes_to_retrieve: Optional[List[str]] = None,
+                     expose_facets: bool = False) -> QueryResult:
+        query = np.asarray(vector, dtype=np.float32)
+        scored = self._tensor_leg(index_name, query, searchable_fields,
+                                  search_filter, ef_search, limit + offset)
+        return self._finalize(index_name, scored, limit, offset,
+                              score_modifiers, attributes_to_retrieve,
+                              expose_facets, leg="tensor")
+
+    def query_lexical(self, index_name: str, or_phrases: List[str],
+                      and_phrases: List[str], limit: int, offset: int = 0,
+                      searchable_fields: Optional[List[str]] = None,
+                      search_filter: Optional[SearchFilter] = None,
+                      score_modifiers: Optional[List[ScoreModifier]] = None,
+                      attributes_to_retrieve: Optional[List[str]] = None,
+                      expose_facets: bool = False) -> QueryResult:
+        scored = self._lexical_leg(index_name, or_phrases, and_phrases,
+                                   searchable_fields, search_filter)
+        return self._finalize(index_name, scored, limit, offset,
+                              score_modifiers, attributes_to_retrieve,
+                              expose_facets, leg="lexical")
+
+    def query_hybrid(self, index_name: str, vector, or_phrases: List[str],
+                     and_phrases: List[str], limit: int, offset: int = 0,
+                     retrieval_method: str = "disjunction",
+                     ranking_method: str = "rrf",
+                     alpha: float = 0.5, rrf_k: int = 60,
+                     searchable_fields_tensor: Optional[List[str]] = None,
+                     searchable_fields_lexical: Optional[List[str]] = None,
+                     search_filter: Optional[SearchFilter] = None,
+                     score_modifiers_tensor: Optional[List[ScoreModifier]] = None,
+                     score_modifiers_lexical: Optional[List[ScoreModifier]] = None,
+                     ef_search: Optional[int] = None,
+                     approximate: bool = True,
+                     attributes_to_retrieve: Optional[List[str]] = None,
+                     expose_facets: bool = False) -> QueryResult:
+        """Hybrid retrieval + fusion (HybridSearcher.java semantics)."""
+        max_leg = limit + offset
+
+        tensor_scores: Dict[str, Tuple[float, Optional[dict]]] = {}
+        lexical_scores: Dict[str, float] = {}
+
+        if retrieval_method in ("disjunction", "tensor"):
+            query = np.asarray(vector, dtype=np.float32)
+            tensor_scores = self._tensor_leg(
+                index_name, query, searchable_fields_tensor, search_filter,
+                ef_search, max_leg)
+            if score_modifiers_tensor:
+                tensor_scores = {
+                    d: (self._modify_score(index_name, d, s, score_modifiers_tensor), h)
+                    for d, (s, h) in tensor_scores.items()}
+        if retrieval_method in ("disjunction", "lexical"):
+            lexical_raw = self._lexical_leg(
+                index_name, or_phrases, and_phrases,
+                searchable_fields_lexical, search_filter)
+            lexical_scores = {d: s for d, (s, _) in lexical_raw.items()}
+            if score_modifiers_lexical:
+                lexical_scores = {
+                    d: self._modify_score(index_name, d, s, score_modifiers_lexical)
+                    for d, s in lexical_scores.items()}
+
+        if retrieval_method == "tensor" and ranking_method == "lexical":
+            # retrieve by tensor, rank those docs by lexical score
+            lexical_raw = self._lexical_leg(
+                index_name, or_phrases, and_phrases,
+                searchable_fields_lexical, search_filter)
+            scored = {d: (lexical_raw.get(d, (0.0, None))[0], h)
+                      for d, (s, h) in tensor_scores.items()}
+            return self._finalize(index_name, scored, limit, offset, None,
+                                  attributes_to_retrieve, expose_facets,
+                                  leg="hybrid")
+        if retrieval_method == "lexical" and ranking_method == "tensor":
+            query = np.asarray(vector, dtype=np.float32)
+            tensor_raw = self._tensor_leg(
+                index_name, query, searchable_fields_tensor, search_filter,
+                ef_search, None)
+            scored = {d: tensor_raw.get(d, (0.0, None))
+                      for d in lexical_scores}
+            return self._finalize(index_name, scored, limit, offset, None,
+                                  attributes_to_retrieve, expose_facets,
+                                  leg="hybrid")
+        if retrieval_method == ranking_method == "tensor":
+            return self._finalize(index_name, tensor_scores, limit, offset,
+                                  None, attributes_to_retrieve, expose_facets,
+                                  leg="tensor")
+        if retrieval_method == ranking_method == "lexical":
+            scored = {d: (s, None) for d, s in lexical_scores.items()}
+            return self._finalize(index_name, scored, limit, offset, None,
+                                  attributes_to_retrieve, expose_facets,
+                                  leg="lexical")
+
+        # disjunction + RRF (reference rrf(), HybridSearcher.java:154-285)
+        tensor_ranked = sorted(tensor_scores.items(),
+                               key=lambda kv: -kv[1][0])[:max_leg]
+        lexical_ranked = sorted(lexical_scores.items(),
+                                key=lambda kv: -kv[1])[:max_leg]
+        fused: Dict[str, float] = defaultdict(float)
+        raw_tensor: Dict[str, float] = {}
+        raw_lexical: Dict[str, float] = {}
+        highlights: Dict[str, Optional[dict]] = {}
+        for rank, (doc_id, (score, highlight)) in enumerate(tensor_ranked):
+            fused[doc_id] += alpha * (1.0 / (rank + 1 + rrf_k))
+            raw_tensor[doc_id] = score
+            highlights[doc_id] = highlight
+        for rank, (doc_id, score) in enumerate(lexical_ranked):
+            fused[doc_id] += (1.0 - alpha) * (1.0 / (rank + 1 + rrf_k))
+            raw_lexical[doc_id] = score
+
+        scored = {d: (s, highlights.get(d)) for d, s in fused.items()}
+        result = self._finalize(index_name, scored, limit, offset, None,
+                                attributes_to_retrieve, expose_facets,
+                                leg="hybrid")
+        for hit in result.hits:
+            hit.raw_tensor_score = raw_tensor.get(hit.doc_id)
+            hit.raw_lexical_score = raw_lexical.get(hit.doc_id)
+        return result
+
+    # -- legs --
+
+    def _tensor_leg(self, index_name: str, query: np.ndarray,
+                    searchable_fields: Optional[List[str]],
+                    search_filter: Optional[SearchFilter],
+                    ef_search: Optional[int],
+                    max_hits: Optional[int]) -> Dict[str, Tuple[float, dict]]:
+        """Per-doc max chunk closeness over searched tensor fields
+        (reference: per-field nearestNeighbor legs OR'd,
+        structured_vespa_index.py:672-688; max aggregation)."""
+        descriptor = self._descriptors[index_name] if index_name in \
+            self._descriptors else None
+        shards = self._shards(index_name)
+        best: Dict[str, float] = {}
+        best_chunk: Dict[str, dict] = {}
+        for shard in shards:
+            with shard.lock:
+                allowed = shard.allowed_docs(search_filter)
+                fields = (searchable_fields if searchable_fields
+                          else list(shard.tensors))
+                for field in fields:
+                    ts = shard.tensors.get(field)
+                    if ts is None:
+                        continue
+                    matrix, doc_ids, chunks = ts.matrix()
+                    if matrix.shape[0] == 0:
+                        continue
+                    metric = "prenormalized-angular"
+                    if descriptor and field in descriptor.tensor_field_map:
+                        metric = descriptor.tensor_field_map[field].distance_metric
+                    elif descriptor and descriptor.tensor_fields:
+                        metric = descriptor.tensor_fields[0].distance_metric
+                    scores = closeness(metric, query, matrix)
+                    for i, doc_id in enumerate(doc_ids):
+                        if allowed is not None and doc_id not in allowed:
+                            continue
+                        s = float(scores[i])
+                        if s > best.get(doc_id, float("-inf")):
+                            best[doc_id] = s
+                            best_chunk[doc_id] = {field: chunks[i]}
+        return {d: (s, best_chunk.get(d)) for d, s in best.items()}
+
+    def _lexical_leg(self, index_name: str, or_phrases: List[str],
+                     and_phrases: List[str],
+                     searchable_fields: Optional[List[str]],
+                     search_filter: Optional[SearchFilter]
+                     ) -> Dict[str, Tuple[float, None]]:
+        """weakAnd optional terms + required phrases; per-doc score = sum of
+        per-field bm25 (reference bm25-sum rank profile)."""
+        terms = [t for phrase in or_phrases for t in tokenize(phrase)]
+        doc_scores: Dict[str, float] = defaultdict(float)
+        for shard in self._shards(index_name):
+            with shard.lock:
+                allowed = shard.allowed_docs(search_filter)
+                fields = (searchable_fields if searchable_fields
+                          else list(shard.lexical))
+                # required phrases: doc must contain every phrase in at
+                # least one searched field
+                required: Optional[Set[str]] = None
+                for phrase in and_phrases:
+                    phrase_docs: Set[str] = set()
+                    for field in fields:
+                        idx = shard.lexical.get(field)
+                        if idx:
+                            phrase_docs |= idx.docs_with_phrase(phrase)
+                    required = (phrase_docs if required is None
+                                else required & phrase_docs)
+                for field in fields:
+                    idx = shard.lexical.get(field)
+                    if idx is None:
+                        continue
+                    shard_allowed = allowed
+                    if required is not None:
+                        shard_allowed = (required if shard_allowed is None
+                                         else shard_allowed & required)
+                    field_scores = idx.score_terms(terms, shard_allowed)
+                    for doc_id, s in field_scores.items():
+                        doc_scores[doc_id] += s
+                # phrase-only query: every doc matching all phrases scores
+                if not terms and and_phrases and required:
+                    for doc_id in required:
+                        if allowed is None or doc_id in allowed:
+                            doc_scores.setdefault(doc_id, 0.0)
+                            for phrase in and_phrases:
+                                for field in fields:
+                                    idx = shard.lexical.get(field)
+                                    if idx and doc_id in idx.docs_with_phrase(phrase):
+                                        doc_scores[doc_id] += sum(
+                                            idx.idf(t) for t in tokenize(phrase))
+                                        break
+        return {d: (s, None) for d, s in doc_scores.items()}
+
+    # -- score modifiers + finalization --
+
+    def _modify_score(self, index_name: str, doc_id: str, score: float,
+                      modifiers: List[ScoreModifier]) -> float:
+        """new_score = score · Π(mult_field·weight) + Σ(add_field·weight)
+        (reference modify() rank expression,
+        structured_vespa_schema.py:255-263)."""
+        doc = self.get(index_name, doc_id) or {}
+        mult = 1.0
+        add = 0.0
+        for mod in modifiers:
+            value = doc.get(mod.field)
+            if "." in mod.field and value is None:
+                base, _, key = mod.field.partition(".")
+                parent = doc.get(base)
+                if isinstance(parent, dict):
+                    value = parent.get(key)
+            if not isinstance(value, (int, float)) or isinstance(value, bool):
+                continue
+            if mod.type == ScoreModifierType.Multiply:
+                mult *= value * mod.weight
+            else:
+                add += value * mod.weight
+        return score * mult + add
+
+    def _finalize(self, index_name: str,
+                  scored: Dict[str, Tuple[float, Optional[dict]]],
+                  limit: int, offset: int,
+                  score_modifiers: Optional[List[ScoreModifier]],
+                  attributes_to_retrieve: Optional[List[str]],
+                  expose_facets: bool, leg: str) -> QueryResult:
+        if score_modifiers:
+            scored = {
+                d: (self._modify_score(index_name, d, s, score_modifiers), h)
+                for d, (s, h) in scored.items()}
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        total = len(ranked)
+        page = ranked[offset:offset + limit]
+        hits = []
+        for doc_id, (score, highlight) in page:
+            doc = self.get(index_name, doc_id) or {}
+            if attributes_to_retrieve is not None:
+                doc = {k: v for k, v in doc.items()
+                       if k in attributes_to_retrieve}
+            hit = Hit(doc_id, score, doc, highlight)
+            if expose_facets:
+                facets = []
+                for field, entries in self.get_tensors(index_name, doc_id).items():
+                    for e in entries:
+                        facets.append({field: e["chunk"],
+                                       "_embedding": e["embedding"]})
+                hit.fields["_tensor_facets"] = facets
+            hits.append(hit)
+        return QueryResult(hits, total)
