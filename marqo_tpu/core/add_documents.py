@@ -1,0 +1,455 @@
+"""Add-documents pipeline (the ingest hot path).
+
+Parity: reference core/vespa_index/add_documents_handler.py:105-424 (template
+method: reversed dedup → per-doc validation → tensor-field collection →
+use_existing_tensors → chunk → vectorise → feed → per-doc response) +
+core/inference/tensor_fields_container.py (chunkers/vectorisers, multimodal
+combination, custom-vector passthrough) + the per-index-type handlers
+(structured validates declared fields; semi-structured grows the schema
+before persisting, semi_structured_add_document_handler.py:31-119).
+
+TPU shape: all chunks of a batch are vectorised in one bucketed call
+(PER_BATCH mode — the reference's fastest strategy) so the encoder sees
+large dense batches.
+"""
+
+import json
+import time
+import uuid
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from marqo_tpu.api import configs
+from marqo_tpu.core import constants
+from marqo_tpu.core.exceptions import InvalidArgumentError
+from marqo_tpu.core.models.add_docs_params import AddDocsParams
+from marqo_tpu.core.models.marqo_index import (Field, FieldType, MarqoIndex,
+                                               SemiStructuredMarqoIndex,
+                                               StructuredMarqoIndex,
+                                               TensorField,
+                                               UnstructuredMarqoIndex,
+                                               validate_field_name)
+from marqo_tpu.engine.store import StoreEngine
+from marqo_tpu.inference import vectorise as inference
+from marqo_tpu.inference.text_chunker import chunk_text
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class DocError(Exception):
+    def __init__(self, message: str, status: int = 400,
+                 code: str = "invalid_argument"):
+        self.message = message
+        self.status = status
+        self.code = code
+        super().__init__(message)
+
+
+class AddDocumentsResponseCollector:
+    """Per-document success/error accumulation — one bad document never
+    fails the batch (reference add_documents_handler.py:27-102)."""
+
+    def __init__(self):
+        self.start = time.perf_counter()
+        self.items: List[dict] = []
+        self.errors = False
+
+    def collect_error(self, doc_id: Optional[str], error: DocError) -> None:
+        self.errors = True
+        self.items.append({
+            "_id": doc_id or "",
+            "status": error.status,
+            "error": error.message,
+            "message": error.message,
+            "code": error.code,
+        })
+
+    def collect_success(self, doc_id: str) -> None:
+        self.items.append({"_id": doc_id, "status": 200})
+
+    def to_response(self, index_name: str) -> dict:
+        return {
+            "errors": self.errors,
+            "processingTimeMs": (time.perf_counter() - self.start) * 1000,
+            "index_name": index_name,
+            "items": self.items,
+        }
+
+
+def _validate_doc(doc: Any, max_bytes: int) -> Dict[str, Any]:
+    if not isinstance(doc, dict):
+        raise DocError("Docs must be dicts")
+    if not doc:
+        raise DocError("Can't index an empty dict.")
+    if len(json.dumps(doc, default=str)) > max_bytes:
+        raise DocError(
+            f"Document size exceeds the allowed limit of {max_bytes} bytes",
+            code="doc_too_large")
+    return doc
+
+
+def _validate_id(doc_id: Any) -> str:
+    if not isinstance(doc_id, str):
+        raise DocError(
+            f"Document _id must be a string type! Received _id {doc_id} of "
+            f"type `{type(doc_id).__name__}`", code="invalid_document_id")
+    if not doc_id:
+        raise DocError("Document _id can't be empty", code="invalid_document_id")
+    if "/" in doc_id:
+        raise DocError(f"Document _id can't contain '/': {doc_id}",
+                       code="invalid_document_id")
+    return doc_id
+
+
+_ALLOWED_VALUE_TYPES = (str, int, float, bool, list, dict)
+
+
+def _validate_field_value(field: str, value: Any) -> None:
+    if isinstance(value, bool) or not isinstance(value, _ALLOWED_VALUE_TYPES):
+        if not isinstance(value, _ALLOWED_VALUE_TYPES):
+            raise DocError(
+                f"Field `{field}` has unsupported type `{type(value).__name__}`")
+    if isinstance(value, list):
+        if not all(isinstance(v, str) for v in value):
+            raise DocError(
+                f"Field `{field}`: only string arrays are supported")
+    if isinstance(value, dict):
+        # allowed: custom_vector content, multimodal sub-dict, map<text,number>
+        pass
+
+
+class AddDocumentsHandler:
+    """One handler instance per request."""
+
+    def __init__(self, index: MarqoIndex, engine: StoreEngine,
+                 params: AddDocsParams, index_management=None,
+                 meta_cache=None):
+        self.index = index
+        self.engine = engine
+        self.params = params
+        self.index_management = index_management
+        self.meta_cache = meta_cache
+        self.mappings = params.mappings or {}
+
+    # -- tensor field resolution --
+
+    def _tensor_field_names(self, doc: dict) -> List[str]:
+        if isinstance(self.index, StructuredMarqoIndex):
+            if self.params.tensor_fields is not None:
+                raise DocError(
+                    "Cannot specify 'tensorFields' when adding documents to a "
+                    "structured index. Tensor fields are defined in the index "
+                    "settings.")
+            return [tf.name for tf in self.index.tensor_fields if tf.name in doc
+                    or tf.name in self.mappings]
+        if self.params.tensor_fields is None:
+            raise DocError(
+                "Unstructured and semi-structured indexes require the "
+                "`tensorFields` parameter (use [] for no tensor fields)")
+        return [f for f in self.params.tensor_fields
+                if f in doc or f in self.mappings]
+
+    def _validate_structured_fields(self, doc: dict) -> None:
+        if not isinstance(self.index, StructuredMarqoIndex):
+            return
+        field_map = self.index.field_map
+        for field in doc:
+            if field == constants.MARQO_DOC_ID:
+                continue
+            if field not in field_map:
+                raise DocError(
+                    f"Field `{field}` is not a valid field for structured "
+                    f"index {self.index.name}. Valid fields are: "
+                    f"{', '.join(sorted(field_map))}")
+
+    # -- chunk + vectorise planning --
+
+    def _plan_field(self, doc: dict, field: str) -> Optional[dict]:
+        """Returns a vectorisation plan for (doc, field):
+        {"kind": "text"|"custom"|"multimodal", "chunks": [stored chunk str],
+         "to_embed": [prefixed content], "vectors": optional ready vectors}
+        """
+        mapping = self.mappings.get(field)
+        if mapping and mapping.get("type") == "custom_vector":
+            value = doc.get(field)
+            if not isinstance(value, dict) or "vector" not in value:
+                raise DocError(
+                    f"Field `{field}` is a custom_vector field and must be a "
+                    f"dict with 'vector' (and optional 'content')")
+            content = value.get("content") or ""
+            vector = value["vector"]
+            dims = self.index.model.get_dimension()
+            if not isinstance(vector, list) or len(vector) != dims:
+                raise DocError(
+                    f"Custom vector for field `{field}` must be a list of "
+                    f"{dims} floats")
+            vec = np.asarray(vector, dtype=np.float32)
+            if self.index.normalize_embeddings:
+                norm = float(np.linalg.norm(vec))
+                if norm == 0:
+                    raise DocError(
+                        f"Field `{field}`: cannot normalize a zero-magnitude "
+                        f"custom vector")
+                vec = vec / norm
+            return {"kind": "custom", "chunks": [content],
+                    "vectors": vec[None, :], "content_key": content}
+
+        if mapping and mapping.get("type") == "multimodal_combination":
+            weights: Dict[str, float] = mapping["weights"]
+            sub_content = {}
+            for child, _w in weights.items():
+                if child in doc:
+                    value = doc[child]
+                    if not isinstance(value, str):
+                        raise DocError(
+                            f"Multimodal combination sub-field `{child}` must "
+                            f"be a string")
+                    sub_content[child] = value
+            if not sub_content:
+                return None
+            return {"kind": "multimodal", "weights": weights,
+                    "sub_content": sub_content,
+                    "chunks": [json.dumps(sub_content)]}
+
+        value = doc.get(field)
+        if value is None:
+            return None
+        if not isinstance(value, str):
+            raise DocError(
+                f"Field `{field}` is a tensor field but has non-string type "
+                f"`{type(value).__name__}`; only strings (and mapped "
+                f"custom_vector / multimodal_combination fields) can be "
+                f"vectorised")
+        chunks = chunk_text(value, self.index.text_preprocessing)
+        if not chunks:
+            return None
+        return {"kind": "text", "chunks": chunks, "content_key": value}
+
+    # -- main entry --
+
+    def add_documents(self) -> dict:
+        collector = AddDocumentsResponseCollector()
+        max_bytes = configs.read_env_vars_and_defaults_ints("MARQO_MAX_DOC_BYTES")
+        max_docs = configs.read_env_vars_and_defaults_ints("MARQO_MAX_ADD_DOCS_COUNT")
+        if len(self.params.docs) > max_docs:
+            raise InvalidArgumentError(
+                f"Number of docs in batch ({len(self.params.docs)}) exceeds "
+                f"limit of {max_docs}. Break up your request into smaller "
+                f"batches.")
+
+        # reversed-iteration dedup: the LAST occurrence of an _id wins
+        # (reference add_documents_handler.py:140-157)
+        seen_ids = set()
+        docs_to_process: List[Tuple[int, Optional[str], dict]] = []
+        for position in range(len(self.params.docs) - 1, -1, -1):
+            raw = self.params.docs[position]
+            doc_id = None
+            try:
+                doc = _validate_doc(raw, max_bytes)
+                if constants.MARQO_DOC_ID in doc:
+                    doc_id = _validate_id(doc[constants.MARQO_DOC_ID])
+                    if doc_id in seen_ids:
+                        continue  # duplicate: silently superseded
+                    seen_ids.add(doc_id)
+                docs_to_process.append((position, doc_id, doc))
+            except DocError as e:
+                collector.collect_error(
+                    doc_id or (raw.get("_id") if isinstance(raw, dict) else None), e)
+        docs_to_process.reverse()  # restore request order
+
+        # plan: validate fields, chunk, gather embedding work
+        plans: List[Tuple[str, dict, Dict[str, dict]]] = []
+        existing_tensors: Dict[str, Dict[str, list]] = {}
+        for _pos, doc_id, doc in docs_to_process:
+            try:
+                self._validate_structured_fields(doc)
+                assigned_id = doc_id or str(uuid.uuid4())
+                fields = {k: v for k, v in doc.items()
+                          if k != constants.MARQO_DOC_ID}
+                for field, value in fields.items():
+                    if not isinstance(self.index, StructuredMarqoIndex):
+                        try:
+                            validate_field_name(field)
+                        except ValueError as e:
+                            raise DocError(str(e), code="invalid_field_name")
+                    _validate_field_value(field, value)
+                field_plans = {}
+                for field in self._tensor_field_names(doc):
+                    plan = self._plan_field(doc, field)
+                    if plan is not None:
+                        field_plans[field] = plan
+                if self.params.use_existing_tensors and doc_id:
+                    existing_tensors[assigned_id] = self.engine.get_tensors(
+                        self.index.schema_name, doc_id)
+                plans.append((assigned_id, doc, field_plans))
+            except DocError as e:
+                collector.collect_error(doc_id, e)
+
+        # vectorise everything in one batch (PER_BATCH strategy)
+        embeddings = self._vectorise_plans(plans, existing_tensors, collector)
+        if embeddings is None:
+            return collector.to_response(self.index.name)
+
+        # semi-structured: grow the schema for new fields BEFORE persisting
+        # (reference semi_structured_add_document_handler.py:66-74)
+        self._maybe_grow_semi_structured_schema(plans)
+
+        # feed
+        for assigned_id, doc, field_plans in plans:
+            try:
+                tensors = {}
+                for field, plan in field_plans.items():
+                    vectors = embeddings.get((assigned_id, field))
+                    if vectors is None:
+                        continue
+                    tensors[field] = {"chunks": plan["chunks"],
+                                      "embeddings": vectors}
+                fields = {k: v for k, v in doc.items()
+                          if k != constants.MARQO_DOC_ID}
+                # custom_vector fields store their content string
+                for field, plan in field_plans.items():
+                    if plan["kind"] == "custom" and field in fields:
+                        fields[field] = plan["chunks"][0]
+                self.engine.feed(self.index.schema_name, assigned_id, fields,
+                                 tensors)
+                collector.collect_success(assigned_id)
+            except Exception as e:
+                collector.collect_error(
+                    assigned_id, DocError(str(e), status=500, code="backend_error"))
+
+        return collector.to_response(self.index.name)
+
+    def _vectorise_plans(self, plans, existing_tensors, collector):
+        """Run one batched vectorise over all pending chunks; returns
+        {(doc_id, field): np.ndarray} or None on fatal model error."""
+        chunk_prefix = self.index.model.get_text_chunk_prefix(
+            self.params.text_chunk_prefix)
+        to_embed: List[str] = []
+        slots: List[Tuple[str, str, int]] = []  # (doc_id, field, row-in-field)
+        ready: Dict[Tuple[str, str], np.ndarray] = {}
+        counts: Dict[Tuple[str, str], int] = defaultdict(int)
+
+        for assigned_id, _doc, field_plans in plans:
+            reuse = existing_tensors.get(assigned_id, {})
+            for field, plan in field_plans.items():
+                if plan["kind"] == "custom":
+                    ready[(assigned_id, field)] = plan["vectors"]
+                    continue
+                if plan["kind"] == "multimodal":
+                    # children embedded individually then combined
+                    for child, content in plan["sub_content"].items():
+                        slots.append((assigned_id, field + "::" + child, 0))
+                        to_embed.append(chunk_prefix + content)
+                    continue
+                # text: reuse identical existing chunks when requested
+                if field in reuse:
+                    stored = reuse[field]
+                    stored_chunks = [e["chunk"] for e in stored]
+                    if stored_chunks == plan["chunks"]:
+                        ready[(assigned_id, field)] = np.asarray(
+                            [e["embedding"] for e in stored], dtype=np.float32)
+                        continue
+                for chunk in plan["chunks"]:
+                    slots.append((assigned_id, field,
+                                  counts[(assigned_id, field)]))
+                    counts[(assigned_id, field)] += 1
+                    to_embed.append(chunk_prefix + chunk)
+
+        vectors: List[List[float]] = []
+        if to_embed:
+            try:
+                vectors = inference.vectorise(
+                    model_name=self.index.model.name,
+                    content=to_embed,
+                    model_properties=(self.index.model.properties
+                                      if self.index.model.custom else None),
+                    device=self.params.device,
+                    normalize_embeddings=self.index.normalize_embeddings,
+                    model_auth=self.params.model_auth)
+            except Exception as e:
+                # model-level failure fails every pending doc, not the request
+                for assigned_id, _doc, field_plans in plans:
+                    collector.collect_error(
+                        assigned_id,
+                        DocError(f"Error vectorising content: {e}", status=500,
+                                 code="vectorise_error"))
+                return None
+
+        # scatter
+        grouped: Dict[Tuple[str, str], Dict[int, List[float]]] = defaultdict(dict)
+        for (doc_id, field, row), vec in zip(slots, vectors):
+            grouped[(doc_id, field)][row] = vec
+
+        result: Dict[Tuple[str, str], np.ndarray] = dict(ready)
+        # combine multimodal children
+        for assigned_id, _doc, field_plans in plans:
+            for field, plan in field_plans.items():
+                if plan["kind"] == "multimodal":
+                    weights = plan["weights"]
+                    acc = None
+                    for child, content in plan["sub_content"].items():
+                        vec = np.asarray(
+                            grouped.pop((assigned_id, field + "::" + child))[0],
+                            dtype=np.float32)
+                        w = float(weights[child])
+                        acc = vec * w if acc is None else acc + vec * w
+                    if acc is None:
+                        continue
+                    if self.index.normalize_embeddings:
+                        norm = float(np.linalg.norm(acc))
+                        if norm > 0:
+                            acc = acc / norm
+                    result[(assigned_id, field)] = acc[None, :]
+                elif plan["kind"] == "text" and (assigned_id, field) in grouped:
+                    rows = grouped.pop((assigned_id, field))
+                    result[(assigned_id, field)] = np.asarray(
+                        [rows[i] for i in sorted(rows)], dtype=np.float32)
+        return result
+
+    def _maybe_grow_semi_structured_schema(self, plans) -> None:
+        if not isinstance(self.index, SemiStructuredMarqoIndex):
+            return
+        if self.index_management is None:
+            return
+        known_lexical = {f.name for f in self.index.lexical_fields}
+        known_tensor = {tf.name for tf in self.index.tensor_fields}
+        new_lexical: Dict[str, Field] = {}
+        new_tensor: Dict[str, TensorField] = {}
+        for _id, doc, field_plans in plans:
+            for field, value in doc.items():
+                if field == constants.MARQO_DOC_ID:
+                    continue
+                is_text = isinstance(value, str) or (
+                    isinstance(value, list)
+                    and all(isinstance(v, str) for v in value))
+                if is_text and field not in known_lexical \
+                        and field not in new_lexical:
+                    new_lexical[field] = Field(
+                        name=field, type=FieldType.Text,
+                        features=[], lexical_field_name=f"marqo__lexical_{field}")
+            for field in field_plans:
+                if field not in known_tensor and field not in new_tensor:
+                    new_tensor[field] = TensorField(
+                        name=field,
+                        chunk_field_name=f"marqo__chunks_{field}",
+                        embeddings_field_name=f"marqo__embeddings_{field}")
+        if not new_lexical and not new_tensor:
+            return
+        max_fields = configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_INDEX_FIELDS")
+        total = (len(known_lexical) + len(new_lexical)
+                 + len(known_tensor) + len(new_tensor))
+        if max_fields is not None and total > max_fields:
+            raise InvalidArgumentError(
+                f"Index {self.index.name} has {total} fields, exceeding the "
+                f"maximum of {max_fields} (MARQO_MAX_INDEX_FIELDS)")
+        updated = self.index.model_copy(update={
+            "lexical_fields": self.index.lexical_fields + list(new_lexical.values()),
+            "tensor_fields": self.index.tensor_fields + list(new_tensor.values()),
+        })
+        self.index = self.index_management.update_index(updated)
+        if self.meta_cache is not None:
+            self.meta_cache.refresh_index(self.index.name)

@@ -1,0 +1,118 @@
+"""Index DDL: bootstrap, create/batch-create, delete, update, rollback.
+
+Parity: reference core/index_management/index_management.py:29-363 — DDL
+under a deployment lock, version-gated bootstrap, schema generation via the
+descriptor factory, semi-structured update, engine deployment.
+"""
+
+import threading
+from typing import List, Optional
+
+from marqo_tpu.core import exceptions as core_exceptions
+from marqo_tpu.core.distributed_lock import (AbstractDistributedLock,
+                                             get_deployment_lock)
+from marqo_tpu.core.index_management.settings_store import IndexSettingsStore
+from marqo_tpu.core.models.marqo_index import (MarqoIndex,
+                                               SemiStructuredMarqoIndex)
+from marqo_tpu.engine.descriptor import descriptor_from_marqo_index
+from marqo_tpu.engine.store import StoreEngine
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+DEPLOYMENT_LOCK_TIMEOUT = 5.0  # seconds (reference: acquire timeout on ZK lock)
+
+
+class IndexManagement:
+    def __init__(self, engine: StoreEngine,
+                 settings_store: Optional[IndexSettingsStore] = None,
+                 deployment_lock: Optional[AbstractDistributedLock] = None):
+        self._engine = engine
+        self._store = settings_store or IndexSettingsStore()
+        self._lock = deployment_lock or get_deployment_lock()
+
+    @property
+    def settings_store(self) -> IndexSettingsStore:
+        return self._store
+
+    def bootstrap(self) -> bool:
+        """Initialize the settings store and re-deploy persisted indexes
+        into the engine (reference bootstrap_vespa)."""
+        with self._ddl_lock():
+            first_time = self._store.bootstrap()
+            for index in self._store.get_all():
+                if not self._engine.has_index(index.schema_name):
+                    self._engine.create_index(descriptor_from_marqo_index(index))
+            return first_time
+
+    def _ddl_lock(self):
+        return self._lock.context(
+            timeout=DEPLOYMENT_LOCK_TIMEOUT,
+            failure_message="Another index creation/deletion operation is in "
+                            "progress. Your request is rejected. Please try "
+                            "again later")
+
+    def create_index(self, index: MarqoIndex) -> MarqoIndex:
+        return self.batch_create_indexes([index])[0]
+
+    def batch_create_indexes(self, indexes: List[MarqoIndex]) -> List[MarqoIndex]:
+        with self._ddl_lock():
+            for index in indexes:
+                if self._store.contains(index.name):
+                    raise core_exceptions.IndexExistsError(
+                        f"Index {index.name} already exists")
+            for index in indexes:
+                self._store.save(index)
+                self._engine.create_index(descriptor_from_marqo_index(index))
+                logger.info(f"Created index {index.name} "
+                            f"(type={index.type.value}, model={index.model.name})")
+            return indexes
+
+    def delete_index_by_name(self, name: str) -> None:
+        with self._ddl_lock():
+            index = self._store.get(name)  # raises IndexNotFoundError
+            self._store.delete(name)
+            if self._engine.has_index(index.schema_name):
+                self._engine.delete_index(index.schema_name)
+            logger.info(f"Deleted index {name}")
+
+    def batch_delete_indexes_by_name(self, names: List[str]) -> None:
+        with self._ddl_lock():
+            for name in names:
+                if not self._store.contains(name):
+                    raise core_exceptions.IndexNotFoundError(
+                        f"Index {name} not found")
+            for name in names:
+                index = self._store.get(name)
+                self._store.delete(name)
+                if self._engine.has_index(index.schema_name):
+                    self._engine.delete_index(index.schema_name)
+
+    def update_index(self, index: SemiStructuredMarqoIndex) -> MarqoIndex:
+        """Semi-structured dynamic schema growth: persist the updated field
+        lists and swap the engine descriptor
+        (reference index_management.py:192, semi_structured update)."""
+        with self._ddl_lock():
+            if not self._store.contains(index.name):
+                raise core_exceptions.IndexNotFoundError(
+                    f"Index {index.name} not found")
+            updated = index.model_copy(
+                update={"version": (index.version or 1) + 1})
+            self._store.save(updated, allow_existing=True)
+            self._engine.update_index(descriptor_from_marqo_index(updated))
+            return updated
+
+    def rollback_index(self, name: str) -> MarqoIndex:
+        with self._ddl_lock():
+            index = self._store.rollback(name)
+            self._engine.update_index(descriptor_from_marqo_index(index))
+            return index
+
+    def get_index(self, name: str) -> MarqoIndex:
+        return self._store.get(name)
+
+    def get_all_indexes(self) -> List[MarqoIndex]:
+        return self._store.get_all()
+
+    def get_marqo_version(self) -> str:
+        return self._store.get_marqo_version()

@@ -1,0 +1,154 @@
+"""Durable index-settings store with version history and rollback.
+
+Parity: reference vespa_application_package.py — IndexSettingStore with
+history (:140-236), MarqoConfigStore (:237), backup + rollback (:259-335,
+:612). Settings persist as JSON under MARQO_ENGINE_DATA_DIR (one file per
+index + a history file); with no data dir the store is in-memory (tests,
+ephemeral deployments).
+"""
+
+import json
+import os
+import threading
+from typing import Dict, List, Optional
+
+from marqo_tpu.core.exceptions import (ApplicationNotInitializedError,
+                                       IndexExistsError, IndexNotFoundError)
+from marqo_tpu.core.models.marqo_index import MarqoIndex
+from marqo_tpu.logging import get_logger
+from marqo_tpu.version import __version__
+
+logger = get_logger(__name__)
+
+_HISTORY_LIMIT = 3  # settings versions kept per index (reference keeps 3)
+
+
+class IndexSettingsStore:
+    def __init__(self, data_dir: Optional[str] = None):
+        self._data_dir = data_dir
+        self._settings: Dict[str, dict] = {}
+        self._history: Dict[str, List[dict]] = {}
+        self._config: Optional[dict] = None
+        self._lock = threading.RLock()
+        if data_dir:
+            os.makedirs(os.path.join(data_dir, "index_settings"), exist_ok=True)
+            self._load_from_disk()
+
+    # -- bootstrap / config -------------------------------------------------
+
+    def bootstrap(self) -> bool:
+        """Initialize the store; returns True if first-time bootstrap
+        (reference bootstrap_vespa version gate, index_management.py:82-105)."""
+        with self._lock:
+            if self._config is not None:
+                return False
+            self._config = {"version": __version__}
+            self._persist_config()
+            return True
+
+    def is_initialized(self) -> bool:
+        return self._config is not None
+
+    def get_marqo_version(self) -> str:
+        if self._config is None:
+            raise ApplicationNotInitializedError(
+                "Settings store has not been bootstrapped")
+        return self._config["version"]
+
+    # -- CRUD ---------------------------------------------------------------
+
+    def save(self, index: MarqoIndex, allow_existing: bool = False) -> None:
+        with self._lock:
+            name = index.name
+            if name in self._settings and not allow_existing:
+                raise IndexExistsError(f"Index {name} already exists")
+            doc = json.loads(index.model_dump_json())
+            if name in self._settings:
+                history = self._history.setdefault(name, [])
+                history.insert(0, self._settings[name])
+                del history[_HISTORY_LIMIT:]
+            self._settings[name] = doc
+            self._persist_index(name)
+
+    def get(self, name: str) -> MarqoIndex:
+        with self._lock:
+            if name not in self._settings:
+                raise IndexNotFoundError(f"Index {name} not found")
+            return MarqoIndex.parse_obj(self._settings[name])
+
+    def contains(self, name: str) -> bool:
+        return name in self._settings
+
+    def get_all(self) -> List[MarqoIndex]:
+        with self._lock:
+            return [MarqoIndex.parse_obj(doc)
+                    for doc in self._settings.values()]
+
+    def delete(self, name: str) -> None:
+        with self._lock:
+            if name not in self._settings:
+                raise IndexNotFoundError(f"Index {name} not found")
+            history = self._history.setdefault(name, [])
+            history.insert(0, self._settings.pop(name))
+            del history[_HISTORY_LIMIT:]
+            self._persist_index(name)
+
+    def rollback(self, name: str) -> MarqoIndex:
+        """Restore the previous settings version for an index."""
+        with self._lock:
+            history = self._history.get(name) or []
+            if not history:
+                from marqo_tpu.core.exceptions import ApplicationRollbackError
+                raise ApplicationRollbackError(
+                    f"No settings history for index {name}")
+            self._settings[name] = history.pop(0)
+            self._persist_index(name)
+            return MarqoIndex.parse_obj(self._settings[name])
+
+    def get_history(self, name: str) -> List[dict]:
+        return list(self._history.get(name, []))
+
+    # -- persistence ---------------------------------------------------------
+
+    def _index_path(self, name: str) -> str:
+        return os.path.join(self._data_dir, "index_settings", f"{name}.json")
+
+    def _persist_index(self, name: str) -> None:
+        if not self._data_dir:
+            return
+        path = self._index_path(name)
+        if name in self._settings:
+            payload = {"settings": self._settings[name],
+                       "history": self._history.get(name, [])}
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def _persist_config(self) -> None:
+        if not self._data_dir or self._config is None:
+            return
+        path = os.path.join(self._data_dir, "marqo_config.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._config, f)
+        os.replace(tmp, path)
+
+    def _load_from_disk(self) -> None:
+        config_path = os.path.join(self._data_dir, "marqo_config.json")
+        if os.path.exists(config_path):
+            with open(config_path) as f:
+                self._config = json.load(f)
+        settings_dir = os.path.join(self._data_dir, "index_settings")
+        for fname in os.listdir(settings_dir):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(settings_dir, fname)) as f:
+                payload = json.load(f)
+            name = fname[:-len(".json")]
+            self._settings[name] = payload["settings"]
+            self._history[name] = payload.get("history", [])
+        if self._settings:
+            logger.info(f"Loaded {len(self._settings)} index settings from disk")

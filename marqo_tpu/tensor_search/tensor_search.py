@@ -1,0 +1,400 @@
+"""Search + document orchestration.
+
+Parity: reference src/marqo/tensor_search/tensor_search.py —
+search() (:1459) dispatching TENSOR/LEXICAL/HYBRID, the query-vectorise
+pipeline with content dedup + prefixes + weighted merges (:1738-2058),
+_lexical_search (:1650), get_document_by_id (:1262), delete_documents
+(:2699), add_documents (:105).
+"""
+
+import time
+from collections import OrderedDict
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from marqo_tpu.api import configs
+from marqo_tpu.api import exceptions as api_exceptions
+from marqo_tpu.config import Config
+from marqo_tpu.core import constants
+from marqo_tpu.core.add_documents import AddDocumentsHandler
+from marqo_tpu.core.exceptions import InvalidArgumentError
+from marqo_tpu.core.models.add_docs_params import AddDocsParams
+from marqo_tpu.core.models.hybrid_parameters import (HybridParameters,
+                                                     RankingMethod,
+                                                     RetrievalMethod,
+                                                     ScoreModifierLists)
+from marqo_tpu.core.models.marqo_index import MarqoIndex
+from marqo_tpu.core.search.search_filter import MarqoFilterStringParser
+from marqo_tpu.inference import vectorise as inference
+from marqo_tpu.tensor_search.utils import parse_lexical_query
+
+SEARCH_METHOD_TENSOR = "TENSOR"
+SEARCH_METHOD_LEXICAL = "LEXICAL"
+SEARCH_METHOD_HYBRID = "HYBRID"
+
+
+# --- validation ---------------------------------------------------------
+
+def _validate_pagination(limit: int, offset: int) -> None:
+    max_limit = configs.read_env_vars_and_defaults_ints("MARQO_MAX_SEARCH_LIMIT")
+    max_offset = configs.read_env_vars_and_defaults_ints("MARQO_MAX_SEARCH_OFFSET")
+    max_docs = configs.read_env_vars_and_defaults_ints("MARQO_MAX_RETRIEVABLE_DOCS")
+    if limit <= 0:
+        raise api_exceptions.IllegalRequestedDocCount(
+            "search result limit must be greater than 0!")
+    if offset < 0:
+        raise api_exceptions.IllegalRequestedDocCount(
+            "search result offset cannot be less than 0!")
+    if limit > max_limit:
+        raise api_exceptions.IllegalRequestedDocCount(
+            f"Your search limit `{limit}` exceeds the Marqo limit of "
+            f"`{max_limit}`.")
+    if offset > max_offset:
+        raise api_exceptions.IllegalRequestedDocCount(
+            f"Your search offset `{offset}` exceeds the Marqo limit of "
+            f"`{max_offset}`.")
+    if limit + offset > max_docs:
+        raise api_exceptions.IllegalRequestedDocCount(
+            f"The search limit + offset `{limit + offset}` exceeds the Marqo "
+            f"limit of `{max_docs}`.")
+
+
+# --- query vectorisation -------------------------------------------------
+
+def compute_query_vector(index: MarqoIndex,
+                         text: Optional[Union[str, Dict[str, float]]],
+                         context: Optional[dict],
+                         device: Optional[str],
+                         text_query_prefix: Optional[str] = None,
+                         model_auth: Optional[dict] = None) -> List[float]:
+    """Vectorise a (possibly weighted multi-part) query with content dedup,
+    merge with context vectors (reference run_vectorise_pipeline +
+    get_query_vectors_from_jobs, tensor_search.py:1913-2058)."""
+    weighted: "OrderedDict[str, float]" = OrderedDict()
+    if isinstance(text, str):
+        weighted[text] = 1.0
+    elif isinstance(text, dict):
+        if not text:
+            raise InvalidArgumentError("Query dict cannot be empty")
+        for q, w in text.items():
+            if not isinstance(q, str) or not isinstance(w, (int, float)):
+                raise InvalidArgumentError(
+                    "Multi-part query must map strings to numeric weights")
+            weighted[q] = weighted.get(q, 0.0) + float(w)
+    elif text is not None:
+        raise InvalidArgumentError(
+            f"query must be a string or a dict of weighted strings, got "
+            f"{type(text).__name__}")
+
+    dims = index.model.get_dimension()
+    acc = np.zeros((dims,), dtype=np.float32)
+    got_any = False
+
+    if weighted:
+        prefix = index.model.get_text_query_prefix(text_query_prefix)
+        contents = [prefix + q for q in weighted]
+        vectors = inference.vectorise(
+            model_name=index.model.name,
+            content=contents,
+            model_properties=(index.model.properties if index.model.custom
+                              else None),
+            device=device,
+            normalize_embeddings=index.normalize_embeddings,
+            model_auth=model_auth,
+            enable_cache=True)
+        for vec, w in zip(vectors, weighted.values()):
+            acc += np.asarray(vec, dtype=np.float32) * w
+            got_any = True
+
+    if context:
+        tensors = context.get("tensor") if isinstance(context, dict) else None
+        if not tensors:
+            raise InvalidArgumentError(
+                "Context must be a dict with a 'tensor' list of "
+                "{'vector': [...], 'weight': w} entries")
+        for entry in tensors:
+            vec = np.asarray(entry["vector"], dtype=np.float32)
+            if vec.shape != (dims,):
+                raise InvalidArgumentError(
+                    f"Context vector length {vec.shape[0]} does not match "
+                    f"index dimension {dims}")
+            acc += vec * float(entry.get("weight", 1.0))
+            got_any = True
+
+    if not got_any:
+        raise InvalidArgumentError(
+            "No query provided: supply `q` and/or `context` vectors")
+
+    if index.normalize_embeddings:
+        norm = float(np.linalg.norm(acc))
+        if norm > 0:
+            acc = acc / norm
+    return acc.tolist()
+
+
+# --- search ---------------------------------------------------------------
+
+def search(config: Config, index_name: str,
+           text: Optional[Union[str, Dict[str, float]]] = None,
+           search_method: str = SEARCH_METHOD_TENSOR,
+           limit: int = 10, offset: int = 0,
+           ef_search: Optional[int] = None,
+           approximate: Optional[bool] = None,
+           searchable_attributes: Optional[List[str]] = None,
+           filter: Optional[str] = None,
+           attributes_to_retrieve: Optional[List[str]] = None,
+           device: Optional[str] = None,
+           score_modifiers: Optional[dict] = None,
+           context: Optional[dict] = None,
+           show_highlights: bool = True,
+           text_query_prefix: Optional[str] = None,
+           hybrid_parameters: Optional[dict] = None,
+           model_auth: Optional[dict] = None,
+           expose_facets: bool = False) -> dict:
+    start = time.perf_counter()
+    _validate_pagination(limit, offset)
+    method = str(search_method).upper()
+    if method not in (SEARCH_METHOD_TENSOR, SEARCH_METHOD_LEXICAL,
+                      SEARCH_METHOD_HYBRID):
+        raise api_exceptions.InvalidArgError(
+            f"Search method `{search_method}` is not valid! Choose one of "
+            f"TENSOR, LEXICAL, HYBRID")
+
+    index = config.index_meta_cache.get_index(index_name)
+    search_filter = (MarqoFilterStringParser().parse(filter)
+                     if filter else None)
+    mods = None
+    if score_modifiers:
+        mods = ScoreModifierLists(**score_modifiers).to_score_modifiers()
+
+    if method == SEARCH_METHOD_TENSOR:
+        result = _tensor_search(config, index, text, context, limit, offset,
+                                ef_search, approximate, searchable_attributes,
+                                search_filter, mods, attributes_to_retrieve,
+                                device, show_highlights, text_query_prefix,
+                                model_auth, expose_facets)
+    elif method == SEARCH_METHOD_LEXICAL:
+        result = _lexical_search(config, index, text, limit, offset,
+                                 searchable_attributes, search_filter, mods,
+                                 attributes_to_retrieve, expose_facets)
+    else:
+        result = _hybrid_search(config, index, text, context, limit, offset,
+                                ef_search, approximate, search_filter,
+                                attributes_to_retrieve, device,
+                                show_highlights, text_query_prefix,
+                                hybrid_parameters, model_auth, expose_facets)
+
+    result["query"] = text if text is not None else ""
+    result["limit"] = limit
+    result["offset"] = offset
+    result["processingTimeMs"] = round((time.perf_counter() - start) * 1000)
+    return result
+
+
+def _hit_to_dict(hit, show_highlights: bool, method: str) -> dict:
+    doc = dict(hit.fields)
+    doc[constants.MARQO_DOC_ID] = hit.doc_id
+    doc["_score"] = float(hit.score)
+    if show_highlights:
+        doc[constants.MARQO_DOC_HIGHLIGHTS] = (
+            [hit.highlight] if hit.highlight else [])
+    if method == SEARCH_METHOD_HYBRID:
+        if hit.raw_tensor_score is not None:
+            doc[constants.MARQO_DOC_HYBRID_TENSOR_SCORE] = hit.raw_tensor_score
+        if hit.raw_lexical_score is not None:
+            doc[constants.MARQO_DOC_HYBRID_LEXICAL_SCORE] = hit.raw_lexical_score
+    return doc
+
+
+def _default_ef_search(ef_search: Optional[int], limit: int,
+                       offset: int) -> int:
+    """ef_search default = max(MARQO_DEFAULT_EF_SEARCH, limit+offset)
+    (reference tensor_search.py:1571-1578)."""
+    if ef_search is not None:
+        if ef_search < limit + offset:
+            raise api_exceptions.InvalidArgError(
+                f"efSearch `{ef_search}` must be ≥ limit+offset "
+                f"`{limit + offset}`")
+        return ef_search
+    default = configs.read_env_vars_and_defaults_ints("MARQO_DEFAULT_EF_SEARCH")
+    return max(default, limit + offset)
+
+
+def _tensor_search(config, index, text, context, limit, offset, ef_search,
+                   approximate, searchable_attributes, search_filter, mods,
+                   attributes_to_retrieve, device, show_highlights,
+                   text_query_prefix, model_auth, expose_facets) -> dict:
+    vector = compute_query_vector(index, text, context, device,
+                                  text_query_prefix, model_auth)
+    if approximate is None:
+        approximate = configs.read_env_vars_and_defaults_bool(
+            "MARQO_DEFAULT_APPROXIMATE_SEARCH")
+    res = config.engine.query_tensor(
+        index.schema_name, vector, limit=limit, offset=offset,
+        searchable_fields=searchable_attributes,
+        search_filter=search_filter, score_modifiers=mods,
+        ef_search=_default_ef_search(ef_search, limit, offset),
+        approximate=approximate,
+        attributes_to_retrieve=attributes_to_retrieve,
+        expose_facets=expose_facets)
+    return {"hits": [_hit_to_dict(h, show_highlights, SEARCH_METHOD_TENSOR)
+                     for h in res.hits]}
+
+
+def _lexical_search(config, index, text, limit, offset,
+                    searchable_attributes, search_filter, mods,
+                    attributes_to_retrieve, expose_facets) -> dict:
+    if not isinstance(text, str):
+        raise api_exceptions.InvalidArgError(
+            "Query q must be a string for LEXICAL search")
+    and_phrases, or_terms = parse_lexical_query(text)
+    res = config.engine.query_lexical(
+        index.schema_name, or_phrases=or_terms, and_phrases=and_phrases,
+        limit=limit, offset=offset,
+        searchable_fields=searchable_attributes,
+        search_filter=search_filter, score_modifiers=mods,
+        attributes_to_retrieve=attributes_to_retrieve,
+        expose_facets=expose_facets)
+    return {"hits": [_hit_to_dict(h, False, SEARCH_METHOD_LEXICAL)
+                     for h in res.hits]}
+
+
+def _hybrid_search(config, index, text, context, limit, offset, ef_search,
+                   approximate, search_filter, attributes_to_retrieve, device,
+                   show_highlights, text_query_prefix, hybrid_parameters,
+                   model_auth, expose_facets) -> dict:
+    params = HybridParameters(**(hybrid_parameters or {}))
+    needs_tensor = (params.retrievalMethod in (RetrievalMethod.Disjunction,
+                                               RetrievalMethod.Tensor)
+                    or params.rankingMethod == RankingMethod.Tensor)
+    vector: List[float] = []
+    if needs_tensor:
+        vector = compute_query_vector(index, text, context, device,
+                                      text_query_prefix, model_auth)
+    if isinstance(text, str):
+        and_phrases, or_terms = parse_lexical_query(text)
+    else:
+        and_phrases, or_terms = [], []
+
+    mods_tensor = (params.scoreModifiersTensor.to_score_modifiers()
+                   if params.scoreModifiersTensor else None)
+    mods_lexical = (params.scoreModifiersLexical.to_score_modifiers()
+                    if params.scoreModifiersLexical else None)
+
+    res = config.engine.query_hybrid(
+        index.schema_name, vector, or_phrases=or_terms,
+        and_phrases=and_phrases, limit=limit, offset=offset,
+        retrieval_method=params.retrievalMethod.value,
+        ranking_method=params.rankingMethod.value,
+        alpha=params.alpha if params.alpha is not None else 0.5,
+        rrf_k=params.rrfK if params.rrfK is not None else 60,
+        searchable_fields_tensor=params.searchableAttributesTensor,
+        searchable_fields_lexical=params.searchableAttributesLexical,
+        search_filter=search_filter,
+        score_modifiers_tensor=mods_tensor,
+        score_modifiers_lexical=mods_lexical,
+        ef_search=_default_ef_search(ef_search, limit, offset),
+        approximate=True if approximate is None else approximate,
+        attributes_to_retrieve=attributes_to_retrieve,
+        expose_facets=expose_facets)
+    return {"hits": [_hit_to_dict(h, show_highlights, SEARCH_METHOD_HYBRID)
+                     for h in res.hits]}
+
+
+# --- documents ---------------------------------------------------------------
+
+def add_documents(config: Config, params: AddDocsParams) -> dict:
+    index = config.index_meta_cache.get_index(params.index_name,
+                                              force_refresh=True)
+    handler = AddDocumentsHandler(
+        index=index, engine=config.engine, params=params,
+        index_management=config.index_management,
+        meta_cache=config.index_meta_cache)
+    return handler.add_documents()
+
+
+def get_document_by_id(config: Config, index_name: str, document_id: str,
+                       show_vectors: bool = False) -> dict:
+    index = config.index_meta_cache.get_index(index_name)
+    doc = config.engine.get(index.schema_name, document_id)
+    if doc is None:
+        raise api_exceptions.DocumentNotFoundError(
+            f"Document with ID {document_id} not found in index {index_name}")
+    doc[constants.MARQO_DOC_ID] = document_id
+    if show_vectors:
+        facets = []
+        for field, entries in config.engine.get_tensors(
+                index.schema_name, document_id).items():
+            for e in entries:
+                facets.append({field: e["chunk"], "_embedding": e["embedding"]})
+        doc["_tensor_facets"] = facets
+    return doc
+
+
+def get_documents_by_ids(config: Config, index_name: str,
+                         document_ids: List[str],
+                         show_vectors: bool = False) -> dict:
+    if not document_ids:
+        raise api_exceptions.InvalidArgError("Get documents must be passed "
+                                             "a non-empty list of IDs!")
+    max_docs = configs.read_env_vars_and_defaults_ints(
+        "MARQO_MAX_RETRIEVABLE_DOCS")
+    if len(document_ids) > max_docs:
+        raise api_exceptions.IllegalRequestedDocCount(
+            f"{len(document_ids)} documents were requested, which is more "
+            f"than the allowed limit of [{max_docs}]")
+    results = []
+    for doc_id in document_ids:
+        try:
+            doc = get_document_by_id(config, index_name, doc_id, show_vectors)
+            results.append({**doc, "_found": True})
+        except api_exceptions.DocumentNotFoundError:
+            results.append({constants.MARQO_DOC_ID: doc_id, "_found": False})
+    return {"results": results}
+
+
+def delete_documents(config: Config, index_name: str,
+                     document_ids: List[str]) -> dict:
+    """Batch delete (parity: reference tensor_search/delete_docs.py:36)."""
+    if not document_ids:
+        raise api_exceptions.InvalidArgError(
+            "doc_ids can't be empty!")
+    if not isinstance(document_ids, (list, tuple)):
+        raise api_exceptions.InvalidArgError("doc_ids must be a list or tuple")
+    max_delete = configs.read_env_vars_and_defaults_ints(
+        "MARQO_MAX_DELETE_DOCS_COUNT")
+    if len(document_ids) > max_delete:
+        raise api_exceptions.InvalidArgError(
+            f"The number of documentIds to delete `{len(document_ids)}` is "
+            f"greater than the limit MARQO_MAX_DELETE_DOCS_COUNT "
+            f"`{max_delete}`")
+    for doc_id in document_ids:
+        if not isinstance(doc_id, str) or not doc_id:
+            raise api_exceptions.InvalidDocumentIdError(
+                f"Document _id must be a non-empty string! Received: {doc_id}")
+    start = time.time()
+    index = config.index_meta_cache.get_index(index_name)
+    items = []
+    for doc_id in document_ids:
+        found = config.engine.delete(index.schema_name, doc_id)
+        items.append({
+            "_id": doc_id,
+            "_shard": {"total": 1, "successful": 1, "failed": 0},
+            "status": 200 if found else 404,
+            "result": "deleted" if found else "not_found",
+        })
+    return {
+        "index_name": index_name,
+        "status": "succeeded",
+        "type": "documentDeletion",
+        "details": {
+            "receivedDocumentIds": len(document_ids),
+            "deletedDocuments": sum(1 for i in items if i["status"] == 200),
+        },
+        "duration": f"PT{time.time() - start:.3f}S",
+        "startedAt": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                   time.gmtime(start)),
+        "finishedAt": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "items": items,
+    }
