@@ -1,0 +1,426 @@
+"""The HTTP application: full route table + exception mapping + startup.
+
+Parity: reference src/marqo/tensor_search/api.py — ~30 routes (:228-515),
+the ordered core→API exception mapping (:88-141), startup chain
+(on_start_script.py:28-45), error envelope, feature-gated batch/upgrade/
+debug routes.
+"""
+
+import os
+from typing import List, Optional
+
+from marqo_tpu import marqo_docs
+from marqo_tpu.api import configs
+from marqo_tpu.api import exceptions as api_exceptions
+from marqo_tpu.api.http_framework import App, Request, Response, bind_body
+from marqo_tpu.api.models.index_settings import IndexSettings
+from marqo_tpu.api.models.requests import (AddDocsBodyParams,
+                                           CustomVectorQuery, EmbedRequest,
+                                           IndexSettingsWithName,
+                                           RecommendQuery, SearchQuery,
+                                           UpdateDocumentsBodyParams)
+from marqo_tpu.api.throttling import RequestType, throttle
+from marqo_tpu.config import Config
+from marqo_tpu.core import exceptions as core_exceptions
+from marqo_tpu.core.models.add_docs_params import AddDocsParams
+from marqo_tpu.exceptions import InvalidArgumentError
+from marqo_tpu.inference import vectorise as inference
+from marqo_tpu.inference.types import Device
+from marqo_tpu.logging import get_logger
+from marqo_tpu.tensor_search import tensor_search
+from marqo_tpu.version import __version__
+
+logger = get_logger(__name__)
+
+
+def _feature_gate(env_var: str, name: str) -> None:
+    if not configs.read_env_vars_and_defaults_bool(env_var):
+        raise api_exceptions.BadRequestError(
+            f"The {name} API is disabled. Set {env_var}=TRUE to enable it.")
+
+
+def install_exception_mappers(app: App) -> None:
+    """Ordered core→API error translation (reference api.py:88-141)."""
+    mappers = [
+        (core_exceptions.IndexExistsError,
+         lambda e: api_exceptions.IndexAlreadyExistsError(e.message)),
+        (core_exceptions.IndexNotFoundError,
+         lambda e: api_exceptions.IndexNotFoundError(e.message)),
+        (core_exceptions.InvalidFieldNameError,
+         lambda e: api_exceptions.InvalidFieldNameError(e.message)),
+        (core_exceptions.FilterStringParsingError,
+         lambda e: api_exceptions.InvalidArgError(e.message)),
+        (core_exceptions.ModelNotInCacheError,
+         lambda e: api_exceptions.ModelNotInCacheError(e.message)),
+        (core_exceptions.VectoriseError,
+         lambda e: api_exceptions.VectoriseError(e.message)),
+        (core_exceptions.ModelError,
+         lambda e: api_exceptions.InvalidArgError(e.message)),
+        (core_exceptions.UnsupportedFeatureError,
+         lambda e: api_exceptions.BadRequestError(e.message)),
+        (core_exceptions.ZeroMagnitudeVectorError,
+         lambda e: api_exceptions.InvalidArgError(e.message)),
+        (core_exceptions.MarqoDocumentParsingError,
+         lambda e: api_exceptions.InvalidArgError(e.message)),
+        (core_exceptions.TooManyFieldsError,
+         lambda e: api_exceptions.BadRequestError(e.message)),
+        (core_exceptions.OperationConflictError,
+         lambda e: api_exceptions.OperationConflictError(e.message)),
+        (core_exceptions.BackendCommunicationError,
+         lambda e: api_exceptions.BackendCommunicationError(e.message)),
+        (core_exceptions.BackendTimeoutError,
+         lambda e: api_exceptions.BackendTimeoutError(e.message)),
+        (core_exceptions.ApplicationRollbackError,
+         lambda e: api_exceptions.InternalError(e.message)),
+        (core_exceptions.DeviceError,
+         lambda e: api_exceptions.InternalError(e.message)),
+        (core_exceptions.ModelLoadError,
+         lambda e: api_exceptions.ModelLoadError(e.message)),
+        (InvalidArgumentError,
+         lambda e: api_exceptions.InvalidArgError(e.message)),
+        (ValueError,
+         lambda e: api_exceptions.InvalidArgError(str(e))),
+    ]
+    for exc_type, mapper in mappers:
+        app.map_exception(exc_type, mapper)
+
+
+def _validate_device(request: Request) -> Optional[str]:
+    device = request.query_param("device")
+    if device is None:
+        return None
+    d = device.lower()
+    if not (d.startswith("cpu") or d.startswith("cuda") or d.startswith("tpu")):
+        raise api_exceptions.InvalidArgError(
+            f"Given device `{device}` is invalid. Acceptable devices are "
+            f"cpu, tpu, or cuda (mapped to the TPU)")
+    return device
+
+
+def build_app(config: Config) -> App:
+    app = App(title="marqo-tpu")
+    install_exception_mappers(app)
+
+    # --- root / health / info -------------------------------------------
+
+    @app.get("/")
+    def root(request: Request):
+        return {"message": "Welcome to Marqo (TPU-native)",
+                "version": __version__}
+
+    @app.get("/health")
+    def check_health(request: Request):
+        return config.monitoring.get_health()
+
+    @app.get("/healthz")
+    def check_healthz(request: Request):
+        return config.monitoring.get_health()
+
+    @app.get("/indexes/{index_name}/health")
+    def check_index_health(request: Request):
+        return config.monitoring.get_health(
+            index_name=request.path_params["index_name"])
+
+    @app.get("/memory")
+    def memory(request: Request):
+        _feature_gate("MARQO_ENABLE_DEBUG_API", "debug")
+        import tracemalloc
+        if not tracemalloc.is_tracing():
+            tracemalloc.start()
+        current, peak = tracemalloc.get_traced_memory()
+        snapshot = tracemalloc.take_snapshot()
+        stats = [str(s) for s in snapshot.statistics("lineno")[:20]]
+        return {"memory_used": current, "peak_memory_used": peak,
+                "stats": stats}
+
+    # --- index DDL --------------------------------------------------------
+
+    @app.post("/indexes/{index_name}")
+    def create_index(request: Request):
+        index_name = request.path_params["index_name"]
+        settings = bind_body(request, IndexSettings) if request.body else \
+            IndexSettings()
+        index = settings.to_marqo_index(index_name)
+        config.index_management.create_index(index)
+        config.index_meta_cache.refresh_index(index_name)
+        return {"acknowledged": True, "index": index_name}
+
+    @app.delete("/indexes/{index_name}")
+    def delete_index(request: Request):
+        index_name = request.path_params["index_name"]
+        config.index_management.delete_index_by_name(index_name)
+        config.index_meta_cache.remove_index(index_name)
+        return {"acknowledged": True}
+
+    @app.get("/indexes")
+    def get_indexes(request: Request):
+        return {"results": [
+            {"indexName": i.name}
+            for i in config.index_management.get_all_indexes()]}
+
+    @app.get("/indexes/{index_name}/settings")
+    def get_settings(request: Request):
+        index = config.index_management.get_index(
+            request.path_params["index_name"])
+        return IndexSettings.from_marqo_index(index)
+
+    @app.post("/validate/index/{index_name}")
+    def schema_validation(request: Request):
+        index_name = request.path_params["index_name"]
+        settings = bind_body(request, IndexSettings)
+        settings.to_marqo_index(index_name)  # raises on invalid
+        return {"validated": True, "index": index_name}
+
+    # --- search / recommend / embed --------------------------------------
+
+    @app.post("/indexes/{index_name}/search")
+    @throttle(RequestType.SEARCH)
+    def search(request: Request):
+        index_name = request.path_params["index_name"]
+        query = bind_body(request, SearchQuery)
+        device = _validate_device(request)
+        text = query.q
+        context = (query.context.model_dump() if query.context else None)
+        if isinstance(text, CustomVectorQuery):
+            extra = {"tensor": [{"vector": text.customVector.vector,
+                                 "weight": 1.0}]}
+            context = ({"tensor": context["tensor"] + extra["tensor"]}
+                       if context else extra)
+            text = None
+        return tensor_search.search(
+            config, index_name, text=text,
+            search_method=query.searchMethod,
+            limit=query.limit, offset=query.offset,
+            ef_search=query.efSearch, approximate=query.approximate,
+            searchable_attributes=query.searchableAttributes,
+            filter=query.filter,
+            attributes_to_retrieve=query.attributesToRetrieve,
+            device=device,
+            score_modifiers=(query.scoreModifiers.model_dump()
+                             if query.scoreModifiers else None),
+            context=context,
+            show_highlights=query.showHighlights,
+            text_query_prefix=query.textQueryPrefix,
+            hybrid_parameters=(query.hybridParameters.model_dump()
+                               if query.hybridParameters else None),
+            model_auth=(query.modelAuth.model_dump()
+                        if query.modelAuth else None),
+            expose_facets=query.exposeFacets)
+
+    @app.post("/indexes/{index_name}/recommend")
+    @throttle(RequestType.SEARCH)
+    def recommend(request: Request):
+        index_name = request.path_params["index_name"]
+        query = bind_body(request, RecommendQuery)
+        return config.recommender.recommend(
+            index_name=index_name, documents=query.documents,
+            tensor_fields=query.tensorFields,
+            interpolation_method=query.interpolationMethod,
+            exclude_input_documents=query.excludeInputDocuments,
+            limit=query.limit, offset=query.offset,
+            ef_search=query.efSearch, approximate=query.approximate,
+            searchable_attributes=query.searchableAttributes,
+            filter=query.filter,
+            attributes_to_retrieve=query.attributesToRetrieve,
+            score_modifiers=(query.scoreModifiers.model_dump()
+                             if query.scoreModifiers else None),
+            show_highlights=query.showHighlights)
+
+    @app.post("/indexes/{index_name}/embed")
+    @throttle(RequestType.SEARCH)
+    def embed(request: Request):
+        index_name = request.path_params["index_name"]
+        body = bind_body(request, EmbedRequest)
+        device = _validate_device(request)
+        return config.embed.embed_content(
+            index_name=index_name, content=body.content,
+            content_type=body.content_type, device=device,
+            model_auth=(body.modelAuth.model_dump()
+                        if body.modelAuth else None))
+
+    # --- documents --------------------------------------------------------
+
+    @app.post("/indexes/{index_name}/documents")
+    @throttle(RequestType.INDEX)
+    def add_or_replace_documents(request: Request):
+        index_name = request.path_params["index_name"]
+        body = bind_body(request, AddDocsBodyParams)
+        device = _validate_device(request)
+        params = AddDocsParams(
+            index_name=index_name, docs=body.documents,
+            tensor_fields=body.tensorFields,
+            use_existing_tensors=body.useExistingTensors,
+            device=device, mappings=body.mappings,
+            text_chunk_prefix=body.textChunkPrefix,
+            model_auth=(body.modelAuth.model_dump()
+                        if body.modelAuth else None),
+            media_download_headers=(body.mediaDownloadHeaders
+                                    or body.imageDownloadHeaders),
+            image_download_thread_count=body.imageDownloadThreadCount,
+            media_download_thread_count=body.mediaDownloadThreadCount)
+        return tensor_search.add_documents(config, params)
+
+    @app.patch("/indexes/{index_name}/documents")
+    @throttle(RequestType.PARTIAL_UPDATE)
+    def update_documents(request: Request):
+        index_name = request.path_params["index_name"]
+        body = bind_body(request, UpdateDocumentsBodyParams)
+        return config.document.partial_update_documents_by_index_name(
+            index_name, body.documents)
+
+    @app.get("/indexes/{index_name}/documents/{document_id}")
+    def get_document_by_id(request: Request):
+        return tensor_search.get_document_by_id(
+            config, request.path_params["index_name"],
+            request.path_params["document_id"],
+            show_vectors=request.query_flag("expose_facets"))
+
+    @app.get("/indexes/{index_name}/documents")
+    def get_documents_by_ids(request: Request):
+        if not isinstance(request.body, list):
+            raise api_exceptions.InvalidArgError(
+                "Expected a JSON list of document IDs in the request body")
+        return tensor_search.get_documents_by_ids(
+            config, request.path_params["index_name"], request.body,
+            show_vectors=request.query_flag("expose_facets"))
+
+    @app.post("/indexes/{index_name}/documents/delete-batch")
+    @throttle(RequestType.DELETE)
+    def delete_docs(request: Request):
+        if not isinstance(request.body, list):
+            raise api_exceptions.InvalidArgError(
+                "Expected a JSON list of document IDs in the request body")
+        return tensor_search.delete_documents(
+            config, request.path_params["index_name"], request.body)
+
+    @app.delete("/indexes/{index_name}/documents/delete-all")
+    def delete_all_documents(request: Request):
+        _feature_gate("MARQO_ENABLE_BATCH_APIS", "batch")
+        count = config.document.delete_all_docs_by_index_name(
+            request.path_params["index_name"])
+        return {"documentCount": count}
+
+    # --- stats / models / devices ----------------------------------------
+
+    @app.get("/indexes/{index_name}/stats")
+    def get_index_stats(request: Request):
+        return config.monitoring.get_index_stats(
+            request.path_params["index_name"])
+
+    @app.get("/models")
+    def get_loaded_models(request: Request):
+        return inference.get_loaded_models()
+
+    @app.delete("/models")
+    def eject_model(request: Request):
+        model_name = request.query_param("model_name")
+        model_device = request.query_param("model_device")
+        if not model_name or not model_device:
+            raise api_exceptions.InvalidArgError(
+                "Query parameters model_name and model_device are required")
+        return inference.eject_model(model_name, model_device)
+
+    @app.get("/device/cpu")
+    def get_cpu_info(request: Request):
+        return config.monitoring.get_cpu_info()
+
+    @app.get("/device/cuda")
+    def get_cuda_info(request: Request):
+        return config.monitoring.get_accelerator_info()
+
+    # --- batch / ops APIs (feature-gated) ---------------------------------
+
+    @app.post("/batch/indexes/delete")
+    def batch_delete_indexes(request: Request):
+        _feature_gate("MARQO_ENABLE_BATCH_APIS", "batch")
+        if not isinstance(request.body, list):
+            raise api_exceptions.InvalidArgError(
+                "Expected a JSON list of index names")
+        config.index_management.batch_delete_indexes_by_name(request.body)
+        for name in request.body:
+            config.index_meta_cache.remove_index(name)
+        return {"acknowledged": True}
+
+    @app.post("/batch/indexes/create")
+    def batch_create_indexes(request: Request):
+        _feature_gate("MARQO_ENABLE_BATCH_APIS", "batch")
+        if not isinstance(request.body, list):
+            raise api_exceptions.InvalidArgError(
+                "Expected a JSON list of index settings with names")
+        indexes = []
+        for raw in request.body:
+            item = IndexSettingsWithName(**raw)
+            settings_dict = {k: v for k, v in raw.items() if k != "indexName"}
+            indexes.append(
+                IndexSettings(**settings_dict).to_marqo_index(item.indexName))
+        config.index_management.batch_create_indexes(indexes)
+        for index in indexes:
+            config.index_meta_cache.refresh_index(index.name)
+        return {"acknowledged": True}
+
+    @app.post("/rollback")
+    def rollback(request: Request):
+        _feature_gate("MARQO_ENABLE_UPGRADE_API", "rollback")
+        body = request.body or {}
+        index_name = body.get("indexName")
+        if not index_name:
+            raise api_exceptions.InvalidArgError(
+                "rollback requires an indexName")
+        index = config.index_management.rollback_index(index_name)
+        config.index_meta_cache.refresh_index(index_name)
+        return {"acknowledged": True, "index": index.name,
+                "version": index.version}
+
+    @app.post("/upgrade")
+    def upgrade(request: Request):
+        _feature_gate("MARQO_ENABLE_UPGRADE_API", "upgrade")
+        return {"acknowledged": True, "message": "No migrations pending",
+                "version": __version__}
+
+    return app
+
+
+def generate_config() -> Config:
+    return Config()
+
+
+def on_start(config: Config) -> None:
+    """Startup bootstrap chain (reference on_start_script.py:28-45)."""
+    # 1. bootstrap settings store + engine
+    config.index_management.bootstrap()
+    # 2. populate + start the index-cache refresh daemon
+    config.index_meta_cache.populate()
+    config.index_meta_cache.start_refresh_thread()
+    # 3. best available device env var (reference SetBestAvailableDevice)
+    best = Device.best_available().value
+    os.environ["MARQO_BEST_AVAILABLE_DEVICE"] = best
+    logger.info(f"Best available device: {best}")
+    # 4. model pre-warming (reference CacheModels: timed warmup vectorise)
+    for model_name in configs.read_env_vars_and_defaults_list(
+            "MARQO_MODELS_TO_PRELOAD"):
+        try:
+            if isinstance(model_name, dict):
+                inference.vectorise(model_name["model"], ["warmup"],
+                                    model_properties=model_name.get(
+                                        "modelProperties"))
+            else:
+                inference.vectorise(model_name, ["warmup"])
+            logger.info(f"Pre-warmed model {model_name}")
+        except Exception as e:
+            logger.warning(f"Could not pre-warm model {model_name}: {e}")
+    logger.info("Marqo-TPU startup complete")
+
+
+def main(host: str = "0.0.0.0", port: int = 8882,
+         background: bool = False, preload_models: bool = True):
+    from marqo_tpu.api.http_framework import serve
+    config = generate_config()
+    if not preload_models:
+        os.environ["MARQO_MODELS_TO_PRELOAD"] = "[]"
+    on_start(config)
+    app = build_app(config)
+    return serve(app, host=host, port=port, background=background)
+
+
+if __name__ == "__main__":
+    main()

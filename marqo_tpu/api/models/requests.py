@@ -1,0 +1,143 @@
+"""API request models.
+
+Parity: reference src/marqo/tensor_search/models/api_models.py (SearchQuery
+:37-55), add-docs body (api/models/add_docs_objects.py), embed request,
+recommend request, update-documents body.
+"""
+
+from typing import Any, Dict, List, Optional, Union
+
+from pydantic import BaseModel, ConfigDict, field_validator, model_validator
+
+from marqo_tpu.core.models.hybrid_parameters import HybridParameters, ScoreModifierLists
+
+
+class CustomVector(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    content: Optional[str] = None
+    vector: List[float]
+
+
+class CustomVectorQuery(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    customVector: CustomVector
+
+
+class SearchContextTensor(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    vector: List[float]
+    weight: float = 1.0
+
+
+class SearchContext(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    tensor: List[SearchContextTensor]
+
+
+class ModelAuth(BaseModel):
+    model_config = ConfigDict(extra="forbid", protected_namespaces=())
+    s3: Optional[Dict[str, Any]] = None
+    hf: Optional[Dict[str, Any]] = None
+
+    @model_validator(mode="after")
+    def _exactly_one(self):
+        if (self.s3 is None) == (self.hf is None):
+            raise ValueError("Exactly one of s3 or hf auth must be provided")
+        return self
+
+
+class SearchQuery(BaseModel):
+    model_config = ConfigDict(extra="forbid", protected_namespaces=())
+
+    q: Optional[Union[str, Dict[str, float], CustomVectorQuery]] = None
+    searchableAttributes: Optional[List[str]] = None
+    searchMethod: str = "TENSOR"
+    limit: int = 10
+    offset: int = 0
+    efSearch: Optional[int] = None
+    approximate: Optional[bool] = None
+    showHighlights: bool = True
+    reRanker: Optional[str] = None
+    filter: Optional[str] = None
+    attributesToRetrieve: Optional[List[str]] = None
+    boost: Optional[Dict] = None
+    image_download_headers: Optional[Dict] = None
+    mediaDownloadHeaders: Optional[Dict] = None
+    context: Optional[SearchContext] = None
+    scoreModifiers: Optional[ScoreModifierLists] = None
+    modelAuth: Optional[ModelAuth] = None
+    textQueryPrefix: Optional[str] = None
+    hybridParameters: Optional[HybridParameters] = None
+    exposeFacets: bool = False
+
+    @field_validator("searchMethod", mode="before")
+    @classmethod
+    def _upper(cls, v):
+        return "TENSOR" if v is None else str(v).upper()
+
+    @model_validator(mode="after")
+    def _query_or_context(self):
+        if self.searchMethod in ("TENSOR", "HYBRID"):
+            if self.q is None and self.context is None:
+                raise ValueError(
+                    f"One of Query(q) or context is required for "
+                    f"{self.searchMethod} search but both are missing")
+        else:
+            if self.q is None:
+                raise ValueError("Query(q) is required for lexical search")
+        return self
+
+
+class AddDocsBodyParams(BaseModel):
+    model_config = ConfigDict(extra="forbid", protected_namespaces=())
+
+    documents: List[Dict[str, Any]]
+    tensorFields: Optional[List[str]] = None
+    useExistingTensors: bool = False
+    mappings: Optional[Dict[str, Dict[str, Any]]] = None
+    modelAuth: Optional[ModelAuth] = None
+    textChunkPrefix: Optional[str] = None
+    imageDownloadHeaders: Optional[Dict[str, str]] = None
+    mediaDownloadHeaders: Optional[Dict[str, str]] = None
+    imageDownloadThreadCount: Optional[int] = None
+    mediaDownloadThreadCount: Optional[int] = None
+
+
+class EmbedRequest(BaseModel):
+    model_config = ConfigDict(extra="forbid", protected_namespaces=())
+
+    content: Union[str, Dict[str, float], List[Union[str, Dict[str, float]]]]
+    content_type: Optional[str] = "query"
+    image_download_headers: Optional[Dict] = None
+    mediaDownloadHeaders: Optional[Dict] = None
+    modelAuth: Optional[ModelAuth] = None
+
+
+class RecommendQuery(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    documents: Union[List[str], Dict[str, float]]
+    tensorFields: Optional[List[str]] = None
+    interpolationMethod: Optional[str] = None
+    excludeInputDocuments: bool = True
+    limit: int = 10
+    offset: int = 0
+    efSearch: Optional[int] = None
+    approximate: Optional[bool] = None
+    searchableAttributes: Optional[List[str]] = None
+    filter: Optional[str] = None
+    attributesToRetrieve: Optional[List[str]] = None
+    scoreModifiers: Optional[ScoreModifierLists] = None
+    showHighlights: bool = True
+
+
+class UpdateDocumentsBodyParams(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    documents: List[Dict[str, Any]]
+
+
+class IndexSettingsWithName(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+    indexName: str

@@ -1,0 +1,115 @@
+"""Document service: partial updates, delete-all.
+
+Parity: reference src/marqo/core/document/document.py — partial updates are
+supported for structured indexes only (:107-109 raises UnsupportedFeature
+for unstructured), duplicate removal keeps the last occurrence (:173-200).
+"""
+
+import time
+from typing import Any, Dict, List, Tuple
+
+from marqo_tpu.core import constants
+from marqo_tpu.core.exceptions import UnsupportedFeatureError
+from marqo_tpu.core.models.marqo_index import (FieldType,
+                                               SemiStructuredMarqoIndex,
+                                               StructuredMarqoIndex)
+
+_UPDATABLE_TYPES = {
+    FieldType.Bool, FieldType.Int, FieldType.Long, FieldType.Float,
+    FieldType.Double, FieldType.ArrayText, FieldType.MapInt,
+    FieldType.MapLong, FieldType.MapFloat, FieldType.MapDouble,
+    FieldType.Text,
+}
+
+
+class Document:
+    def __init__(self, config):
+        self.config = config
+
+    @staticmethod
+    def remove_duplicated_documents(docs: List[dict]) -> Tuple[List[dict], set]:
+        """Last occurrence of each _id wins (reference document.py:173-200)."""
+        docs_map: Dict[str, dict] = {}
+        ordered: List[dict] = []
+        for doc in reversed(docs):
+            doc_id = doc.get(constants.MARQO_DOC_ID) if isinstance(doc, dict) \
+                else None
+            if doc_id is not None:
+                if doc_id in docs_map:
+                    continue
+                docs_map[doc_id] = doc
+            ordered.append(doc)
+        ordered.reverse()
+        return ordered, set(docs_map)
+
+    def partial_update_documents_by_index_name(self, index_name: str,
+                                               partial_documents: List[dict]
+                                               ) -> dict:
+        index = self.config.index_meta_cache.get_index(index_name)
+        if not isinstance(index, StructuredMarqoIndex) or \
+                isinstance(index, SemiStructuredMarqoIndex):
+            raise UnsupportedFeatureError(
+                "Partial document update is not supported for unstructured "
+                "indexes. Please use add_documents with use_existing_tensor=True "
+                "instead")
+        start = time.perf_counter()
+        docs, _ = self.remove_duplicated_documents(partial_documents)
+        items = []
+        errors = False
+        tensor_names = {tf.name for tf in index.tensor_fields}
+        field_map = index.field_map
+        for doc in docs:
+            doc_id = doc.get(constants.MARQO_DOC_ID)
+            if not isinstance(doc_id, str) or not doc_id:
+                errors = True
+                items.append({"_id": str(doc_id or ""), "status": 400,
+                              "error": "'_id' is a required field"})
+                continue
+            stored = self.config.engine.get(index.schema_name, doc_id)
+            if stored is None:
+                errors = True
+                items.append({"_id": doc_id, "status": 404,
+                              "error": f"Document does not exist in the index"})
+                continue
+            bad = None
+            updates = {}
+            for field, value in doc.items():
+                if field == constants.MARQO_DOC_ID:
+                    continue
+                if field in tensor_names:
+                    bad = (f"Field `{field}` is a tensor field. Tensor fields "
+                           f"cannot be partially updated; use add_documents")
+                    break
+                declared = field_map.get(field)
+                if declared is None:
+                    bad = f"Field `{field}` is not defined in the index schema"
+                    break
+                if declared.type not in _UPDATABLE_TYPES:
+                    bad = (f"Field `{field}` of type {declared.type.value} "
+                           f"does not support partial updates")
+                    break
+                updates[field] = value
+            if bad:
+                errors = True
+                items.append({"_id": doc_id, "status": 400, "error": bad})
+                continue
+            merged = {**stored, **updates}
+            tensors = {}
+            for field_name, entries in self.config.engine.get_tensors(
+                    index.schema_name, doc_id).items():
+                tensors[field_name] = {
+                    "chunks": [e["chunk"] for e in entries],
+                    "embeddings": [e["embedding"] for e in entries],
+                }
+            self.config.engine.feed(index.schema_name, doc_id, merged, tensors)
+            items.append({"_id": doc_id, "status": 200})
+        return {
+            "errors": errors,
+            "index_name": index_name,
+            "items": items,
+            "processingTimeMs": (time.perf_counter() - start) * 1000,
+        }
+
+    def delete_all_docs_by_index_name(self, index_name: str) -> int:
+        index = self.config.index_meta_cache.get_index(index_name)
+        return self.config.engine.delete_all(index.schema_name)

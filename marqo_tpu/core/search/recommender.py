@@ -1,0 +1,106 @@
+"""Recommender: "more documents like these".
+
+Parity: reference src/marqo/core/search/recommender.py:22-214 — fetch the
+given documents' stored embeddings, interpolate them (LERP default for
+unnormalized, SLERP for normalized indexes), then run a context-only tensor
+search excluding the input documents via a generated `NOT _id IN (...)`
+filter (:178-205).
+"""
+
+from typing import Dict, List, Optional, Union
+
+from marqo_tpu.api import exceptions as api_exceptions
+from marqo_tpu.core.exceptions import InvalidArgumentError
+from marqo_tpu.core.utils.vector_interpolation import (InterpolationMethod,
+                                                       from_interpolation_method)
+
+
+class Recommender:
+    def __init__(self, config):
+        self.config = config
+
+    def _default_interpolation(self, index) -> InterpolationMethod:
+        return (InterpolationMethod.SLERP if index.normalize_embeddings
+                else InterpolationMethod.LERP)
+
+    @staticmethod
+    def _exclusion_filter(doc_ids: List[str],
+                          existing: Optional[str]) -> str:
+        escaped = [i.replace("\\", "\\\\").replace(" ", "\\ ").replace(
+            "(", "\\(").replace(")", "\\)") for i in doc_ids]
+        exclusion = f"NOT _id IN ({', '.join(escaped)})"
+        if existing:
+            return f"({existing}) AND {exclusion}"
+        return exclusion
+
+    def recommend(self, index_name: str,
+                  documents: Union[List[str], Dict[str, float]],
+                  tensor_fields: Optional[List[str]] = None,
+                  interpolation_method: Optional[str] = None,
+                  exclude_input_documents: bool = True,
+                  limit: int = 10, offset: int = 0,
+                  ef_search: Optional[int] = None,
+                  approximate: Optional[bool] = None,
+                  searchable_attributes: Optional[List[str]] = None,
+                  filter: Optional[str] = None,
+                  attributes_to_retrieve: Optional[List[str]] = None,
+                  score_modifiers: Optional[dict] = None,
+                  show_highlights: bool = True) -> dict:
+        from marqo_tpu.tensor_search import tensor_search
+
+        index = self.config.index_meta_cache.get_index(index_name)
+        if not documents:
+            raise InvalidArgumentError(
+                "No documents given to recommend from")
+        if isinstance(documents, dict):
+            doc_ids = list(documents)
+            weights = documents
+        else:
+            doc_ids = list(documents)
+            weights = {doc_id: 1.0 for doc_id in doc_ids}
+
+        method = (InterpolationMethod(interpolation_method)
+                  if interpolation_method
+                  else self._default_interpolation(index))
+        interpolator = from_interpolation_method(method)
+
+        vectors: List[List[float]] = []
+        vector_weights: List[float] = []
+        missing: List[str] = []
+        for doc_id in doc_ids:
+            tensors = self.config.engine.get_tensors(index.schema_name, doc_id)
+            doc_vectors = []
+            for field, entries in tensors.items():
+                if tensor_fields is not None and field not in tensor_fields:
+                    continue
+                doc_vectors.extend(e["embedding"] for e in entries)
+            if not doc_vectors:
+                if self.config.engine.get(index.schema_name, doc_id) is None:
+                    missing.append(doc_id)
+                continue
+            for vec in doc_vectors:
+                vectors.append(vec)
+                vector_weights.append(float(weights[doc_id]) / len(doc_vectors))
+        if missing:
+            raise api_exceptions.InvalidArgError(
+                f"Processing stopped. The following documents do not exist: "
+                f"{', '.join(missing)}")
+        if not vectors:
+            raise api_exceptions.InvalidArgError(
+                "None of the given documents have tensors for the requested "
+                "tensor fields")
+
+        interpolated = interpolator.interpolate(vectors, vector_weights)
+
+        search_filter = (self._exclusion_filter(doc_ids, filter)
+                         if exclude_input_documents else filter)
+        return tensor_search.search(
+            self.config, index_name, text=None,
+            context={"tensor": [{"vector": interpolated, "weight": 1.0}]},
+            limit=limit, offset=offset, ef_search=ef_search,
+            approximate=approximate,
+            searchable_attributes=searchable_attributes,
+            filter=search_filter,
+            attributes_to_retrieve=attributes_to_retrieve,
+            score_modifiers=score_modifiers,
+            show_highlights=show_highlights)
