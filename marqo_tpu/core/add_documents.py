@@ -34,6 +34,7 @@ from marqo_tpu.core.models.marqo_index import (Field, FieldType, MarqoIndex,
 from marqo_tpu.engine.store import StoreEngine
 from marqo_tpu.inference import vectorise as inference
 from marqo_tpu.inference.text_chunker import chunk_text
+from marqo_tpu.inference.types import Modality
 from marqo_tpu.logging import get_logger
 
 logger = get_logger(__name__)
@@ -223,10 +224,28 @@ class AddDocumentsHandler:
                 f"`{type(value).__name__}`; only strings (and mapped "
                 f"custom_vector / multimodal_combination fields) can be "
                 f"vectorised")
+        if self._treats_as_media(field, value):
+            return {"kind": "image", "pointer": value, "chunks": [value]}
         chunks = chunk_text(value, self.index.text_preprocessing)
         if not chunks:
             return None
         return {"kind": "text", "chunks": chunks, "content_key": value}
+
+    def _treats_as_media(self, field: str, value: str) -> bool:
+        """Is this string field an image/media pointer to be embedded
+        visually? (reference: treat_urls_and_pointers_as_images for
+        unstructured, ImagePointer field type for structured)."""
+        from marqo_tpu.tensor_search.add_docs import (infer_modality,
+                                                      is_media_pointer)
+        if isinstance(self.index, StructuredMarqoIndex):
+            declared = self.index.field_map.get(field)
+            return declared is not None and declared.type in (
+                FieldType.ImagePointer, FieldType.VideoPointer,
+                FieldType.AudioPointer)
+        if not getattr(self.index, "treat_urls_and_pointers_as_images", False):
+            return False
+        return (is_media_pointer(value)
+                and infer_modality(value) == Modality.IMAGE)
 
     # -- main entry --
 
@@ -329,8 +348,22 @@ class AddDocumentsHandler:
             self.params.text_chunk_prefix)
         to_embed: List[str] = []
         slots: List[Tuple[str, str, int]] = []  # (doc_id, field, row-in-field)
+        to_embed_images: List[Any] = []
+        image_slots: List[Tuple[str, str, int]] = []
         ready: Dict[Tuple[str, str], np.ndarray] = {}
         counts: Dict[Tuple[str, str], int] = defaultdict(int)
+
+        # threaded download of all image pointers in the batch
+        # (reference _download_media_contents, add_documents_handler.py:375)
+        images, failed_docs = self._download_images(plans, collector)
+        plans[:] = [p for p in plans if p[0] not in failed_docs]
+
+        def _is_image_child(content: str) -> bool:
+            from marqo_tpu.tensor_search.add_docs import (infer_modality,
+                                                          is_media_pointer)
+            return (getattr(self.index, "treat_urls_and_pointers_as_images",
+                            False) and is_media_pointer(content)
+                    and infer_modality(content) == Modality.IMAGE)
 
         for assigned_id, _doc, field_plans in plans:
             reuse = existing_tensors.get(assigned_id, {})
@@ -338,11 +371,26 @@ class AddDocumentsHandler:
                 if plan["kind"] == "custom":
                     ready[(assigned_id, field)] = plan["vectors"]
                     continue
+                if plan["kind"] == "image":
+                    image = images[plan["pointer"]]
+                    patches, chunk_strs = self._patchify(image, plan["pointer"])
+                    plan["chunks"] = chunk_strs
+                    for patch in patches:
+                        image_slots.append((assigned_id, field,
+                                            counts[(assigned_id, field)]))
+                        counts[(assigned_id, field)] += 1
+                        to_embed_images.append(patch)
+                    continue
                 if plan["kind"] == "multimodal":
                     # children embedded individually then combined
                     for child, content in plan["sub_content"].items():
-                        slots.append((assigned_id, field + "::" + child, 0))
-                        to_embed.append(chunk_prefix + content)
+                        if _is_image_child(content):
+                            image_slots.append(
+                                (assigned_id, field + "::" + child, 0))
+                            to_embed_images.append(images[content])
+                        else:
+                            slots.append((assigned_id, field + "::" + child, 0))
+                            to_embed.append(chunk_prefix + content)
                     continue
                 # text: reuse identical existing chunks when requested
                 if field in reuse:
@@ -359,29 +407,37 @@ class AddDocumentsHandler:
                     to_embed.append(chunk_prefix + chunk)
 
         vectors: List[List[float]] = []
-        if to_embed:
-            try:
-                vectors = inference.vectorise(
-                    model_name=self.index.model.name,
-                    content=to_embed,
-                    model_properties=(self.index.model.properties
-                                      if self.index.model.custom else None),
-                    device=self.params.device,
-                    normalize_embeddings=self.index.normalize_embeddings,
-                    model_auth=self.params.model_auth)
-            except Exception as e:
-                # model-level failure fails every pending doc, not the request
-                for assigned_id, _doc, field_plans in plans:
-                    collector.collect_error(
-                        assigned_id,
-                        DocError(f"Error vectorising content: {e}", status=500,
-                                 code="vectorise_error"))
-                return None
+        image_vectors: List[List[float]] = []
+        try:
+            common = dict(
+                model_name=self.index.model.name,
+                model_properties=(self.index.model.properties
+                                  if self.index.model.custom else None),
+                device=self.params.device,
+                normalize_embeddings=self.index.normalize_embeddings,
+                model_auth=self.params.model_auth)
+            if to_embed:
+                vectors = inference.vectorise(content=to_embed, **common)
+            if to_embed_images:
+                image_vectors = inference.vectorise(
+                    content=to_embed_images, modality=Modality.IMAGE, **common)
+        except Exception as e:
+            # model-level failure fails every pending doc, not the request
+            for assigned_id, _doc, field_plans in plans:
+                collector.collect_error(
+                    assigned_id,
+                    DocError(f"Error vectorising content: {e}", status=500,
+                             code="vectorise_error"))
+            return None
 
         # scatter
         grouped: Dict[Tuple[str, str], Dict[int, List[float]]] = defaultdict(dict)
         for (doc_id, field, row), vec in zip(slots, vectors):
             grouped[(doc_id, field)][row] = vec
+        image_grouped: Dict[Tuple[str, str], Dict[int, List[float]]] = \
+            defaultdict(dict)
+        for (doc_id, field, row), vec in zip(image_slots, image_vectors):
+            image_grouped[(doc_id, field)][row] = vec
 
         result: Dict[Tuple[str, str], np.ndarray] = dict(ready)
         # combine multimodal children
@@ -391,9 +447,11 @@ class AddDocumentsHandler:
                     weights = plan["weights"]
                     acc = None
                     for child, content in plan["sub_content"].items():
-                        vec = np.asarray(
-                            grouped.pop((assigned_id, field + "::" + child))[0],
-                            dtype=np.float32)
+                        key = (assigned_id, field + "::" + child)
+                        rows = grouped.pop(key, None)
+                        if rows is None:
+                            rows = image_grouped.pop(key)
+                        vec = np.asarray(rows[0], dtype=np.float32)
                         w = float(weights[child])
                         acc = vec * w if acc is None else acc + vec * w
                     if acc is None:
@@ -403,11 +461,64 @@ class AddDocumentsHandler:
                         if norm > 0:
                             acc = acc / norm
                     result[(assigned_id, field)] = acc[None, :]
+                elif plan["kind"] == "image" and \
+                        (assigned_id, field) in image_grouped:
+                    rows = image_grouped.pop((assigned_id, field))
+                    result[(assigned_id, field)] = np.asarray(
+                        [rows[i] for i in sorted(rows)], dtype=np.float32)
                 elif plan["kind"] == "text" and (assigned_id, field) in grouped:
                     rows = grouped.pop((assigned_id, field))
                     result[(assigned_id, field)] = np.asarray(
                         [rows[i] for i in sorted(rows)], dtype=np.float32)
         return result
+
+    def _download_images(self, plans, collector):
+        """Threaded fetch of every image pointer in the batch; docs whose
+        media fail to download are failed individually."""
+        from marqo_tpu.tensor_search.add_docs import (
+            infer_modality, is_media_pointer,
+            threaded_download_and_preprocess_content)
+        pointers: List[str] = []
+        pointer_docs: Dict[str, List[str]] = defaultdict(list)
+        treat_media = getattr(self.index,
+                              "treat_urls_and_pointers_as_images", False)
+        for assigned_id, _doc, field_plans in plans:
+            for field, plan in field_plans.items():
+                if plan["kind"] == "image":
+                    pointers.append(plan["pointer"])
+                    pointer_docs[plan["pointer"]].append(assigned_id)
+                elif plan["kind"] == "multimodal" and treat_media:
+                    for content in plan["sub_content"].values():
+                        if is_media_pointer(content) and \
+                                infer_modality(content) == Modality.IMAGE:
+                            pointers.append(content)
+                            pointer_docs[content].append(assigned_id)
+        if not pointers:
+            return {}, set()
+        images, errors = threaded_download_and_preprocess_content(
+            pointers, modality=Modality.IMAGE,
+            media_download_headers=self.params.media_download_headers,
+            thread_count=self.params.image_download_thread_count)
+        failed_docs = set()
+        for pointer, message in errors.items():
+            for doc_id in pointer_docs[pointer]:
+                if doc_id not in failed_docs:
+                    failed_docs.add(doc_id)
+                    collector.collect_error(doc_id, DocError(
+                        f"Could not process image `{pointer}`: {message}",
+                        code="invalid_argument"))
+        return images, failed_docs
+
+    def _patchify(self, image, pointer: str):
+        """Apply the index's patch method; default = whole image, chunk
+        string = the pointer (reference ImageChunker,
+        tensor_fields_container.py:75)."""
+        patch_method = self.index.image_preprocessing.patch_method
+        if patch_method is None:
+            return [image], [pointer]
+        from marqo_tpu.inference.image_patching import chunk_image
+        patches, chunk_strs = chunk_image(image, patch_method.value)
+        return patches, chunk_strs
 
     def _maybe_grow_semi_structured_schema(self, plans) -> None:
         if not isinstance(self.index, SemiStructuredMarqoIndex):

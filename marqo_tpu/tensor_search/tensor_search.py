@@ -92,20 +92,41 @@ def compute_query_vector(index: MarqoIndex,
     got_any = False
 
     if weighted:
+        from marqo_tpu.inference.types import Modality
+        from marqo_tpu.tensor_search.add_docs import (fetch_content,
+                                                      infer_modality,
+                                                      is_media_pointer)
+        from marqo_tpu.ops.image_ops import host_decode
+        treat_media = getattr(index, "treat_urls_and_pointers_as_images",
+                              False)
         prefix = index.model.get_text_query_prefix(text_query_prefix)
-        contents = [prefix + q for q in weighted]
-        vectors = inference.vectorise(
+        common = dict(
             model_name=index.model.name,
-            content=contents,
             model_properties=(index.model.properties if index.model.custom
                               else None),
             device=device,
             normalize_embeddings=index.normalize_embeddings,
-            model_auth=model_auth,
-            enable_cache=True)
-        for vec, w in zip(vectors, weighted.values()):
-            acc += np.asarray(vec, dtype=np.float32) * w
-            got_any = True
+            model_auth=model_auth)
+        text_items = [(q, w) for q, w in weighted.items()
+                      if not (treat_media and is_media_pointer(q)
+                              and infer_modality(q) == Modality.IMAGE)]
+        image_items = [(q, w) for q, w in weighted.items()
+                       if (treat_media and is_media_pointer(q)
+                           and infer_modality(q) == Modality.IMAGE)]
+        if text_items:
+            vectors = inference.vectorise(
+                content=[prefix + q for q, _ in text_items],
+                enable_cache=True, **common)
+            for vec, (_, w) in zip(vectors, text_items):
+                acc += np.asarray(vec, dtype=np.float32) * w
+                got_any = True
+        if image_items:
+            images = [host_decode(fetch_content(q)) for q, _ in image_items]
+            vectors = inference.vectorise(
+                content=images, modality=Modality.IMAGE, **common)
+            for vec, (_, w) in zip(vectors, image_items):
+                acc += np.asarray(vec, dtype=np.float32) * w
+                got_any = True
 
     if context:
         tensors = context.get("tensor") if isinstance(context, dict) else None
