@@ -1,0 +1,412 @@
+// HNSW approximate-nearest-neighbor index.
+//
+// Role parity: Vespa's per-tensor-field in-memory HNSW (the reference
+// delegates ANN to Vespa content nodes; schema knobs max-links-per-node (M)
+// and neighbors-to-explore-at-insert (efConstruction),
+// structured_vespa_schema.py:145-146). This is a fresh implementation of
+// the standard HNSW algorithm (Malkov & Yashunin 2016) with:
+//   - metrics: prenormalized-angular (1-dot), euclidean (L2^2 internally),
+//     dotproduct (-dot)
+//   - filtered search: optional caller-provided bitset evaluated during
+//     graph traversal (post-filtering with ef widening happens in Python)
+//   - tombstone deletes with live-count tracking
+//   - save/load to a flat binary blob
+// C ABI at the bottom; Python binds via ctypes (engine/native.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+enum Metric : int32_t {
+  METRIC_PRENORM_ANGULAR = 0,  // distance = 1 - dot
+  METRIC_EUCLIDEAN = 1,        // distance = squared L2 (monotone in L2)
+  METRIC_DOTPRODUCT = 2,       // distance = -dot
+};
+
+struct SearchResult {
+  int32_t id;
+  float dist;
+};
+
+class HnswIndex {
+ public:
+  HnswIndex(int dim, int M, int ef_construction, int metric, uint64_t seed)
+      : dim_(dim),
+        M_(std::max(2, M)),
+        M0_(2 * std::max(2, M)),
+        ef_construction_(std::max(ef_construction, M)),
+        metric_(metric),
+        level_mult_(1.0 / std::log(double(std::max(2, M)))),
+        rng_(seed) {}
+
+  int dim() const { return dim_; }
+  int32_t size() const { return int32_t(live_count_); }
+  int32_t capacity() const { return int32_t(vectors_.size() / dim_); }
+
+  float distance(const float* a, const float* b) const {
+    switch (metric_) {
+      case METRIC_EUCLIDEAN: {
+        float acc = 0.f;
+        for (int i = 0; i < dim_; ++i) {
+          float d = a[i] - b[i];
+          acc += d * d;
+        }
+        return acc;
+      }
+      case METRIC_DOTPRODUCT: {
+        float acc = 0.f;
+        for (int i = 0; i < dim_; ++i) acc += a[i] * b[i];
+        return -acc;
+      }
+      default: {  // prenormalized-angular
+        float acc = 0.f;
+        for (int i = 0; i < dim_; ++i) acc += a[i] * b[i];
+        return 1.f - acc;
+      }
+    }
+  }
+
+  // Add a vector; returns the internal node id.
+  int32_t add(const float* vec) {
+    int32_t id = capacity();
+    vectors_.insert(vectors_.end(), vec, vec + dim_);
+    deleted_.push_back(0);
+    int level = random_level();
+    levels_.push_back(level);
+    links_.emplace_back();
+    links_.back().resize(level + 1);
+    live_count_++;
+
+    if (entry_point_ < 0) {
+      entry_point_ = id;
+      max_level_ = level;
+      return id;
+    }
+
+    const float* q = node_vec(id);
+    int32_t cur = entry_point_;
+    // greedy descent through upper levels
+    for (int lc = max_level_; lc > level; --lc) {
+      cur = greedy_closest(q, cur, lc);
+    }
+    // insert with ef_construction search per level
+    for (int lc = std::min(level, max_level_); lc >= 0; --lc) {
+      auto candidates = search_layer(q, cur, ef_construction_, lc, nullptr);
+      int max_links = (lc == 0) ? M0_ : M_;
+      auto selected = select_neighbors(q, candidates, M_);
+      auto& my_links = links_[id][lc];
+      for (auto& sr : selected) {
+        my_links.push_back(sr.id);
+        auto& their = links_[sr.id][lc];
+        their.push_back(id);
+        if (int(their.size()) > max_links) {
+          shrink_links(sr.id, lc, max_links);
+        }
+      }
+      if (!candidates.empty()) cur = candidates.front().id;
+    }
+    if (level > max_level_) {
+      max_level_ = level;
+      entry_point_ = id;
+    }
+    return id;
+  }
+
+  void remove(int32_t id) {
+    if (id < 0 || id >= capacity() || deleted_[id]) return;
+    deleted_[id] = 1;
+    live_count_--;
+  }
+
+  bool is_deleted(int32_t id) const { return deleted_[id] != 0; }
+
+  // k-NN search. filter: optional byte mask over internal ids (1 = allowed).
+  int search(const float* q, int k, int ef, const uint8_t* filter,
+             int32_t* out_ids, float* out_dists) const {
+    if (entry_point_ < 0 || live_count_ == 0) return 0;
+    ef = std::max(ef, k);
+    int32_t cur = entry_point_;
+    for (int lc = max_level_; lc > 0; --lc) {
+      cur = greedy_closest(q, cur, lc);
+    }
+    auto candidates = search_layer(q, cur, ef, 0, filter);
+    int n = std::min<int>(k, candidates.size());
+    for (int i = 0; i < n; ++i) {
+      out_ids[i] = candidates[i].id;
+      out_dists[i] = candidates[i].dist;
+    }
+    return n;
+  }
+
+  const float* node_vec(int32_t id) const { return &vectors_[size_t(id) * dim_]; }
+
+  // --- serialization (flat blob) ---
+  std::vector<uint8_t> save() const {
+    std::vector<uint8_t> out;
+    auto push = [&out](const void* p, size_t n) {
+      const uint8_t* b = static_cast<const uint8_t*>(p);
+      out.insert(out.end(), b, b + n);
+    };
+    int32_t n = capacity();
+    push(&dim_, 4); push(&M_, 4); push(&ef_construction_, 4);
+    push(&metric_, 4); push(&n, 4); push(&entry_point_, 4);
+    push(&max_level_, 4);
+    push(vectors_.data(), vectors_.size() * 4);
+    push(deleted_.data(), deleted_.size());
+    push(levels_.data(), levels_.size() * 4);
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t nl = int32_t(links_[i].size());
+      push(&nl, 4);
+      for (auto& lvl : links_[i]) {
+        int32_t cnt = int32_t(lvl.size());
+        push(&cnt, 4);
+        push(lvl.data(), lvl.size() * 4);
+      }
+    }
+    return out;
+  }
+
+  static HnswIndex* load(const uint8_t* data, size_t len) {
+    size_t off = 0;
+    auto pull = [&](void* p, size_t n) {
+      std::memcpy(p, data + off, n);
+      off += n;
+    };
+    int32_t dim, M, efc, metric, n, ep, ml;
+    pull(&dim, 4); pull(&M, 4); pull(&efc, 4); pull(&metric, 4);
+    pull(&n, 4); pull(&ep, 4); pull(&ml, 4);
+    auto* idx = new HnswIndex(dim, M, efc, metric, 42);
+    idx->vectors_.resize(size_t(n) * dim);
+    pull(idx->vectors_.data(), idx->vectors_.size() * 4);
+    idx->deleted_.resize(n);
+    pull(idx->deleted_.data(), n);
+    idx->levels_.resize(n);
+    pull(idx->levels_.data(), size_t(n) * 4);
+    idx->links_.resize(n);
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t nl;
+      pull(&nl, 4);
+      idx->links_[i].resize(nl);
+      for (int32_t l = 0; l < nl; ++l) {
+        int32_t cnt;
+        pull(&cnt, 4);
+        idx->links_[i][l].resize(cnt);
+        pull(idx->links_[i][l].data(), size_t(cnt) * 4);
+      }
+    }
+    idx->entry_point_ = ep;
+    idx->max_level_ = ml;
+    idx->live_count_ = 0;
+    for (int32_t i = 0; i < n; ++i)
+      if (!idx->deleted_[i]) idx->live_count_++;
+    (void)len;
+    return idx;
+  }
+
+ private:
+  int random_level() {
+    std::uniform_real_distribution<double> dist(0.0, 1.0);
+    double r = dist(rng_);
+    r = std::max(r, 1e-12);
+    return int(-std::log(r) * level_mult_);
+  }
+
+  int32_t greedy_closest(const float* q, int32_t start, int level) const {
+    int32_t cur = start;
+    float cur_dist = distance(q, node_vec(cur));
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      if (level < int(links_[cur].size())) {
+        for (int32_t nb : links_[cur][level]) {
+          float d = distance(q, node_vec(nb));
+          if (d < cur_dist) {
+            cur_dist = d;
+            cur = nb;
+            improved = true;
+          }
+        }
+      }
+    }
+    return cur;
+  }
+
+  // Best-first search at one level; returns up to ef results sorted by
+  // ascending distance. ``filter`` constrains RESULTS only — traversal
+  // still routes through filtered-out nodes to keep the graph connected.
+  std::vector<SearchResult> search_layer(const float* q, int32_t entry,
+                                         int ef, int level,
+                                         const uint8_t* filter) const {
+    // max-heap of results (worst on top), min-heap of candidates
+    auto worse = [](const SearchResult& a, const SearchResult& b) {
+      return a.dist < b.dist;
+    };
+    auto better = [](const SearchResult& a, const SearchResult& b) {
+      return a.dist > b.dist;
+    };
+    std::priority_queue<SearchResult, std::vector<SearchResult>,
+                        decltype(worse)> results(worse);
+    std::priority_queue<SearchResult, std::vector<SearchResult>,
+                        decltype(better)> candidates(better);
+    std::unordered_set<int32_t> visited;
+
+    float d0 = distance(q, node_vec(entry));
+    candidates.push({entry, d0});
+    visited.insert(entry);
+    if (allowed(entry, filter)) results.push({entry, d0});
+
+    while (!candidates.empty()) {
+      SearchResult c = candidates.top();
+      candidates.pop();
+      if (int(results.size()) >= ef && !results.empty() &&
+          c.dist > results.top().dist) {
+        break;
+      }
+      if (level < int(links_[c.id].size())) {
+        for (int32_t nb : links_[c.id][level]) {
+          if (!visited.insert(nb).second) continue;
+          float d = distance(q, node_vec(nb));
+          if (int(results.size()) < ef ||
+              (!results.empty() && d < results.top().dist)) {
+            candidates.push({nb, d});
+            if (allowed(nb, filter)) {
+              results.push({nb, d});
+              if (int(results.size()) > ef) results.pop();
+            }
+          }
+        }
+      }
+    }
+    std::vector<SearchResult> out(results.size());
+    for (int i = int(results.size()) - 1; i >= 0; --i) {
+      out[i] = results.top();
+      results.pop();
+    }
+    return out;
+  }
+
+  bool allowed(int32_t id, const uint8_t* filter) const {
+    if (deleted_[id]) return false;
+    return filter == nullptr || filter[id] != 0;
+  }
+
+  // Simple neighbor selection with the distance-diversity heuristic.
+  std::vector<SearchResult> select_neighbors(
+      const float* q, const std::vector<SearchResult>& candidates,
+      int M) const {
+    (void)q;
+    std::vector<SearchResult> selected;
+    for (const auto& c : candidates) {
+      if (int(selected.size()) >= M) break;
+      bool keep = true;
+      for (const auto& s : selected) {
+        if (distance(node_vec(c.id), node_vec(s.id)) < c.dist) {
+          keep = false;
+          break;
+        }
+      }
+      if (keep) selected.push_back(c);
+    }
+    // backfill if the heuristic pruned too aggressively
+    if (int(selected.size()) < M) {
+      for (const auto& c : candidates) {
+        if (int(selected.size()) >= M) break;
+        bool present = false;
+        for (const auto& s : selected)
+          if (s.id == c.id) { present = true; break; }
+        if (!present) selected.push_back(c);
+      }
+    }
+    return selected;
+  }
+
+  void shrink_links(int32_t id, int level, int max_links) {
+    auto& lst = links_[id][level];
+    std::vector<SearchResult> cands;
+    cands.reserve(lst.size());
+    const float* base = node_vec(id);
+    for (int32_t nb : lst) cands.push_back({nb, distance(base, node_vec(nb))});
+    std::sort(cands.begin(), cands.end(),
+              [](const SearchResult& a, const SearchResult& b) {
+                return a.dist < b.dist;
+              });
+    auto selected = select_neighbors(base, cands, max_links);
+    lst.clear();
+    for (auto& s : selected) lst.push_back(s.id);
+  }
+
+  int dim_;
+  int M_;
+  int M0_;
+  int ef_construction_;
+  int32_t metric_;
+  double level_mult_;
+  std::mt19937_64 rng_;
+
+  std::vector<float> vectors_;
+  std::vector<uint8_t> deleted_;
+  std::vector<int32_t> levels_;
+  std::vector<std::vector<std::vector<int32_t>>> links_;
+  int32_t entry_point_ = -1;
+  int max_level_ = 0;
+  size_t live_count_ = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_create(int dim, int M, int ef_construction, int metric,
+                  uint64_t seed) {
+  return new HnswIndex(dim, M, ef_construction, metric, seed);
+}
+
+void hnsw_free(void* handle) { delete static_cast<HnswIndex*>(handle); }
+
+int32_t hnsw_add(void* handle, const float* vec) {
+  return static_cast<HnswIndex*>(handle)->add(vec);
+}
+
+void hnsw_remove(void* handle, int32_t id) {
+  static_cast<HnswIndex*>(handle)->remove(id);
+}
+
+int32_t hnsw_size(void* handle) {
+  return static_cast<HnswIndex*>(handle)->size();
+}
+
+int32_t hnsw_capacity(void* handle) {
+  return static_cast<HnswIndex*>(handle)->capacity();
+}
+
+int hnsw_search(void* handle, const float* query, int k, int ef,
+                const uint8_t* filter, int32_t* out_ids, float* out_dists) {
+  return static_cast<HnswIndex*>(handle)->search(query, k, ef, filter,
+                                                 out_ids, out_dists);
+}
+
+int64_t hnsw_save_size(void* handle) {
+  return int64_t(static_cast<HnswIndex*>(handle)->save().size());
+}
+
+int64_t hnsw_save(void* handle, uint8_t* out, int64_t capacity) {
+  auto blob = static_cast<HnswIndex*>(handle)->save();
+  if (int64_t(blob.size()) > capacity) return -1;
+  std::memcpy(out, blob.data(), blob.size());
+  return int64_t(blob.size());
+}
+
+void* hnsw_load(const uint8_t* data, int64_t len) {
+  return HnswIndex::load(data, size_t(len));
+}
+
+}  // extern "C"

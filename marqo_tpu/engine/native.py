@@ -1,0 +1,176 @@
+"""ctypes bindings for the native C++ engine (libmarqo_engine.so).
+
+Builds the shared library on first use (g++, see engine/cpp/Makefile) and
+degrades gracefully to the Python/numpy paths when no toolchain is present.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "libmarqo_engine.so")
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+# descriptor metric → native metric id (hnsw.cpp Metric enum)
+METRIC_IDS = {
+    "prenormalized-angular": 0,
+    "angular": 0,        # monotone-equivalent ordering on unit vectors
+    "euclidean": 1,
+    "dotproduct": 2,
+}
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-s"], cwd=_CPP_DIR, check=True,
+                       capture_output=True, timeout=300)
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:
+        logger.warning(f"Native engine build failed ({e}); using Python "
+                       f"fallback paths")
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.warning(f"Could not load native engine: {e}")
+            _build_failed = True
+            return None
+        lib.hnsw_create.restype = ctypes.c_void_p
+        lib.hnsw_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_uint64]
+        lib.hnsw_free.argtypes = [ctypes.c_void_p]
+        lib.hnsw_add.restype = ctypes.c_int32
+        lib.hnsw_add.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_float)]
+        lib.hnsw_remove.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.hnsw_size.restype = ctypes.c_int32
+        lib.hnsw_size.argtypes = [ctypes.c_void_p]
+        lib.hnsw_capacity.restype = ctypes.c_int32
+        lib.hnsw_capacity.argtypes = [ctypes.c_void_p]
+        lib.hnsw_search.restype = ctypes.c_int
+        lib.hnsw_search.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        lib.hnsw_save_size.restype = ctypes.c_int64
+        lib.hnsw_save_size.argtypes = [ctypes.c_void_p]
+        lib.hnsw_save.restype = ctypes.c_int64
+        lib.hnsw_save.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_int64]
+        lib.hnsw_load.restype = ctypes.c_void_p
+        lib.hnsw_load.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_int64]
+        _lib = lib
+        logger.info("Native engine loaded (libmarqo_engine.so)")
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+class NativeHnsw:
+    """One HNSW graph over float32 vectors. Not thread-safe; callers hold
+    the shard lock."""
+
+    def __init__(self, dim: int, m: int = 16, ef_construction: int = 512,
+                 metric: str = "prenormalized-angular", seed: int = 42,
+                 _handle=None):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        self._lib = lib
+        self.dim = dim
+        self.metric = metric
+        if _handle is not None:
+            self._handle = _handle
+        else:
+            self._handle = lib.hnsw_create(
+                dim, m, ef_construction,
+                METRIC_IDS.get(metric, 0), seed)
+
+    def add(self, vec: np.ndarray) -> int:
+        vec = np.ascontiguousarray(vec, dtype=np.float32)
+        return self._lib.hnsw_add(
+            self._handle, vec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    def remove(self, node_id: int) -> None:
+        self._lib.hnsw_remove(self._handle, node_id)
+
+    def __len__(self) -> int:
+        return self._lib.hnsw_size(self._handle)
+
+    def search(self, query: np.ndarray, k: int, ef: int,
+               filter_mask: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (node_ids, distances), ascending distance."""
+        query = np.ascontiguousarray(query, dtype=np.float32)
+        out_ids = np.empty(k, dtype=np.int32)
+        out_dists = np.empty(k, dtype=np.float32)
+        mask_ptr = None
+        if filter_mask is not None:
+            filter_mask = np.ascontiguousarray(filter_mask, dtype=np.uint8)
+            mask_ptr = filter_mask.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8))
+        n = self._lib.hnsw_search(
+            self._handle, query.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            k, ef, mask_ptr, out_ids.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            out_dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out_ids[:n], out_dists[:n]
+
+    def save(self) -> bytes:
+        size = self._lib.hnsw_save_size(self._handle)
+        buf = np.empty(size, dtype=np.uint8)
+        written = self._lib.hnsw_save(
+            self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            size)
+        if written < 0:
+            raise RuntimeError("hnsw_save failed")
+        return buf[:written].tobytes()
+
+    @classmethod
+    def load(cls, blob: bytes, metric: str = "prenormalized-angular"
+             ) -> "NativeHnsw":
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        handle = lib.hnsw_load(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(blob))
+        dim = int(np.frombuffer(blob[:4], dtype=np.int32)[0])
+        return cls(dim, metric=metric, _handle=handle)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.hnsw_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass

@@ -66,19 +66,60 @@ def closeness(metric: str, query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     return (1.0 / (1.0 + dist)).astype(np.float32)
 
 
+def _closeness_from_distance(metric: str, dists: np.ndarray) -> np.ndarray:
+    """Convert native-engine distances to closeness scores. The native
+    euclidean metric returns squared L2 (monotone-equivalent for ranking);
+    dotproduct returns -dot."""
+    dists = np.asarray(dists, dtype=np.float32)
+    if metric == "dotproduct":
+        return -dists
+    if metric == "euclidean":
+        return (1.0 / (1.0 + np.sqrt(np.maximum(dists, 0)))).astype(np.float32)
+    return (1.0 / (1.0 + dists)).astype(np.float32)
+
+
 # --- per-shard storage -------------------------------------------------------
 
 class _FieldTensors:
-    """Append-only chunk store for one tensor field (per shard)."""
+    """Append-only chunk store for one tensor field (per shard).
 
-    def __init__(self, dimensions: int):
+    Rows are append-only with a validity mask so row ids stay stable for
+    the native HNSW graph (engine/native.py); deletes are tombstones in
+    both structures (Vespa's HNSW behaves the same way).
+    """
+
+    def __init__(self, dimensions: int,
+                 metric: str = "prenormalized-angular",
+                 hnsw_m: int = 16, hnsw_ef_construction: int = 512):
         self.dimensions = dimensions
+        self.metric = metric
         self._doc_ids: List[str] = []
         self._chunks: List[str] = []
         self._vectors: List[np.ndarray] = []
+        self._valid: List[bool] = []
         self._live_docs: Set[str] = set()
         self._matrix: Optional[np.ndarray] = None
         self._rows_by_doc: Dict[str, List[int]] = defaultdict(list)
+        self._hnsw = None
+        self._hnsw_params = (hnsw_m, hnsw_ef_construction)
+
+    def _ensure_hnsw(self):
+        if self._hnsw is None:
+            try:
+                from marqo_tpu.engine.native import NativeHnsw, native_available
+                if native_available():
+                    m, efc = self._hnsw_params
+                    self._hnsw = NativeHnsw(self.dimensions, m=m,
+                                            ef_construction=efc,
+                                            metric=self.metric)
+                    for row, vec in enumerate(self._vectors):
+                        node = self._hnsw.add(vec)
+                        assert node == row
+                        if not self._valid[row]:
+                            self._hnsw.remove(row)
+            except Exception:
+                self._hnsw = None
+        return self._hnsw
 
     def add(self, doc_id: str, chunks: List[str], embeddings) -> None:
         emb = np.asarray(embeddings, dtype=np.float32)
@@ -95,10 +136,14 @@ class _FieldTensors:
         self.remove(doc_id)
         self._live_docs.add(doc_id)
         for chunk, vec in zip(chunks, emb):
-            self._rows_by_doc[doc_id].append(len(self._doc_ids))
+            row = len(self._doc_ids)
+            self._rows_by_doc[doc_id].append(row)
             self._doc_ids.append(doc_id)
             self._chunks.append(chunk)
             self._vectors.append(vec)
+            self._valid.append(True)
+            if self._hnsw is not None:
+                self._hnsw.add(vec)
         self._matrix = None
 
     def remove(self, doc_id: str) -> None:
@@ -106,27 +151,35 @@ class _FieldTensors:
             return
         self._live_docs.discard(doc_id)
         rows = self._rows_by_doc.pop(doc_id, [])
-        if rows:
-            self._matrix = None  # lazily compacted on next matrix build
+        for row in rows:
+            self._valid[row] = False
+            if self._hnsw is not None:
+                self._hnsw.remove(row)
 
-    def _compact(self) -> None:
-        keep = [i for i, d in enumerate(self._doc_ids) if d in self._live_docs]
-        self._doc_ids = [self._doc_ids[i] for i in keep]
-        self._chunks = [self._chunks[i] for i in keep]
-        self._vectors = [self._vectors[i] for i in keep]
-        self._rows_by_doc = defaultdict(list)
-        for i, d in enumerate(self._doc_ids):
-            self._rows_by_doc[d].append(i)
-
-    def matrix(self) -> Tuple[np.ndarray, List[str], List[str]]:
+    def matrix(self) -> Tuple[np.ndarray, List[str], List[str], np.ndarray]:
+        """(vectors, per-row doc ids, per-row chunks, validity mask)."""
         if self._matrix is None:
-            if len(self._live_docs) != len(set(self._doc_ids)) or \
-                    any(d not in self._live_docs for d in self._doc_ids):
-                self._compact()
             self._matrix = (np.stack(self._vectors)
                             if self._vectors else
                             np.zeros((0, self.dimensions), dtype=np.float32))
-        return self._matrix, self._doc_ids, self._chunks
+        return (self._matrix, self._doc_ids, self._chunks,
+                np.asarray(self._valid, dtype=bool))
+
+    def search_approximate(self, query: np.ndarray, k: int, ef: int,
+                           allowed_docs: Optional[Set[str]]):
+        """HNSW row search; returns (row_indices, distances) or None when
+        the native engine is unavailable."""
+        hnsw = self._ensure_hnsw()
+        if hnsw is None or len(self._doc_ids) == 0:
+            return None
+        mask = None
+        if allowed_docs is not None:
+            mask = np.zeros(len(self._doc_ids), dtype=np.uint8)
+            for doc_id in allowed_docs:
+                for row in self._rows_by_doc.get(doc_id, ()):
+                    mask[row] = 1
+        k = min(k, len(self._doc_ids))
+        return hnsw.search(query, k=k, ef=max(ef, k), filter_mask=mask)
 
     def doc_tensors(self, doc_id: str) -> List[Tuple[str, np.ndarray]]:
         return [(self._chunks[i], self._vectors[i])
@@ -147,7 +200,14 @@ class _Shard:
 
     def _tensor_store(self, field: str) -> _FieldTensors:
         if field not in self.tensors:
-            self.tensors[field] = _FieldTensors(self.descriptor.model_dimensions)
+            tf = self.descriptor.tensor_field_map.get(field)
+            if tf is None and self.descriptor.tensor_fields:
+                tf = self.descriptor.tensor_fields[0]
+            self.tensors[field] = _FieldTensors(
+                self.descriptor.model_dimensions,
+                metric=(tf.distance_metric if tf else "prenormalized-angular"),
+                hnsw_m=(tf.hnsw_m if tf else 16),
+                hnsw_ef_construction=(tf.hnsw_ef_construction if tf else 512))
         return self.tensors[field]
 
     def _lexical_index(self, field: str) -> Bm25FieldIndex:
@@ -334,7 +394,8 @@ class StoreEngine:
                      expose_facets: bool = False) -> QueryResult:
         query = np.asarray(vector, dtype=np.float32)
         scored = self._tensor_leg(index_name, query, searchable_fields,
-                                  search_filter, ef_search, limit + offset)
+                                  search_filter, ef_search, limit + offset,
+                                  approximate=approximate)
         return self._finalize(index_name, scored, limit, offset,
                               score_modifiers, attributes_to_retrieve,
                               expose_facets, leg="tensor")
@@ -376,7 +437,7 @@ class StoreEngine:
             query = np.asarray(vector, dtype=np.float32)
             tensor_scores = self._tensor_leg(
                 index_name, query, searchable_fields_tensor, search_filter,
-                ef_search, max_leg)
+                ef_search, max_leg, approximate=approximate)
             if score_modifiers_tensor:
                 tensor_scores = {
                     d: (self._modify_score(index_name, d, s, score_modifiers_tensor), h)
@@ -405,7 +466,7 @@ class StoreEngine:
             query = np.asarray(vector, dtype=np.float32)
             tensor_raw = self._tensor_leg(
                 index_name, query, searchable_fields_tensor, search_filter,
-                ef_search, None)
+                ef_search, None, approximate=approximate)
             scored = {d: tensor_raw.get(d, (0.0, None))
                       for d in lexical_scores}
             return self._finalize(index_name, scored, limit, offset, None,
@@ -449,16 +510,21 @@ class StoreEngine:
 
     # -- legs --
 
+    # below this corpus size, exact numpy scoring beats graph traversal
+    APPROX_MIN_ROWS = 1024
+
     def _tensor_leg(self, index_name: str, query: np.ndarray,
                     searchable_fields: Optional[List[str]],
                     search_filter: Optional[SearchFilter],
                     ef_search: Optional[int],
-                    max_hits: Optional[int]) -> Dict[str, Tuple[float, dict]]:
+                    max_hits: Optional[int],
+                    approximate: bool = True) -> Dict[str, Tuple[float, dict]]:
         """Per-doc max chunk closeness over searched tensor fields
         (reference: per-field nearestNeighbor legs OR'd,
-        structured_vespa_index.py:672-688; max aggregation)."""
-        descriptor = self._descriptors[index_name] if index_name in \
-            self._descriptors else None
+        structured_vespa_index.py:672-688; max aggregation). Approximate
+        mode routes through the native HNSW once the field is large enough;
+        exact mode is a full matrix scan."""
+        descriptor = self._descriptors.get(index_name)
         shards = self._shards(index_name)
         best: Dict[str, float] = {}
         best_chunk: Dict[str, dict] = {}
@@ -471,16 +537,32 @@ class StoreEngine:
                     ts = shard.tensors.get(field)
                     if ts is None:
                         continue
-                    matrix, doc_ids, chunks = ts.matrix()
+                    metric = ts.metric
+                    if approximate and max_hits is not None and \
+                            ts.vector_count >= self.APPROX_MIN_ROWS:
+                        result = ts.search_approximate(
+                            query,
+                            k=min(ts.vector_count, max(max_hits * 4, 64)),
+                            ef=(ef_search or 2000),
+                            allowed_docs=allowed)
+                        if result is not None:
+                            rows, dists = result
+                            _, doc_ids, chunks, _valid = ts.matrix()
+                            scores = _closeness_from_distance(metric, dists)
+                            for row, s in zip(rows, scores):
+                                doc_id = doc_ids[row]
+                                s = float(s)
+                                if s > best.get(doc_id, float("-inf")):
+                                    best[doc_id] = s
+                                    best_chunk[doc_id] = {field: chunks[row]}
+                            continue
+                    matrix, doc_ids, chunks, valid = ts.matrix()
                     if matrix.shape[0] == 0:
                         continue
-                    metric = "prenormalized-angular"
-                    if descriptor and field in descriptor.tensor_field_map:
-                        metric = descriptor.tensor_field_map[field].distance_metric
-                    elif descriptor and descriptor.tensor_fields:
-                        metric = descriptor.tensor_fields[0].distance_metric
                     scores = closeness(metric, query, matrix)
                     for i, doc_id in enumerate(doc_ids):
+                        if not valid[i]:
+                            continue
                         if allowed is not None and doc_id not in allowed:
                             continue
                         s = float(scores[i])
