@@ -164,6 +164,9 @@ class JaxHFTextModel(EmbeddingModel):
 
     # --- encoding --------------------------------------------------------
 
+    # pack when real tokens fill less than this fraction of the padded grid
+    PACKING_THRESHOLD = 0.75
+
     def encode(self, contents: List[Any], normalize: bool = True,
                modality: Modality = Modality.TEXT) -> np.ndarray:
         if modality != Modality.TEXT:
@@ -177,6 +180,17 @@ class JaxHFTextModel(EmbeddingModel):
             min(self.tokenizer.max_token_length(texts), self.tokenizer.max_length))
         batch = self.tokenizer.encode_batch(texts, pad_to=seq_bucket)
         n = len(texts)
+        density = sum(batch["lengths"]) / (n * seq_bucket)
+        if n > 1 and density < self.PACKING_THRESHOLD:
+            result = self._encode_packed(batch, seq_bucket)
+        else:
+            result = self._encode_padded(batch, seq_bucket, n)
+        if normalize:
+            norms = np.linalg.norm(result, axis=-1, keepdims=True)
+            result = result / np.maximum(norms, 1e-12)
+        return result.astype(np.float32)
+
+    def _encode_padded(self, batch, seq_bucket: int, n: int) -> np.ndarray:
         batch_bucket = pick_batch_bucket(n)
         outputs = []
         start = 0
@@ -196,11 +210,27 @@ class JaxHFTextModel(EmbeddingModel):
                 self.config, compute_dtype=self.compute_dtype)
             outputs.append(np.asarray(emb)[:size])
             start += size
-        result = np.concatenate(outputs, axis=0)
-        if normalize:
-            norms = np.linalg.norm(result, axis=-1, keepdims=True)
-            result = result / np.maximum(norms, 1e-12)
-        return result.astype(np.float32)
+        return np.concatenate(outputs, axis=0)
+
+    def _encode_packed(self, batch, seq_bucket: int) -> np.ndarray:
+        """Sequence-packed encode (ops/packing.py): ~1/density fewer rows
+        through the MXU at identical numerics."""
+        from marqo_tpu.models.bert import encode_tokens_packed_jit
+        from marqo_tpu.ops.packing import pack_sequences
+
+        ids, lengths = batch["input_ids"], batch["lengths"]
+        sequences = [ids[i, :lengths[i]].tolist() for i in range(len(lengths))]
+        packed = pack_sequences(sequences, seq_len=seq_bucket,
+                                pad_id=self.tokenizer.pad_id)
+        n_bucket = pick_batch_bucket(packed.n_sequences)
+        emb = encode_tokens_packed_jit(
+            self.params,
+            jax.device_put(jnp.asarray(packed.input_ids), self._jdevice),
+            jax.device_put(jnp.asarray(packed.segment_ids), self._jdevice),
+            jax.device_put(jnp.asarray(packed.positions), self._jdevice),
+            jax.device_put(jnp.asarray(packed.seq_index), self._jdevice),
+            n_bucket, self.config, compute_dtype=self.compute_dtype)
+        return np.asarray(emb)[:packed.n_sequences]
 
     def memory_bytes(self) -> int:
         return self._param_bytes

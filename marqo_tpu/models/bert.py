@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from marqo_tpu.ops.attention import multi_head_attention
 from marqo_tpu.ops.common import (ACTIVATIONS, cls_pool, l2_normalize,
                                   layer_norm, masked_mean_pool)
 
@@ -85,11 +84,15 @@ def init_params(config: TextEncoderConfig, rng: jax.Array,
     return {"embeddings": emb, "layers": layers}
 
 
-def _encoder_layer(x: jax.Array, mask: jax.Array, lp: dict,
+def _encoder_layer(x: jax.Array, masking: tuple, lp: dict,
                    config: TextEncoderConfig) -> jax.Array:
-    """One post-LN transformer block. x: (B, S, H)."""
+    """One post-LN transformer block. x: (B, S, H).
+
+    masking = ("padding", (B, S) 0/1 mask) or ("segment", (B, S) ids);
+    the pallas path computes the mask in-kernel (no (B,S,S) in HBM)."""
     B, S, H = x.shape
     N, D = config.num_heads, config.head_dim
+    mode, mask_data = masking
 
     def proj(w, b):
         return (jnp.einsum("bsh,hd->bsd", x, w) + b).reshape(
@@ -98,7 +101,31 @@ def _encoder_layer(x: jax.Array, mask: jax.Array, lp: dict,
     q = proj(lp["q_w"], lp["q_b"])
     k = proj(lp["k_w"], lp["k_b"])
     v = proj(lp["v_w"], lp["v_b"])
-    ctx = multi_head_attention(q, k, v, mask, impl=config.attention_impl)
+
+    use_pallas = config.attention_impl == "pallas"
+    if use_pallas:
+        from marqo_tpu.ops.flash_attention import (attention_padding,
+                                                   attention_segment,
+                                                   supports_shape)
+        use_pallas = supports_shape(S)
+    if use_pallas:
+        if mode == "segment":
+            ctx = attention_segment(q, k, v, mask_data)
+        else:
+            ctx = attention_padding(q, k, v, mask_data)
+    else:
+        scale = 1.0 / jnp.sqrt(D).astype(q.dtype)
+        scores = jnp.einsum("bnsd,bntd->bnst", q, k) * scale
+        scores = scores.astype(jnp.float32)
+        if mode == "segment":
+            allowed = (mask_data[:, None, :] == mask_data[:, :, None]) & \
+                (mask_data[:, None, :] > 0)
+            scores = scores + jnp.where(allowed[:, None], 0.0, -1e9)
+        else:
+            scores = scores + jnp.where(mask_data[:, None, None, :] > 0,
+                                        0.0, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        ctx = jnp.einsum("bnst,bntd->bnsd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
     attn_out = jnp.einsum("bsh,hd->bsd", ctx, lp["o_w"]) + lp["o_b"]
     x = layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
@@ -128,8 +155,10 @@ def encode_tokens(params: dict, input_ids: jax.Array,
     x = layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
 
+    masking = ("padding", attention_mask)
+
     def body(carry, lp):
-        return _encoder_layer(carry, attention_mask, lp, config), None
+        return _encoder_layer(carry, masking, lp, config), None
 
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
     x, _ = jax.lax.scan(body, x, layers)
@@ -148,6 +177,66 @@ def encode_tokens_jit(params, input_ids, attention_mask, config,
                       compute_dtype=jnp.bfloat16):
     return encode_tokens(params, input_ids, attention_mask, config,
                          compute_dtype=compute_dtype)
+
+
+def encode_tokens_packed(params: dict, input_ids: jax.Array,
+                         segment_ids: jax.Array, positions: jax.Array,
+                         seq_index: jax.Array, num_sequences: int,
+                         config: TextEncoderConfig,
+                         compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Packed forward (ops/packing.py): multiple documents per row with
+    block-diagonal attention by segment and segment-sum pooling.
+
+    Returns (num_sequences, H) fp32 pooled embeddings. ``num_sequences``
+    must be static (callers pad it to a bucket).
+    """
+    emb = params["embeddings"]
+    B, S = input_ids.shape
+    x = emb["word"][input_ids] + \
+        emb["position"][positions + config.position_offset] + \
+        emb["token_type"][jnp.zeros_like(input_ids)]
+    x = layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
+    x = x.astype(compute_dtype)
+
+    # block-diagonal attention: tokens attend only within their segment
+    masking = ("segment", segment_ids)
+
+    def body(carry, lp):
+        return _encoder_layer(carry, masking, lp, config), None
+
+    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+    x, _ = jax.lax.scan(body, x, layers)
+
+    # segment pooling over the flattened token stream; pad tokens
+    # (seq_index == -1) route to a trash row
+    flat_h = x.reshape(B * S, -1).astype(jnp.float32)
+    flat_idx = seq_index.reshape(B * S)
+    trash = num_sequences
+    flat_idx = jnp.where(flat_idx < 0, trash, flat_idx)
+    if config.pooling == "cls":
+        is_cls = (positions.reshape(B * S) == 0) & (
+            segment_ids.reshape(B * S) > 0)
+        weights = is_cls.astype(jnp.float32)
+    else:
+        weights = (segment_ids.reshape(B * S) > 0).astype(jnp.float32)
+    sums = jax.ops.segment_sum(flat_h * weights[:, None], flat_idx,
+                               num_segments=num_sequences + 1)
+    counts = jax.ops.segment_sum(weights, flat_idx,
+                                 num_segments=num_sequences + 1)
+    pooled = sums[:num_sequences] / jnp.maximum(
+        counts[:num_sequences, None], 1e-9)
+    if config.normalize:
+        pooled = l2_normalize(pooled)
+    return pooled.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("num_sequences", "config", "compute_dtype"))
+def encode_tokens_packed_jit(params, input_ids, segment_ids, positions,
+                             seq_index, num_sequences, config,
+                             compute_dtype=jnp.bfloat16):
+    return encode_tokens_packed(params, input_ids, segment_ids, positions,
+                                seq_index, num_sequences, config,
+                                compute_dtype=compute_dtype)
 
 
 def config_from_hf(hf_config) -> TextEncoderConfig:
