@@ -205,7 +205,8 @@ def build_app(config: Config) -> App:
                                if query.hybridParameters else None),
             model_auth=(query.modelAuth.model_dump()
                         if query.modelAuth else None),
-            expose_facets=query.exposeFacets)
+            expose_facets=query.exposeFacets,
+            reranker=query.reRanker)
 
     @app.post("/indexes/{index_name}/recommend")
     @throttle(RequestType.SEARCH)

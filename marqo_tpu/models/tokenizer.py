@@ -63,7 +63,7 @@ class TextTokenizer:
         tok.pre_tokenizer = BertPreTokenizer()
         tok.post_processor = TemplateProcessing(
             single="[CLS] $A [SEP]",
-            pair="[CLS] $A [SEP] $B [SEP]",
+            pair="[CLS] $A [SEP] $B:1 [SEP]:1",
             special_tokens=[("[CLS]", vocab["[CLS]"]), ("[SEP]", vocab["[SEP]"])],
         )
         return cls(tok, max_length=max_length, pad_id=vocab["[PAD]"])
@@ -88,3 +88,26 @@ class TextTokenizer:
     def max_token_length(self, texts: List[str]) -> int:
         return max((min(len(e.ids), self.max_length)
                     for e in self._tok.encode_batch(list(texts))), default=1)
+
+    def encode_pairs(self, texts_a: List[str], texts_b: List[str],
+                     pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Tokenize (a, b) pairs with token-type ids (cross-encoder input)."""
+        encodings = [self._tok.encode(a, b) for a, b in zip(texts_a, texts_b)]
+        lengths = [min(len(e.ids), self.max_length) for e in encodings]
+        width = pad_to if pad_to is not None else max(lengths or [1])
+        n = len(encodings)
+        ids = np.full((n, width), self.pad_id, dtype=np.int32)
+        mask = np.zeros((n, width), dtype=np.int32)
+        types = np.zeros((n, width), dtype=np.int32)
+        for i, e in enumerate(encodings):
+            L = min(len(e.ids), width)
+            ids[i, :L] = e.ids[:L]
+            mask[i, :L] = 1
+            type_ids = e.type_ids if e.type_ids else [0] * len(e.ids)
+            types[i, :L] = type_ids[:L]
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": types, "lengths": lengths}
+
+    def max_pair_length(self, texts_a: List[str], texts_b: List[str]) -> int:
+        return max((min(len(self._tok.encode(a, b).ids), self.max_length)
+                    for a, b in zip(texts_a, texts_b)), default=1)

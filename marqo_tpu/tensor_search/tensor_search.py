@@ -172,7 +172,9 @@ def search(config: Config, index_name: str,
            text_query_prefix: Optional[str] = None,
            hybrid_parameters: Optional[dict] = None,
            model_auth: Optional[dict] = None,
-           expose_facets: bool = False) -> dict:
+           expose_facets: bool = False,
+           reranker: Optional[str] = None,
+           reranker_properties: Optional[dict] = None) -> dict:
     start = time.perf_counter()
     _validate_pagination(limit, offset)
     method = str(search_method).upper()
@@ -205,6 +207,14 @@ def search(config: Config, index_name: str,
                                 attributes_to_retrieve, device,
                                 show_highlights, text_query_prefix,
                                 hybrid_parameters, model_auth, expose_facets)
+
+    if reranker is not None:
+        # optional cross-encoder rerank (reference tensor_search.py:1619-1637)
+        from marqo_tpu.inference.rerank import rerank_search_results
+        rerank_search_results(result, text if isinstance(text, str) else "",
+                              reranker, device=device,
+                              searchable_attributes=searchable_attributes,
+                              properties=reranker_properties)
 
     result["query"] = text if text is not None else ""
     result["limit"] = limit
