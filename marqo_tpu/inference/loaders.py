@@ -98,6 +98,11 @@ class JaxHFTextModel(EmbeddingModel):
     def load(self) -> None:
         max_len = int(self.properties.get("tokens", 128))
         localpath = self.properties.get("localpath")
+        location = self.properties.get("model_location")
+        if location and not localpath:
+            # private checkpoint via s3/HF auth (reference ModelLocation)
+            from marqo_tpu.inference.model_download import download_model
+            localpath = download_model(location, self.model_auth)
         if localpath:
             self._load_from_dir(localpath, max_len)
         elif self.properties.get("random_init"):
