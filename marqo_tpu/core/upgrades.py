@@ -1,0 +1,93 @@
+"""Versioned upgrade / rollback runners.
+
+Parity: reference src/marqo/upgrades/upgrade.py:31-100 — an UpgradeRunner
+that selects a migration by (from_version, to_version) and applies it, and
+a RollbackRunner for the reverse; plus the app-level settings
+bootstrap/rollback that lives in the settings store
+(core/index_management/settings_store.py, history + rollback).
+
+The 2.13-era reference migrates Vespa app-package layouts; our durable
+state is the versioned settings store, so migrations transform persisted
+index-settings documents.
+"""
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+from marqo_tpu.core.exceptions import ApplicationRollbackError, InternalError
+from marqo_tpu.logging import get_logger
+from marqo_tpu.version import __version__
+
+logger = get_logger(__name__)
+
+# (from_minor, to_minor) -> migration callable(settings_doc) -> settings_doc
+Migration = Callable[[dict], dict]
+_MIGRATIONS: Dict[Tuple[str, str], Migration] = {}
+
+
+def register_migration(from_version: str, to_version: str):
+    def decorator(fn: Migration) -> Migration:
+        _MIGRATIONS[(from_version, to_version)] = fn
+        return fn
+
+    return decorator
+
+
+def _minor(version: str) -> str:
+    return ".".join(version.split("+")[0].split(".")[:2])
+
+
+@register_migration("2.12", "2.13")
+def _migrate_2_12_to_2_13(settings: dict) -> dict:
+    """Example shape migration: 2.13 introduced video/audio preprocessing
+    blocks (reference index settings evolution); default them when absent."""
+    settings = dict(settings)
+    settings.setdefault("video_preprocessing", None)
+    settings.setdefault("audio_preprocessing", None)
+    return settings
+
+
+class UpgradeRunner:
+    """Applies pending migrations to every persisted index-settings doc
+    (reference UpgradeRunner._for_version, upgrade.py:50)."""
+
+    def __init__(self, index_management):
+        self.index_management = index_management
+
+    def upgrade(self) -> dict:
+        store = self.index_management.settings_store
+        from_version = _minor(store.get_marqo_version())
+        to_version = _minor(__version__)
+        if from_version == to_version:
+            return {"from": from_version, "to": to_version, "migrated": 0}
+        migration = _MIGRATIONS.get((from_version, to_version))
+        if migration is None:
+            raise InternalError(
+                f"No upgrade path registered from {from_version} to "
+                f"{to_version}")
+        count = 0
+        for index in self.index_management.get_all_indexes():
+            import json
+            doc = json.loads(index.model_dump_json())
+            migrated = migration(doc)
+            if migrated != doc:
+                from marqo_tpu.core.models.marqo_index import MarqoIndex
+                store.save(MarqoIndex.parse_obj(migrated),
+                           allow_existing=True)
+                count += 1
+        store._config = {"version": __version__}
+        store._persist_config()
+        logger.info(f"Upgraded settings {from_version} -> {to_version} "
+                    f"({count} indexes migrated)")
+        return {"from": from_version, "to": to_version, "migrated": count}
+
+
+class RollbackRunner:
+    """Restores the previous settings version of an index
+    (reference rollback runners + VespaAppBackup semantics)."""
+
+    def __init__(self, index_management):
+        self.index_management = index_management
+
+    def rollback_index(self, index_name: str) -> dict:
+        index = self.index_management.rollback_index(index_name)
+        return {"index": index.name, "version": index.version}

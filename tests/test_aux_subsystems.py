@@ -1,0 +1,252 @@
+"""Unit tests for auxiliary subsystems: vector interpolation, telemetry,
+throttling, settings-store rollback, text chunking, env config."""
+
+import math
+import threading
+
+import numpy as np
+import pytest
+
+from marqo_tpu.api import configs
+from marqo_tpu.api.telemetry import RequestMetrics, RequestMetricsStore
+from marqo_tpu.api.throttling import RequestType, current_concurrency, throttle
+from marqo_tpu.core.exceptions import (InvalidArgumentError,
+                                       ZeroMagnitudeVectorError)
+from marqo_tpu.core.models.marqo_index import (TextPreProcessing,
+                                               TextSplitMethod)
+from marqo_tpu.core.utils.vector_interpolation import (Lerp, Nlerp, Slerp,
+                                                       from_interpolation_method,
+                                                       InterpolationMethod)
+from marqo_tpu.inference.text_chunker import chunk_text, split_sentences
+
+
+class TestVectorInterpolation:
+    def test_lerp_weighted(self):
+        out = Lerp().interpolate([[1, 0], [0, 1]], [3, 1])
+        np.testing.assert_allclose(out, [0.75, 0.25])
+
+    def test_lerp_zero_weights_raises(self):
+        with pytest.raises(InvalidArgumentError):
+            Lerp().interpolate([[1, 0], [0, 1]], [1, -1])
+
+    def test_nlerp_normalizes(self):
+        out = Nlerp().interpolate([[2, 0], [0, 2]], [1, 1])
+        assert abs(np.linalg.norm(out) - 1) < 1e-9
+
+    def test_nlerp_zero_magnitude_raises(self):
+        with pytest.raises(ZeroMagnitudeVectorError):
+            Nlerp().interpolate([[1, 0], [-1, 0]], [1, 1])
+
+    def test_slerp_unit_circle(self):
+        out = Slerp().interpolate([[1, 0], [0, 1]], [1, 1])
+        expected = [math.cos(math.pi / 4), math.sin(math.pi / 4)]
+        np.testing.assert_allclose(out, expected, atol=1e-9)
+
+    def test_slerp_zero_vector_raises(self):
+        with pytest.raises(ZeroMagnitudeVectorError):
+            Slerp().interpolate([[0, 0], [1, 0]], [1, 1])
+
+    def test_slerp_single_vector(self):
+        np.testing.assert_allclose(
+            Slerp().interpolate([[3, 4]]), [3, 4])
+
+    def test_factory(self):
+        assert isinstance(from_interpolation_method(InterpolationMethod.LERP),
+                          Lerp)
+
+    def test_weight_count_mismatch(self):
+        with pytest.raises(InvalidArgumentError):
+            Lerp().interpolate([[1, 0]], [1, 2])
+
+
+class TestTelemetry:
+    def test_timers_and_counters(self):
+        metrics = RequestMetrics()
+        with metrics.time("stage.a"):
+            pass
+        metrics.increment_counter("hits", 3)
+        data = metrics.json()
+        assert "stage.a" in data["timesMs"]
+        assert data["counter"]["hits"] == 3
+
+    def test_thread_scoped_store(self):
+        RequestMetricsStore.set_in_request()
+        RequestMetricsStore.for_request().increment_counter("x")
+        seen = {}
+
+        def other_thread():
+            seen["counters"] = dict(
+                RequestMetricsStore.for_request().counters)
+
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert seen["counters"] == {}  # isolation between threads
+        assert RequestMetricsStore.for_request().counters == {"x": 1}
+        RequestMetricsStore.clear()
+
+    def test_merge_thread_metrics(self):
+        RequestMetricsStore.set_in_request()
+        worker = RequestMetrics()
+        worker.add_time("download", 12.5)
+        worker.increment_counter("images", 2)
+        RequestMetricsStore.merge(worker)
+        merged = RequestMetricsStore.for_request().json()
+        assert merged["timesMs"]["download"] == 12.5
+        assert merged["counter"]["images"] == 2
+        RequestMetricsStore.clear()
+
+
+class TestThrottling:
+    def test_throttle_releases(self):
+        @throttle(RequestType.SEARCH)
+        def op():
+            return current_concurrency(RequestType.SEARCH)
+
+        assert op() == 1
+        assert current_concurrency(RequestType.SEARCH) == 0
+
+    def test_throttle_rejects_at_limit(self, monkeypatch):
+        from marqo_tpu.api.exceptions import TooManyRequestsError
+        monkeypatch.setenv("MARQO_MAX_CONCURRENT_SEARCH", "1")
+        release = threading.Event()
+        started = threading.Event()
+
+        @throttle(RequestType.SEARCH)
+        def blocker():
+            started.set()
+            release.wait(5)
+
+        t = threading.Thread(target=blocker)
+        t.start()
+        started.wait(5)
+
+        @throttle(RequestType.SEARCH)
+        def second():
+            return True
+
+        with pytest.raises(TooManyRequestsError):
+            second()
+        release.set()
+        t.join()
+        assert second() is True
+
+    def test_throttling_disabled(self, monkeypatch):
+        monkeypatch.setenv("MARQO_ENABLE_THROTTLING", "FALSE")
+        monkeypatch.setenv("MARQO_MAX_CONCURRENT_SEARCH", "0")
+
+        @throttle(RequestType.SEARCH)
+        def op():
+            return True
+
+        assert op() is True
+
+
+class TestSettingsRollback:
+    def test_history_and_rollback(self):
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.core.index_management.settings_store import \
+            IndexSettingsStore
+        store = IndexSettingsStore()
+        store.bootstrap()
+        v1 = IndexSettings(model="test").to_marqo_index("idx")
+        store.save(v1)
+        v2 = v1.model_copy(update={"version": 2})
+        store.save(v2, allow_existing=True)
+        assert store.get("idx").version == 2
+        restored = store.rollback("idx")
+        assert restored.version == 1
+
+    def test_rollback_without_history_raises(self):
+        from marqo_tpu.core.exceptions import ApplicationRollbackError
+        from marqo_tpu.core.index_management.settings_store import \
+            IndexSettingsStore
+        store = IndexSettingsStore()
+        store.bootstrap()
+        with pytest.raises(ApplicationRollbackError):
+            store.rollback("nope")
+
+    def test_disk_persistence_roundtrip(self, tmp_path):
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.core.index_management.settings_store import \
+            IndexSettingsStore
+        store = IndexSettingsStore(str(tmp_path))
+        store.bootstrap()
+        store.save(IndexSettings(model="test").to_marqo_index("persisted"))
+        # fresh store instance reads from disk
+        reloaded = IndexSettingsStore(str(tmp_path))
+        assert reloaded.is_initialized()
+        assert reloaded.get("persisted").model.name == "test"
+
+
+class TestTextChunker:
+    def test_sentence_split(self):
+        text = "Hello world. This is Dr. Smith. He works at Acme Inc."
+        sentences = split_sentences(text)
+        assert sentences[0] == "Hello world."
+        assert any("Dr. Smith" in s for s in sentences)
+
+    def test_sentence_chunks_with_overlap(self):
+        config = TextPreProcessing(split_length=2, split_overlap=1,
+                                   split_method=TextSplitMethod.Sentence)
+        chunks = chunk_text("One. Two. Three. Four.", config)
+        assert chunks[0] == "One. Two."
+        assert chunks[1] == "Two. Three."
+
+    def test_word_split(self):
+        config = TextPreProcessing(split_length=3, split_overlap=0,
+                                   split_method=TextSplitMethod.Word)
+        chunks = chunk_text("a b c d e f g", config)
+        assert chunks == ["a b c", "d e f", "g"]
+
+    def test_character_split(self):
+        config = TextPreProcessing(split_length=4, split_overlap=0,
+                                   split_method=TextSplitMethod.Character)
+        assert chunk_text("abcdefgh", config) == ["abcd", "efgh"]
+
+    def test_passage_split(self):
+        config = TextPreProcessing(split_length=1, split_overlap=0,
+                                   split_method=TextSplitMethod.Passage)
+        chunks = chunk_text("Para one.\n\nPara two.", config)
+        assert chunks == ["Para one.", "Para two."]
+
+    def test_empty_text(self):
+        config = TextPreProcessing()
+        assert chunk_text("   ", config) == []
+
+
+class TestEnvConfig:
+    def test_defaults(self):
+        assert configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_CONCURRENT_SEARCH") == 8
+
+    def test_env_override(self, monkeypatch):
+        monkeypatch.setenv("MARQO_MAX_CONCURRENT_SEARCH", "42")
+        assert configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_CONCURRENT_SEARCH") == 42
+
+    def test_bool_parsing(self, monkeypatch):
+        monkeypatch.setenv("MARQO_ENABLE_THROTTLING", "false")
+        assert configs.read_env_vars_and_defaults_bool(
+            "MARQO_ENABLE_THROTTLING") is False
+
+    def test_list_parsing(self, monkeypatch):
+        monkeypatch.setenv("MARQO_MODELS_TO_PRELOAD", '["a", "b"]')
+        assert configs.read_env_vars_and_defaults_list(
+            "MARQO_MODELS_TO_PRELOAD") == ["a", "b"]
+
+    def test_invalid_int_raises(self, monkeypatch):
+        monkeypatch.setenv("MARQO_MAX_CONCURRENT_SEARCH", "nope")
+        with pytest.raises(Exception):
+            configs.read_env_vars_and_defaults_ints(
+                "MARQO_MAX_CONCURRENT_SEARCH")
+
+
+class TestUpgradeRunner:
+    def test_upgrade_noop_same_version(self):
+        from marqo_tpu.config import Config
+        from marqo_tpu.core.upgrades import UpgradeRunner
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        result = UpgradeRunner(cfg.index_management).upgrade()
+        assert result["migrated"] == 0
