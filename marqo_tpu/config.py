@@ -18,8 +18,12 @@ class Config:
     def __init__(self, engine: Optional[StoreEngine] = None,
                  settings_store: Optional[IndexSettingsStore] = None,
                  default_device: Optional[str] = None):
-        n_shards = configs.read_env_vars_and_defaults_ints("MARQO_ENGINE_SHARDS") or 1
-        self.engine = engine or StoreEngine(n_shards=n_shards)
+        if engine is None:
+            # remote engine when MARQO_ENGINE_QUERY_URL is set (reference
+            # external-Vespa mode, run_marqo.sh:38-100); in-process otherwise
+            from marqo_tpu.engine.client import engine_from_env
+            engine = engine_from_env()
+        self.engine = engine
         data_dir = configs.read_env_vars_and_defaults("MARQO_ENGINE_DATA_DIR")
         self.settings_store = settings_store or IndexSettingsStore(data_dir)
         self.index_management = IndexManagement(self.engine, self.settings_store)

@@ -1,0 +1,233 @@
+"""Remote engine client: same interface as StoreEngine, HTTP transport.
+
+Role parity: reference src/marqo/vespa/vespa_client.py — pooled HTTP access
+to the store (query/feed/get/delete/stats; pool sizes per op,
+vespa_client.py:267-296) with batch fan-out on a thread pool. Orchestration
+code is transport-agnostic: Config wires an in-process StoreEngine by
+default and a RemoteStoreEngine when MARQO_ENGINE_QUERY_URL is set — the
+reference's co-deployed-vs-external Vespa split (run_marqo.sh:38-100).
+"""
+
+import concurrent.futures
+from typing import Dict, Iterable, List, Optional, Set, Tuple
+
+import httpx
+
+from marqo_tpu.api import configs
+from marqo_tpu.core.exceptions import (BackendCommunicationError,
+                                       IndexExistsError, IndexNotFoundError)
+from marqo_tpu.core.models.score_modifier import ScoreModifier
+from marqo_tpu.core.search.search_filter import SearchFilter
+from marqo_tpu.engine.descriptor import IndexDescriptor
+from marqo_tpu.engine.store import Hit, QueryResult
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _filter_str(search_filter: Optional[SearchFilter]) -> Optional[str]:
+    return str(search_filter) if search_filter is not None else None
+
+
+def _mods_json(mods: Optional[List[ScoreModifier]]):
+    if not mods:
+        return None
+    return [{"field": m.field, "weight": m.weight, "type": m.type.value}
+            for m in mods]
+
+
+class RemoteStoreEngine:
+    """StoreEngine-compatible facade over an engine shard server."""
+
+    def __init__(self, base_url: str, timeout: float = 10.0,
+                 pool_size: Optional[int] = None):
+        self.base_url = base_url.rstrip("/")
+        self._pool_size = pool_size or 10
+        self._client = httpx.Client(
+            base_url=self.base_url, timeout=timeout,
+            limits=httpx.Limits(max_connections=self._pool_size * 2,
+                                max_keepalive_connections=self._pool_size))
+
+    # -- plumbing --
+
+    def _request(self, method: str, path: str, json_body=None,
+                 params=None) -> dict:
+        try:
+            resp = self._client.request(method, path, json=json_body,
+                                        params=params)
+        except httpx.HTTPError as e:
+            raise BackendCommunicationError(
+                f"Engine request {method} {path} failed: {e}") from e
+        if resp.status_code == 404:
+            body = resp.json()
+            if body.get("code") == "index_not_found":
+                raise IndexNotFoundError(body.get("message", "not found"))
+            return {}
+        if resp.status_code == 409:
+            raise IndexExistsError(resp.json().get("message", "conflict"))
+        if resp.status_code >= 400:
+            raise BackendCommunicationError(
+                f"Engine error {resp.status_code}: {resp.text[:500]}")
+        return resp.json()
+
+    # -- DDL --
+
+    def create_index(self, descriptor: IndexDescriptor) -> None:
+        self._request("POST", "/engine/indexes", descriptor.to_json())
+
+    def update_index(self, descriptor: IndexDescriptor) -> None:
+        self._request("POST", f"/engine/indexes/{descriptor.name}/update",
+                      descriptor.to_json())
+
+    def delete_index(self, name: str) -> None:
+        self._request("DELETE", f"/engine/indexes/{name}")
+
+    def has_index(self, name: str) -> bool:
+        return name in self.list_indexes()
+
+    def list_indexes(self) -> List[str]:
+        return self._request("GET", "/engine/indexes")["indexes"]
+
+    # -- documents --
+
+    def feed(self, index_name: str, doc_id: str, fields: dict,
+             tensors: Optional[dict] = None) -> None:
+        wire_tensors = {}
+        for field, payload in (tensors or {}).items():
+            emb = payload["embeddings"]
+            wire_tensors[field] = {
+                "chunks": payload["chunks"],
+                "embeddings": (emb.tolist() if hasattr(emb, "tolist")
+                               else emb),
+            }
+        self._request("POST", f"/engine/indexes/{index_name}/docs",
+                      {"id": doc_id, "fields": fields,
+                       "tensors": wire_tensors})
+
+    def feed_batch(self, index_name: str, docs: List[dict]) -> List[dict]:
+        """Concurrent batch feed (reference feed_batch semaphore pool,
+        vespa_client.py:267,771)."""
+        results = [None] * len(docs)
+
+        def one(i, doc):
+            try:
+                self.feed(index_name, doc["id"], doc.get("fields", {}),
+                          doc.get("tensors"))
+                return i, {"id": doc["id"], "status": 200}
+            except Exception as e:
+                return i, {"id": doc.get("id"), "status": 500,
+                           "message": str(e)}
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=self._pool_size) as pool:
+            for i, result in pool.map(lambda p: one(*p), enumerate(docs)):
+                results[i] = result
+        return results
+
+    def get(self, index_name: str, doc_id: str) -> Optional[dict]:
+        body = self._request("GET",
+                             f"/engine/indexes/{index_name}/docs/{doc_id}")
+        return body.get("fields")
+
+    def get_tensors(self, index_name: str, doc_id: str) -> Dict[str, list]:
+        body = self._request("GET",
+                             f"/engine/indexes/{index_name}/docs/{doc_id}",
+                             params={"tensors": "true"})
+        return body.get("tensors", {})
+
+    def delete(self, index_name: str, doc_id: str) -> bool:
+        return bool(self._request(
+            "DELETE", f"/engine/indexes/{index_name}/docs/{doc_id}"
+        ).get("found"))
+
+    def delete_all(self, index_name: str) -> int:
+        return int(self._request(
+            "POST", f"/engine/indexes/{index_name}/delete-all")["deleted"])
+
+    def doc_count(self, index_name: str) -> int:
+        return int(self._request(
+            "GET", f"/engine/indexes/{index_name}/stats")["documents"])
+
+    def vector_count(self, index_name: str) -> int:
+        return int(self._request(
+            "GET", f"/engine/indexes/{index_name}/stats")["vectors"])
+
+    # -- queries --
+
+    def _query(self, index_name: str, body: dict) -> QueryResult:
+        data = self._request("POST", f"/engine/indexes/{index_name}/query",
+                             body)
+        hits = [Hit(h["id"], h["score"], h.get("fields", {}),
+                    h.get("highlight"),
+                    h.get("raw_tensor_score"), h.get("raw_lexical_score"))
+                for h in data.get("hits", [])]
+        return QueryResult(hits, data.get("total", len(hits)))
+
+    def query_tensor(self, index_name: str, vector, limit: int,
+                     offset: int = 0, searchable_fields=None,
+                     search_filter=None, score_modifiers=None,
+                     ef_search=None, approximate=True,
+                     attributes_to_retrieve=None,
+                     expose_facets=False) -> QueryResult:
+        vec = vector.tolist() if hasattr(vector, "tolist") else list(vector)
+        return self._query(index_name, {
+            "type": "tensor", "vector": vec, "limit": limit,
+            "offset": offset, "searchable_fields": searchable_fields,
+            "filter": _filter_str(search_filter),
+            "score_modifiers": _mods_json(score_modifiers),
+            "ef_search": ef_search, "approximate": approximate,
+            "attributes_to_retrieve": attributes_to_retrieve,
+            "expose_facets": expose_facets})
+
+    def query_lexical(self, index_name: str, or_phrases, and_phrases,
+                      limit: int, offset: int = 0, searchable_fields=None,
+                      search_filter=None, score_modifiers=None,
+                      attributes_to_retrieve=None,
+                      expose_facets=False) -> QueryResult:
+        return self._query(index_name, {
+            "type": "lexical", "or_phrases": or_phrases,
+            "and_phrases": and_phrases, "limit": limit, "offset": offset,
+            "searchable_fields": searchable_fields,
+            "filter": _filter_str(search_filter),
+            "score_modifiers": _mods_json(score_modifiers),
+            "attributes_to_retrieve": attributes_to_retrieve,
+            "expose_facets": expose_facets})
+
+    def query_hybrid(self, index_name: str, vector, or_phrases, and_phrases,
+                     limit: int, offset: int = 0,
+                     retrieval_method="disjunction", ranking_method="rrf",
+                     alpha=0.5, rrf_k=60, searchable_fields_tensor=None,
+                     searchable_fields_lexical=None, search_filter=None,
+                     score_modifiers_tensor=None,
+                     score_modifiers_lexical=None, ef_search=None,
+                     approximate=True, attributes_to_retrieve=None,
+                     expose_facets=False) -> QueryResult:
+        vec = vector.tolist() if hasattr(vector, "tolist") else list(vector)
+        return self._query(index_name, {
+            "type": "hybrid", "vector": vec, "or_phrases": or_phrases,
+            "and_phrases": and_phrases, "limit": limit, "offset": offset,
+            "retrieval_method": retrieval_method,
+            "ranking_method": ranking_method, "alpha": alpha, "rrf_k": rrf_k,
+            "searchable_fields_tensor": searchable_fields_tensor,
+            "searchable_fields_lexical": searchable_fields_lexical,
+            "filter": _filter_str(search_filter),
+            "score_modifiers_tensor": _mods_json(score_modifiers_tensor),
+            "score_modifiers_lexical": _mods_json(score_modifiers_lexical),
+            "ef_search": ef_search, "approximate": approximate,
+            "attributes_to_retrieve": attributes_to_retrieve,
+            "expose_facets": expose_facets})
+
+    def close(self) -> None:
+        self._client.close()
+
+
+def engine_from_env():
+    """Build the configured engine: remote when MARQO_ENGINE_QUERY_URL is
+    set, in-process otherwise."""
+    url = configs.read_env_vars_and_defaults("MARQO_ENGINE_QUERY_URL")
+    if url:
+        logger.info(f"Using remote engine at {url}")
+        return RemoteStoreEngine(str(url))
+    from marqo_tpu.engine.store import StoreEngine
+    n_shards = configs.read_env_vars_and_defaults_ints("MARQO_ENGINE_SHARDS") or 1
+    return StoreEngine(n_shards=n_shards)

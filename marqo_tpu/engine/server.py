@@ -1,0 +1,186 @@
+"""Engine shard server: the store engine behind an HTTP surface.
+
+Role parity: Vespa's query (:8080 /search/) and document (/document/v1)
+APIs (reference vespa_client.py drives them over HTTP). Running the engine
+as its own process/host enables the reference's deployment shape — API
+replicas in front, content shards behind, DCN between them (SURVEY.md D1) —
+while single-node deployments keep the engine in-process and skip the hop.
+
+Endpoints (JSON):
+  POST /engine/indexes                    {descriptor}
+  PUT  /engine/indexes                    {descriptor}   (update)
+  DELETE /engine/indexes/{name}
+  GET  /engine/indexes
+  POST /engine/indexes/{name}/docs        {id, fields, tensors}
+  GET  /engine/indexes/{name}/docs/{id}   ?tensors=true
+  DELETE /engine/indexes/{name}/docs/{id}
+  POST /engine/indexes/{name}/query       {type: tensor|lexical|hybrid, ...}
+  POST /engine/indexes/{name}/delete-all
+  GET  /engine/indexes/{name}/stats
+  GET  /engine/health
+"""
+
+import json
+from typing import Optional
+
+from marqo_tpu.core.exceptions import (IndexExistsError, IndexNotFoundError,
+                                       InvalidArgumentError)
+from marqo_tpu.core.models.score_modifier import ScoreModifier
+from marqo_tpu.core.search.search_filter import MarqoFilterStringParser
+from marqo_tpu.engine.descriptor import IndexDescriptor
+from marqo_tpu.engine.store import StoreEngine
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _parse_filter(raw: Optional[str]):
+    return MarqoFilterStringParser().parse(raw) if raw else None
+
+
+def _parse_mods(raw):
+    if not raw:
+        return None
+    return [ScoreModifier(**m) for m in raw]
+
+
+def _hit_json(hit) -> dict:
+    return {
+        "id": hit.doc_id,
+        "score": hit.score,
+        "fields": hit.fields,
+        "highlight": hit.highlight,
+        "raw_tensor_score": hit.raw_tensor_score,
+        "raw_lexical_score": hit.raw_lexical_score,
+    }
+
+
+def build_engine_app(engine: StoreEngine):
+    """Mount engine routes on our stdlib HTTP framework."""
+    from marqo_tpu.api.http_framework import App, Request, Response
+
+    app = App(title="marqo-tpu-engine")
+
+    from marqo_tpu.api import exceptions as api_exceptions
+    app.map_exception(IndexExistsError,
+                      lambda e: api_exceptions.IndexAlreadyExistsError(e.message))
+    app.map_exception(IndexNotFoundError,
+                      lambda e: api_exceptions.IndexNotFoundError(e.message))
+    app.map_exception(InvalidArgumentError,
+                      lambda e: api_exceptions.InvalidArgError(e.message))
+
+    @app.get("/engine/health")
+    def health(request: Request):
+        return {"status": "green", "indexes": len(engine.list_indexes())}
+
+    @app.post("/engine/indexes")
+    def create_index(request: Request):
+        engine.create_index(IndexDescriptor.from_json(request.body))
+        return {"acknowledged": True}
+
+    @app.get("/engine/indexes")
+    def list_indexes(request: Request):
+        return {"indexes": engine.list_indexes()}
+
+    @app.delete("/engine/indexes/{name}")
+    def delete_index(request: Request):
+        engine.delete_index(request.path_params["name"])
+        return {"acknowledged": True}
+
+    @app.post("/engine/indexes/{name}/update")
+    def update_index(request: Request):
+        engine.update_index(IndexDescriptor.from_json(request.body))
+        return {"acknowledged": True}
+
+    @app.post("/engine/indexes/{name}/docs")
+    def feed(request: Request):
+        body = request.body
+        engine.feed(request.path_params["name"], body["id"],
+                    body.get("fields", {}), body.get("tensors"))
+        return {"id": body["id"], "status": 200}
+
+    @app.get("/engine/indexes/{name}/docs/{doc_id}")
+    def get_doc(request: Request):
+        name = request.path_params["name"]
+        doc_id = request.path_params["doc_id"]
+        doc = engine.get(name, doc_id)
+        if doc is None:
+            from marqo_tpu.api.exceptions import DocumentNotFoundError
+            raise DocumentNotFoundError(f"Document {doc_id} not found")
+        result = {"id": doc_id, "fields": doc}
+        if request.query_flag("tensors"):
+            result["tensors"] = engine.get_tensors(name, doc_id)
+        return result
+
+    @app.delete("/engine/indexes/{name}/docs/{doc_id}")
+    def delete_doc(request: Request):
+        found = engine.delete(request.path_params["name"],
+                              request.path_params["doc_id"])
+        return {"found": found}
+
+    @app.post("/engine/indexes/{name}/delete-all")
+    def delete_all(request: Request):
+        return {"deleted": engine.delete_all(request.path_params["name"])}
+
+    @app.get("/engine/indexes/{name}/stats")
+    def stats(request: Request):
+        name = request.path_params["name"]
+        return {"documents": engine.doc_count(name),
+                "vectors": engine.vector_count(name)}
+
+    @app.post("/engine/indexes/{name}/query")
+    def query(request: Request):
+        name = request.path_params["name"]
+        body = request.body or {}
+        qtype = body.get("type", "tensor")
+        common = dict(
+            limit=int(body.get("limit", 10)),
+            offset=int(body.get("offset", 0)),
+            search_filter=_parse_filter(body.get("filter")),
+            attributes_to_retrieve=body.get("attributes_to_retrieve"),
+            expose_facets=bool(body.get("expose_facets", False)),
+        )
+        if qtype == "tensor":
+            res = engine.query_tensor(
+                name, body["vector"],
+                searchable_fields=body.get("searchable_fields"),
+                score_modifiers=_parse_mods(body.get("score_modifiers")),
+                ef_search=body.get("ef_search"),
+                approximate=bool(body.get("approximate", True)), **common)
+        elif qtype == "lexical":
+            res = engine.query_lexical(
+                name, body.get("or_phrases", []), body.get("and_phrases", []),
+                searchable_fields=body.get("searchable_fields"),
+                score_modifiers=_parse_mods(body.get("score_modifiers")),
+                **common)
+        elif qtype == "hybrid":
+            res = engine.query_hybrid(
+                name, body.get("vector", []),
+                body.get("or_phrases", []), body.get("and_phrases", []),
+                retrieval_method=body.get("retrieval_method", "disjunction"),
+                ranking_method=body.get("ranking_method", "rrf"),
+                alpha=float(body.get("alpha", 0.5)),
+                rrf_k=int(body.get("rrf_k", 60)),
+                searchable_fields_tensor=body.get("searchable_fields_tensor"),
+                searchable_fields_lexical=body.get("searchable_fields_lexical"),
+                score_modifiers_tensor=_parse_mods(
+                    body.get("score_modifiers_tensor")),
+                score_modifiers_lexical=_parse_mods(
+                    body.get("score_modifiers_lexical")),
+                ef_search=body.get("ef_search"),
+                approximate=bool(body.get("approximate", True)), **common)
+        else:
+            raise InvalidArgumentError(f"Unknown query type `{qtype}`")
+        return {"total": res.total, "hits": [_hit_json(h) for h in res.hits]}
+
+    return app
+
+
+def main(host: str = "0.0.0.0", port: int = 8080, n_shards: int = 1):
+    from marqo_tpu.api.http_framework import serve
+    engine = StoreEngine(n_shards=n_shards)
+    serve(build_engine_app(engine), host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Remote engine transport: shard server + client over real HTTP, and the
+full API stack running against a remote engine."""
+
+import numpy as np
+import pytest
+
+from marqo_tpu.api.http_framework import serve
+from marqo_tpu.core.search.search_filter import MarqoFilterStringParser
+from marqo_tpu.engine.client import RemoteStoreEngine
+from marqo_tpu.engine.descriptor import IndexDescriptor
+from marqo_tpu.engine.server import build_engine_app
+from marqo_tpu.engine.store import StoreEngine
+
+PORT = 18080
+
+
+@pytest.fixture(scope="module")
+def remote():
+    backend = StoreEngine(n_shards=2)
+    server = serve(build_engine_app(backend), host="127.0.0.1", port=PORT,
+                   background=True)
+    client = RemoteStoreEngine(f"http://127.0.0.1:{PORT}")
+    yield client
+    client.close()
+    server.shutdown()
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float32)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+class TestRemoteEngine:
+    def test_ddl_roundtrip(self, remote):
+        remote.create_index(IndexDescriptor(name="r-idx", model_dimensions=4))
+        assert remote.has_index("r-idx")
+        from marqo_tpu.core.exceptions import IndexExistsError
+        with pytest.raises(IndexExistsError):
+            remote.create_index(IndexDescriptor(name="r-idx",
+                                                model_dimensions=4))
+
+    def test_feed_get_query(self, remote):
+        remote.feed("r-idx", "a", {"title": "red apple", "price": 5},
+                    {"title": {"chunks": ["red apple"],
+                               "embeddings": [_unit([1, 0, 0, 0])]}})
+        remote.feed("r-idx", "b", {"title": "green pear", "price": 10},
+                    {"title": {"chunks": ["green pear"],
+                               "embeddings": [_unit([0, 1, 0, 0])]}})
+        assert remote.doc_count("r-idx") == 2
+        assert remote.get("r-idx", "a")["title"] == "red apple"
+        assert remote.get("r-idx", "missing") is None
+
+        res = remote.query_tensor("r-idx", _unit([1, 0, 0, 0]), limit=2)
+        assert res.hits[0].doc_id == "a"
+        assert res.hits[0].highlight == {"title": "red apple"}
+
+        res = remote.query_lexical("r-idx", ["pear"], [], limit=5)
+        assert res.hits[0].doc_id == "b"
+
+        res = remote.query_hybrid("r-idx", _unit([1, 0, 0, 0]),
+                                  ["red"], [], limit=5)
+        assert res.hits[0].doc_id == "a"
+
+    def test_filter_over_wire(self, remote):
+        f = MarqoFilterStringParser().parse("price:[6 TO 20]")
+        res = remote.query_tensor("r-idx", _unit([1, 0, 0, 0]), limit=5,
+                                  search_filter=f)
+        assert [h.doc_id for h in res.hits] == ["b"]
+
+    def test_tensors_roundtrip(self, remote):
+        tensors = remote.get_tensors("r-idx", "a")
+        assert tensors["title"][0]["chunk"] == "red apple"
+        assert len(tensors["title"][0]["embedding"]) == 4
+
+    def test_feed_batch_concurrent(self, remote):
+        docs = [{"id": f"batch{i}", "fields": {"n": i}} for i in range(20)]
+        results = remote.feed_batch("r-idx", docs)
+        assert all(r["status"] == 200 for r in results)
+        assert remote.doc_count("r-idx") >= 22
+
+    def test_delete(self, remote):
+        assert remote.delete("r-idx", "batch0") is True
+        assert remote.delete("r-idx", "batch0") is False
+
+
+class TestFullStackOverRemoteEngine:
+    def test_search_through_remote_engine(self, remote, monkeypatch):
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.config import Config
+        from marqo_tpu.core.models.add_docs_params import AddDocsParams
+        from marqo_tpu.inference import vectorise as inference
+        from marqo_tpu.tensor_search import tensor_search
+
+        inference.clear_loaded_models()
+        cfg = Config(engine=remote)
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="test").to_marqo_index("remote-full"))
+        cfg.index_meta_cache.populate()
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="remote-full",
+            docs=[{"_id": "1", "text": "hello world"},
+                  {"_id": "2", "text": "goodbye moon"}],
+            tensor_fields=["text"]))
+        assert res["errors"] is False, res["items"]
+        out = tensor_search.search(cfg, "remote-full", text="hello world")
+        assert out["hits"][0]["_id"] == "1"
+        inference.clear_loaded_models()
