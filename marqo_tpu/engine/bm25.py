@@ -99,3 +99,71 @@ class Bm25FieldIndex:
             if not result:
                 return set()
         return result or set()
+
+
+class NativeBm25FieldIndex:
+    """C++ BM25 field index (engine/cpp/bm25.cpp) behind the same
+    interface as Bm25FieldIndex, with true positional phrase matching.
+    Doc ids are strings at this layer; int handles internally."""
+
+    def __init__(self):
+        from marqo_tpu.engine.native import NativeBm25
+        self._native = NativeBm25()
+        self._handle_by_doc: Dict[str, int] = {}
+        self._doc_by_handle: Dict[int, str] = {}
+        self._next_handle = 0
+
+    def add(self, doc_id: str, text: str) -> None:
+        handle = self._handle_by_doc.get(doc_id)
+        if handle is None:
+            handle = self._next_handle
+            self._next_handle += 1
+            self._handle_by_doc[doc_id] = handle
+            self._doc_by_handle[handle] = doc_id
+        self._native.add(handle, " ".join(tokenize(text)))
+
+    def remove(self, doc_id: str) -> None:
+        handle = self._handle_by_doc.pop(doc_id, None)
+        if handle is not None:
+            self._doc_by_handle.pop(handle, None)
+            self._native.remove(handle)
+
+    @property
+    def num_docs(self) -> int:
+        return len(self._native)
+
+    def idf(self, term: str) -> float:
+        return self._native.idf(term)
+
+    def score_terms(self, terms: List[str],
+                    allowed: Optional[Set[str]] = None) -> Dict[str, float]:
+        import numpy as np
+        mask = None
+        if allowed is not None:
+            mask = np.zeros(max(self._next_handle, 1), dtype=np.uint8)
+            for doc_id in allowed:
+                handle = self._handle_by_doc.get(doc_id)
+                if handle is not None:
+                    mask[handle] = 1
+        docs, scores = self._native.score(" ".join(terms), mask)
+        return {self._doc_by_handle[int(h)]: float(s)
+                for h, s in zip(docs, scores) if int(h) in self._doc_by_handle}
+
+    def docs_with_phrase(self, phrase: str) -> Set[str]:
+        tokens = tokenize(phrase)
+        if not tokens:
+            return set(self._handle_by_doc)
+        handles = self._native.phrase_docs(" ".join(tokens))
+        return {self._doc_by_handle[int(h)] for h in handles
+                if int(h) in self._doc_by_handle}
+
+
+def make_field_index():
+    """Factory: native BM25 when the C++ engine is built, else Python."""
+    try:
+        from marqo_tpu.engine.native import native_available
+        if native_available():
+            return NativeBm25FieldIndex()
+    except Exception:
+        pass
+    return Bm25FieldIndex()

@@ -86,6 +86,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hnsw_load.restype = ctypes.c_void_p
         lib.hnsw_load.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                   ctypes.c_int64]
+        # bm25
+        lib.bm25_create.restype = ctypes.c_void_p
+        lib.bm25_free.argtypes = [ctypes.c_void_p]
+        lib.bm25_add.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                 ctypes.c_char_p]
+        lib.bm25_remove.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.bm25_num_docs.restype = ctypes.c_int32
+        lib.bm25_num_docs.argtypes = [ctypes.c_void_p]
+        lib.bm25_score.restype = ctypes.c_int
+        lib.bm25_score.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32]
+        lib.bm25_phrase_docs.restype = ctypes.c_int
+        lib.bm25_phrase_docs.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.bm25_idf.restype = ctypes.c_float
+        lib.bm25_idf.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         _lib = lib
         logger.info("Native engine loaded (libmarqo_engine.so)")
         return _lib
@@ -171,6 +191,66 @@ class NativeHnsw:
         try:
             if getattr(self, "_handle", None):
                 self._lib.hnsw_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+
+class NativeBm25:
+    """One BM25 field index over int32 doc handles. Not thread-safe;
+    callers hold the shard lock. Tokens must be pre-normalized,
+    space-separated (the engine tokenizer guarantees this)."""
+
+    MAX_RESULTS = 65536
+
+    def __init__(self):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        self._lib = lib
+        self._handle = lib.bm25_create()
+
+    def add(self, doc: int, tokens: str) -> None:
+        self._lib.bm25_add(self._handle, doc, tokens.encode("utf-8"))
+
+    def remove(self, doc: int) -> None:
+        self._lib.bm25_remove(self._handle, doc)
+
+    def __len__(self) -> int:
+        return self._lib.bm25_num_docs(self._handle)
+
+    def score(self, terms: str, allowed_mask: Optional[np.ndarray] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        out_docs = np.empty(self.MAX_RESULTS, dtype=np.int32)
+        out_scores = np.empty(self.MAX_RESULTS, dtype=np.float32)
+        mask_ptr, mask_len = None, 0
+        if allowed_mask is not None:
+            allowed_mask = np.ascontiguousarray(allowed_mask, dtype=np.uint8)
+            mask_ptr = allowed_mask.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8))
+            mask_len = len(allowed_mask)
+        n = self._lib.bm25_score(
+            self._handle, terms.encode("utf-8"), mask_ptr, mask_len,
+            out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.MAX_RESULTS)
+        return out_docs[:n].copy(), out_scores[:n].copy()
+
+    def phrase_docs(self, phrase: str) -> np.ndarray:
+        out = np.empty(self.MAX_RESULTS, dtype=np.int32)
+        n = self._lib.bm25_phrase_docs(
+            self._handle, phrase.encode("utf-8"),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.MAX_RESULTS)
+        return out[:n].copy()
+
+    def idf(self, term: str) -> float:
+        return float(self._lib.bm25_idf(self._handle, term.encode("utf-8")))
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.bm25_free(self._handle)
                 self._handle = None
         except Exception:
             pass

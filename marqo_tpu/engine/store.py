@@ -27,7 +27,7 @@ from marqo_tpu.core.exceptions import (IndexExistsError, IndexNotFoundError,
 from marqo_tpu.core.models.score_modifier import (ScoreModifier,
                                                   ScoreModifierType)
 from marqo_tpu.core.search.search_filter import SearchFilter
-from marqo_tpu.engine.bm25 import Bm25FieldIndex, tokenize
+from marqo_tpu.engine.bm25 import Bm25FieldIndex, make_field_index, tokenize
 from marqo_tpu.engine.descriptor import IndexDescriptor
 from marqo_tpu.engine.filter_eval import evaluate_node
 
@@ -212,7 +212,7 @@ class _Shard:
 
     def _lexical_index(self, field: str) -> Bm25FieldIndex:
         if field not in self.lexical:
-            self.lexical[field] = Bm25FieldIndex()
+            self.lexical[field] = make_field_index()
         return self.lexical[field]
 
     def _is_lexical_field(self, field: str, value: Any) -> bool:
