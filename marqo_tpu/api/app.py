@@ -164,6 +164,14 @@ def build_app(config: Config) -> App:
             request.path_params["index_name"])
         return IndexSettings.from_marqo_index(index)
 
+    @app.get("/indexes/{index_name}/settings/history")
+    def get_settings_history(request: Request):
+        """Settings version history (reference Vespa IndexSettings Java
+        component serves history at /index-settings/*)."""
+        name = request.path_params["index_name"]
+        config.index_management.get_index(name)  # 404 when missing
+        return {"history": config.settings_store.get_history(name)}
+
     @app.post("/validate/index/{index_name}")
     def schema_validation(request: Request):
         index_name = request.path_params["index_name"]
@@ -397,6 +405,7 @@ def on_start(config: Config) -> None:
     os.environ["MARQO_BEST_AVAILABLE_DEVICE"] = best
     logger.info(f"Best available device: {best}")
     # 4. model pre-warming (reference CacheModels: timed warmup vectorise)
+    #    + compile-bucket warmup so query p50 never pays an XLA compile
     for model_name in configs.read_env_vars_and_defaults_list(
             "MARQO_MODELS_TO_PRELOAD"):
         try:
@@ -406,6 +415,14 @@ def on_start(config: Config) -> None:
                                         "modelProperties"))
             else:
                 inference.vectorise(model_name, ["warmup"])
+            for entry in inference._available_models.values():
+                model = entry["model"]
+                if hasattr(model, "warmup") and not getattr(
+                        model, "_warmed", False):
+                    shapes = model.warmup()
+                    model._warmed = True
+                    logger.info(f"Warmed {shapes} compile buckets for "
+                                f"{model.model_name}")
             logger.info(f"Pre-warmed model {model_name}")
         except Exception as e:
             logger.warning(f"Could not pre-warm model {model_name}: {e}")

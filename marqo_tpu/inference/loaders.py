@@ -240,6 +240,34 @@ class JaxHFTextModel(EmbeddingModel):
     def memory_bytes(self) -> int:
         return self._param_bytes
 
+    def warmup(self, shapes: Optional[List[List[int]]] = None) -> int:
+        """Pre-compile the hot (batch, seq) buckets so serving latency never
+        pays a first-hit XLA compile (reference CacheModels runs timed
+        warmup vectorise at startup, on_start_script.py:124-195; on TPU the
+        compile cache is the thing to warm). Returns #shapes compiled."""
+        if shapes is None:
+            from marqo_tpu.api import configs
+            raw = configs.read_env_vars_and_defaults("MARQO_TPU_WARMUP_SHAPES")
+            if raw:
+                import json as _json
+                shapes = _json.loads(raw) if isinstance(raw, str) else raw
+            else:
+                # query path (batch 1, all seq buckets) + the ingest shape
+                from marqo_tpu.inference.batching import seq_buckets
+                shapes = [[1, s] for s in seq_buckets()[:4]] + [[256, 128]]
+        count = 0
+        for batch, seq in shapes:
+            seq = min(seq, self.tokenizer.max_length)
+            ids = jnp.zeros((batch, seq), dtype=jnp.int32)
+            mask = jnp.ones((batch, seq), dtype=jnp.int32)
+            out = encode_tokens_jit(
+                self.params, jax.device_put(ids, self._jdevice),
+                jax.device_put(mask, self._jdevice), self.config,
+                compute_dtype=self.compute_dtype)
+            np.asarray(out[:1, :1])  # force compile+execute
+            count += 1
+        return count
+
 
 class TestModel(JaxHFTextModel):
     """Tiny real JAX encoder for orchestration tests (reference ships
