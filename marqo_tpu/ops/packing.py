@@ -36,13 +36,16 @@ class PackedBatch:
         self.n_sequences = n_sequences
 
 
+MAX_SEGMENTS_PER_ROW = 15  # one-hot width cap for the fold-in mask trick
+
+
 def pack_sequences(sequences: List[List[int]], seq_len: int,
                    pad_id: int = 0,
                    row_bucket: int = 8) -> PackedBatch:
     """Greedy first-fit-decreasing packing of token id lists into rows of
     width ``seq_len``. Sequences longer than seq_len are truncated. The row
     count is padded up to a multiple of ``row_bucket`` to bound the compile
-    cache.
+    cache. At most MAX_SEGMENTS_PER_ROW sequences share a row.
     """
     n = len(sequences)
     order = sorted(range(n), key=lambda i: -len(sequences[i]))
@@ -52,7 +55,7 @@ def pack_sequences(sequences: List[List[int]], seq_len: int,
         ids = sequences[i][:seq_len]
         placed = False
         for r in range(len(rows)):
-            if space[r] >= len(ids):
+            if space[r] >= len(ids) and len(rows[r]) < MAX_SEGMENTS_PER_ROW:
                 rows[r].append((i, ids))
                 space[r] -= len(ids)
                 placed = True
