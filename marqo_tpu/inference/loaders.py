@@ -128,9 +128,9 @@ class JaxHFTextModel(EmbeddingModel):
         hf_cfg = AutoConfig.from_pretrained(path)
         self.config = self._finalize_config(config_from_hf(hf_cfg))
         state_dict = _load_state_dict(path)
-        self.params = jax.device_put(
+        self.params = jax.device_put(self._maybe_quantize(
             params_from_torch_state_dict(state_dict, self.config,
-                                         dtype=self.compute_dtype),
+                                         dtype=self.compute_dtype)),
             self._jdevice)
         self.tokenizer = TextTokenizer.from_pretrained(path, max_length=max_len)
 
@@ -139,9 +139,9 @@ class JaxHFTextModel(EmbeddingModel):
         hf_cfg = AutoConfig.from_pretrained(repo)
         self.config = self._finalize_config(config_from_hf(hf_cfg))
         torch_model = AutoModel.from_pretrained(repo)
-        self.params = jax.device_put(
+        self.params = jax.device_put(self._maybe_quantize(
             params_from_torch_state_dict(torch_model.state_dict(), self.config,
-                                         dtype=self.compute_dtype),
+                                         dtype=self.compute_dtype)),
             self._jdevice)
         del torch_model
         self.tokenizer = TextTokenizer.from_pretrained(repo, max_length=max_len)
@@ -158,14 +158,31 @@ class JaxHFTextModel(EmbeddingModel):
         ))
         seed = int.from_bytes(
             hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
-        params = init_params(self.config, jax.random.PRNGKey(seed),
-                             dtype=self.compute_dtype)
+        params = self._maybe_quantize(
+            init_params(self.config, jax.random.PRNGKey(seed),
+                        dtype=self.compute_dtype))
         self.params = jax.device_put(params, self._jdevice)
         self.tokenizer = TextTokenizer.build_test_wordpiece(max_length=max_len)
 
     def _finalize_config(self, config: TextEncoderConfig) -> TextEncoderConfig:
         from dataclasses import replace
-        return replace(config, pooling=self._pooling(), normalize=False)
+        return replace(config, pooling=self._pooling(), normalize=False,
+                       quantize=self._use_quantization())
+
+    def _use_quantization(self) -> bool:
+        """int8 W8A8 opt-in: model_properties.quantize or
+        MARQO_TPU_QUANTIZE=int8 (ops/quant.py; ~0.99+ cosine vs fp)."""
+        if "quantize" in self.properties:
+            return bool(self.properties["quantize"])
+        from marqo_tpu.api import configs
+        return str(configs.read_env_vars_and_defaults("MARQO_TPU_QUANTIZE")
+                   or "").lower() == "int8"
+
+    def _maybe_quantize(self, params: dict) -> dict:
+        if self.config is not None and self.config.quantize:
+            from marqo_tpu.models.bert import quantize_encoder_params
+            return quantize_encoder_params(params)
+        return params
 
     # --- encoding --------------------------------------------------------
 

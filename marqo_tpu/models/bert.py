@@ -50,6 +50,9 @@ class TextEncoderConfig:
     # XLM-R/RoBERTa offset position ids by pad_token_id+1 (padding_idx=1)
     position_offset: int = 0
     attention_impl: str = "xla"  # "xla" | "pallas"
+    # W8A8 int8 linear layers (ops/quant.py): ~1.5-2x throughput on v5e,
+    # small cosine drift — opt-in
+    quantize: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -89,6 +92,30 @@ def init_params(config: TextEncoderConfig, rng: jax.Array,
     return {"embeddings": emb, "layers": layers}
 
 
+_QUANTIZED_WEIGHT_NAMES = ("q_w", "k_w", "v_w", "o_w", "ffn_w1", "ffn_w2")
+
+
+def _cast_layers(layers: dict, dtype) -> dict:
+    """Cast float layer params to the compute dtype; int8 quantized values
+    (``*_q``) and their fp32 scales (``*_s``) pass through untouched."""
+    return {key: (value if key.endswith(("_q", "_s"))
+                  else value.astype(dtype))
+            for key, value in layers.items()}
+
+
+def quantize_encoder_params(params: dict) -> dict:
+    """Replace the six linear weights per layer with int8 values +
+    per-out-channel scales (ops/quant.py). Pair with
+    ``TextEncoderConfig(quantize=True)``."""
+    from marqo_tpu.ops.quant import quantize_stacked_weight
+    layers = dict(params["layers"])
+    for name in _QUANTIZED_WEIGHT_NAMES:
+        q, scale = quantize_stacked_weight(layers.pop(name))
+        layers[name + "_q"] = q
+        layers[name + "_s"] = scale
+    return {"embeddings": params["embeddings"], "layers": layers}
+
+
 def _encoder_layer(x: jax.Array, masking: tuple, lp: dict,
                    config: TextEncoderConfig) -> jax.Array:
     """One post-LN transformer block. x: (B, S, H).
@@ -99,13 +126,23 @@ def _encoder_layer(x: jax.Array, masking: tuple, lp: dict,
     N, D = config.num_heads, config.head_dim
     mode, mask_data = masking
 
-    def proj(w, b):
-        return (jnp.einsum("bsh,hd->bsd", x, w) + b).reshape(
+    if config.quantize:
+        from marqo_tpu.ops.quant import int8_linear
+
+        def linear(x_in, name, bias_name):
+            return int8_linear(x_in, lp[name + "_q"], lp[name + "_s"][0],
+                               lp[bias_name], out_dtype=x.dtype)
+    else:
+        def linear(x_in, name, bias_name):
+            return jnp.einsum("bsh,hd->bsd", x_in, lp[name]) + lp[bias_name]
+
+    def proj(name, bias_name):
+        return linear(x, name, bias_name).reshape(
             B, S, N, D).transpose(0, 2, 1, 3)
 
-    q = proj(lp["q_w"], lp["q_b"])
-    k = proj(lp["k_w"], lp["k_b"])
-    v = proj(lp["v_w"], lp["v_b"])
+    q = proj("q_w", "q_b")
+    k = proj("k_w", "k_b")
+    v = proj("v_w", "v_b")
 
     use_pallas = config.attention_impl == "pallas"
     if use_pallas:
@@ -140,13 +177,13 @@ def _encoder_layer(x: jax.Array, masking: tuple, lp: dict,
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         ctx = jnp.einsum("bnst,bntd->bnsd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
-    attn_out = jnp.einsum("bsh,hd->bsd", ctx, lp["o_w"]) + lp["o_b"]
+    attn_out = linear(ctx, "o_w", "o_b")
     x = layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                    config.layer_norm_eps)
 
     act = ACTIVATIONS[config.hidden_act]
-    h = act(jnp.einsum("bsh,hi->bsi", x, lp["ffn_w1"]) + lp["ffn_b1"])
-    ffn_out = jnp.einsum("bsi,ih->bsh", h, lp["ffn_w2"]) + lp["ffn_b2"]
+    h = act(linear(x, "ffn_w1", "ffn_b1"))
+    ffn_out = linear(h, "ffn_w2", "ffn_b2")
     return layer_norm(x + ffn_out, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
                       config.layer_norm_eps)
 
@@ -173,7 +210,7 @@ def encode_tokens(params: dict, input_ids: jax.Array,
     def body(carry, lp):
         return _encoder_layer(carry, masking, lp, config), None
 
-    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+    layers = _cast_layers(params["layers"], compute_dtype)
     x, _ = jax.lax.scan(body, x, layers)
 
     if config.pooling == "cls":
@@ -217,7 +254,7 @@ def encode_tokens_packed(params: dict, input_ids: jax.Array,
     def body(carry, lp):
         return _encoder_layer(carry, masking, lp, config), None
 
-    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+    layers = _cast_layers(params["layers"], compute_dtype)
     x, _ = jax.lax.scan(body, x, layers)
 
     # segment pooling over the flattened token stream; pad tokens

@@ -53,8 +53,8 @@ def cross_encoder_scores(params, input_ids, attention_mask, token_type_ids,
     def body(carry, lp):
         return _encoder_layer(carry, masking, lp, config), None
 
-    layers = jax.tree.map(lambda a: a.astype(compute_dtype),
-                          params["encoder"]["layers"])
+    from marqo_tpu.models.bert import _cast_layers
+    layers = _cast_layers(params["encoder"]["layers"], compute_dtype)
     x, _ = jax.lax.scan(body, x, layers)
 
     cls = x[:, 0, :].astype(jnp.float32)
