@@ -51,6 +51,10 @@ class Embed:
         embeddings: List[List[float]] = []
         for item in items:
             if isinstance(item, str):
+                if self._is_image_pointer(index, item):
+                    embeddings.append(self._embed_image(index, item, device,
+                                                        model_auth))
+                    continue
                 vectors = inference.vectorise(
                     model_name=index.model.name,
                     content=[prefix + item],
@@ -90,3 +94,26 @@ class Embed:
             "embeddings": embeddings,
             "processingTimeMs": (time.perf_counter() - start) * 1000,
         }
+
+    @staticmethod
+    def _is_image_pointer(index, item: str) -> bool:
+        from marqo_tpu.inference.types import Modality
+        from marqo_tpu.tensor_search.add_docs import (infer_modality,
+                                                      is_media_pointer)
+        return (getattr(index, "treat_urls_and_pointers_as_images", False)
+                and is_media_pointer(item)
+                and infer_modality(item) == Modality.IMAGE)
+
+    @staticmethod
+    def _embed_image(index, pointer: str, device, model_auth) -> List[float]:
+        from marqo_tpu.inference.types import Modality
+        from marqo_tpu.ops.image_ops import host_decode
+        from marqo_tpu.tensor_search.add_docs import fetch_content
+        image = host_decode(fetch_content(pointer))
+        vectors = inference.vectorise(
+            model_name=index.model.name, content=[image],
+            model_properties=(index.model.properties
+                              if index.model.custom else None),
+            device=device, normalize_embeddings=index.normalize_embeddings,
+            model_auth=model_auth, modality=Modality.IMAGE)
+        return vectors[0]

@@ -170,6 +170,34 @@ def _open_clip_models() -> Dict[str, dict]:
         ("xlm-roberta-large-ViT-H-14", "frozen_laion5b_s13b_b90k", 1024, 224),
         ("coca_ViT-B-32", "laion2b_s13b_b90k", 512, 224),
         ("coca_ViT-L-14", "laion2b_s13b_b90k", 768, 224),
+        ("ViT-B-32-quickgelu", "laion400m_e31", 512, 224),
+        ("ViT-B-32-quickgelu", "laion400m_e32", 512, 224),
+        ("ViT-B-32-quickgelu", "openai", 512, 224),
+        ("ViT-B-16-plus-240", "laion400m_e31", 640, 240),
+        ("ViT-B-16-plus-240", "laion400m_e32", 640, 240),
+        ("ViT-B-16-quickgelu", "openai", 512, 224),
+        ("ViT-L-14", "openai", 768, 224),
+        ("ViT-L-14-quickgelu", "openai", 768, 224),
+        ("RN50", "openai", 1024, 224),
+        ("RN50", "yfcc15m", 1024, 224),
+        ("RN50", "cc12m", 1024, 224),
+        ("RN50-quickgelu", "openai", 1024, 224),
+        ("RN101", "openai", 512, 224),
+        ("RN101", "yfcc15m", 512, 224),
+        ("RN50x4", "openai", 640, 288),
+        ("RN50x16", "openai", 768, 384),
+        ("RN50x64", "openai", 1024, 448),
+        ("convnext_base", "laion400m_s13b_b51k", 512, 224),
+        ("convnext_base_w", "laion2b_s13b_b82k", 640, 256),
+        ("convnext_large_d", "laion2b_s26b_b102k_augreg", 768, 256),
+        ("convnext_xxlarge", "laion2b_s34b_b82k_augreg", 1024, 256),
+        ("EVA02-B-16", "merged2b_s8b_b131k", 512, 224),
+        ("EVA02-L-14", "merged2b_s4b_b131k", 768, 224),
+        ("EVA02-L-14-336", "merged2b_s6b_b61k", 768, 336),
+        ("ViT-SO400M-14-SigLIP", "webli", 1152, 224),
+        ("ViT-SO400M-14-SigLIP-384", "webli", 1152, 384),
+        ("ViT-B-16-SigLIP", "webli", 768, 224),
+        ("ViT-L-16-SigLIP-256", "webli", 1024, 256),
     ]
     out = {}
     for arch, pretrained, dims, size in entries:
@@ -180,6 +208,39 @@ def _open_clip_models() -> Dict[str, dict]:
         "Marqo/marqo-fashionCLIP", 512, "marqo", 224)
     out["Marqo/marqo-fashionSigLIP"] = _open_clip(
         "Marqo/marqo-fashionSigLIP", 768, "marqo", 224)
+    return out
+
+
+def _fp16_clip_models() -> Dict[str, dict]:
+    """Reference fp16-CLIP variants (clip_utils.py:495 FP16_CLIP). On TPU
+    all CLIP towers already run bf16; these aliases keep old index settings
+    loadable."""
+    out = {}
+    for name, dims, size in [("ViT-B/32", 512, 224), ("ViT-B/16", 512, 224),
+                             ("ViT-L/14", 768, 224)]:
+        out[f"fp16/{name}"] = {"name": name, "dimensions": dims,
+                               "type": "fp16_clip", "image_size": size,
+                               "notes": "fp16-alias of the CLIP model"}
+    return out
+
+
+def _onnx_alias_models() -> Dict[str, dict]:
+    """Reference ONNX variants (onnx_clip_utils.py, sbert_onnx_utils.py) —
+    alternative runtimes of the same checkpoints. On TPU they resolve to
+    the JAX implementations (the runtime IS the accelerator-native one)."""
+    out = {}
+    for name, dims, size in [("ViT-B/32", 512, 224), ("ViT-B/16", 512, 224),
+                             ("ViT-L/14", 768, 224), ("RN50", 1024, 224)]:
+        for prefix in ("onnx16", "onnx32"):
+            out[f"{prefix}/openai/{name}"] = {
+                "name": name, "dimensions": dims, "type": "clip",
+                "image_size": size,
+                "notes": "ONNX-named alias; served by the JAX CLIP runtime"}
+    for name, dims in [("onnx/all-MiniLM-L6-v1", 384),
+                       ("onnx/all-MiniLM-L6-v2", 384),
+                       ("onnx/all_datasets_v4_MiniLM-L6", 384)]:
+        hf_name = "sentence-transformers/" + name.split("/", 1)[1]
+        out[name] = _hf(hf_name, dims, 128, model_type="sbert")
     return out
 
 
@@ -248,6 +309,8 @@ def load_model_properties() -> Dict[str, dict]:
         reg.update(_sbert_models())
         reg.update(_openai_clip_models())
         reg.update(_open_clip_models())
+        reg.update(_fp16_clip_models())
+        reg.update(_onnx_alias_models())
         reg.update(_multilingual_clip_models())
         reg.update(_languagebind_models())
         reg.update(_special_models())
