@@ -53,6 +53,7 @@ def default_env_vars() -> Dict[str, Any]:
         # --- engine (our C++ store; ports mirror reference Vespa roles) ---
         "MARQO_ENGINE_DATA_DIR": None,  # None => in-process, no persistence
         "MARQO_ENGINE_QUERY_URL": None,  # None => in-process engine
+        "MARQO_ENGINE_CLUSTER": None,  # JSON [[shard0 replicas...],...]
         "MARQO_ENGINE_SHARDS": 1,
         "MARQO_ENGINE_REPLICAS": 0,
         # --- ops / feature gates (reference utils.py feature decorators) ---

@@ -222,8 +222,20 @@ class RemoteStoreEngine:
 
 
 def engine_from_env():
-    """Build the configured engine: remote when MARQO_ENGINE_QUERY_URL is
-    set, in-process otherwise."""
+    """Build the configured engine:
+      MARQO_ENGINE_CLUSTER='[["http://a","http://b"],["http://c"]]'
+        → sharded+replicated ClusterEngine over DCN
+      MARQO_ENGINE_QUERY_URL=http://host:8080 → single remote engine
+      neither → in-process StoreEngine (co-deployed mode)
+    """
+    import json as _json
+    cluster = configs.read_env_vars_and_defaults("MARQO_ENGINE_CLUSTER")
+    if cluster:
+        from marqo_tpu.engine.cluster import ClusterEngine
+        topology = (_json.loads(cluster) if isinstance(cluster, str)
+                    else cluster)
+        logger.info(f"Using engine cluster: {topology}")
+        return ClusterEngine(topology)
     url = configs.read_env_vars_and_defaults("MARQO_ENGINE_QUERY_URL")
     if url:
         logger.info(f"Using remote engine at {url}")

@@ -1,0 +1,189 @@
+"""Cluster engine: shard + replicate the store across engine servers.
+
+Role parity: Vespa content-cluster distribution — documents hashed across
+content nodes by distribution key with ``redundancy 2`` (reference
+scripts/vespa_local/services.xml:12-20, SURVEY.md D1). Topology is a list
+of shard groups, each a list of replica URLs:
+
+    ClusterEngine([["http://node0:8080", "http://node1:8080"],   # shard 0
+                   ["http://node2:8080", "http://node3:8080"]])  # shard 1
+
+Writes go to EVERY replica of the owning shard (a write that reaches no
+replica fails the document); reads/queries hit one healthy replica per
+shard (round-robin with failover — the reference's graceful-degradation
+posture: partial coverage is served, exact-search callers can reject it).
+Queries fan out per shard on a thread pool and merge by score.
+
+Same duck-typed interface as StoreEngine/RemoteStoreEngine, so Config can
+wire it via MARQO_ENGINE_CLUSTER (JSON topology).
+"""
+
+import concurrent.futures
+import itertools
+import json
+import threading
+from typing import Dict, List, Optional
+
+from marqo_tpu.api import configs
+from marqo_tpu.core.exceptions import BackendCommunicationError
+from marqo_tpu.engine.client import RemoteStoreEngine
+from marqo_tpu.engine.descriptor import IndexDescriptor
+from marqo_tpu.engine.store import Hit, QueryResult
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class _ShardGroup:
+    def __init__(self, replica_urls: List[str]):
+        self.replicas = [RemoteStoreEngine(url) for url in replica_urls]
+        self._rr = itertools.cycle(range(len(self.replicas)))
+        self._lock = threading.Lock()
+
+    def write_all(self, fn_name: str, *args, **kwargs):
+        """Apply a mutation on every replica; succeed if ≥1 replica acks
+        (failed replicas log and heal on the next full write)."""
+        errors = []
+        ok = 0
+        for replica in self.replicas:
+            try:
+                getattr(replica, fn_name)(*args, **kwargs)
+                ok += 1
+            except Exception as e:
+                errors.append(e)
+                logger.warning(f"Replica write {fn_name} failed on "
+                               f"{replica.base_url}: {e}")
+        if ok == 0:
+            raise BackendCommunicationError(
+                f"All replicas failed {fn_name}: {errors[0]}")
+        return ok
+
+    def read_one(self, fn_name: str, *args, **kwargs):
+        """Round-robin read with failover across replicas."""
+        with self._lock:
+            order = [next(self._rr) for _ in range(len(self.replicas))]
+        last_error = None
+        for idx in order:
+            try:
+                return getattr(self.replicas[idx], fn_name)(*args, **kwargs)
+            except BackendCommunicationError as e:
+                last_error = e
+                continue
+        raise last_error
+
+    def close(self):
+        for replica in self.replicas:
+            replica.close()
+
+
+class ClusterEngine:
+    def __init__(self, topology: List[List[str]], pool_size: int = 8):
+        if not topology or not all(topology):
+            raise ValueError("Cluster topology needs ≥1 shard with ≥1 replica")
+        self.shards = [_ShardGroup(urls) for urls in topology]
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(pool_size, len(self.shards)))
+
+    # -- routing --
+
+    def _shard_for(self, doc_id: str) -> _ShardGroup:
+        return self.shards[hash(doc_id) % len(self.shards)]
+
+    def _fanout_reads(self, fn_name: str, *args, **kwargs) -> List:
+        futures = [self._pool.submit(shard.read_one, fn_name, *args, **kwargs)
+                   for shard in self.shards]
+        return [f.result() for f in futures]
+
+    # -- DDL (all shards, all replicas) --
+
+    def create_index(self, descriptor: IndexDescriptor) -> None:
+        for shard in self.shards:
+            shard.write_all("create_index", descriptor)
+
+    def update_index(self, descriptor: IndexDescriptor) -> None:
+        for shard in self.shards:
+            shard.write_all("update_index", descriptor)
+
+    def delete_index(self, name: str) -> None:
+        for shard in self.shards:
+            shard.write_all("delete_index", name)
+
+    def has_index(self, name: str) -> bool:
+        return self.shards[0].read_one("has_index", name)
+
+    def list_indexes(self) -> List[str]:
+        return self.shards[0].read_one("list_indexes")
+
+    # -- documents --
+
+    def feed(self, index_name: str, doc_id: str, fields: dict,
+             tensors: Optional[dict] = None) -> None:
+        self._shard_for(doc_id).write_all("feed", index_name, doc_id,
+                                          fields, tensors)
+
+    def get(self, index_name: str, doc_id: str) -> Optional[dict]:
+        return self._shard_for(doc_id).read_one("get", index_name, doc_id)
+
+    def get_tensors(self, index_name: str, doc_id: str) -> Dict[str, list]:
+        return self._shard_for(doc_id).read_one("get_tensors", index_name,
+                                                doc_id)
+
+    def delete(self, index_name: str, doc_id: str) -> bool:
+        acks = self._shard_for(doc_id).write_all("delete", index_name, doc_id)
+        return bool(acks)
+
+    def delete_all(self, index_name: str) -> int:
+        deleted = 0
+        for shard in self.shards:
+            deleted += shard.read_one("doc_count", index_name)
+            shard.write_all("delete_all", index_name)
+        return deleted
+
+    def doc_count(self, index_name: str) -> int:
+        return sum(self._fanout_reads("doc_count", index_name))
+
+    def vector_count(self, index_name: str) -> int:
+        return sum(self._fanout_reads("vector_count", index_name))
+
+    # -- queries: fan out per shard, merge by score --
+
+    @staticmethod
+    def _merge(results: List[QueryResult], limit: int,
+               offset: int) -> QueryResult:
+        hits: List[Hit] = []
+        total = 0
+        for result in results:
+            hits.extend(result.hits)
+            total += result.total
+        hits.sort(key=lambda h: (-h.score, h.doc_id))
+        return QueryResult(hits[offset:offset + limit], total)
+
+    def query_tensor(self, index_name: str, vector, limit: int,
+                     offset: int = 0, **kwargs) -> QueryResult:
+        # each shard returns its local top-(limit+offset); merge globally
+        results = self._fanout_reads(
+            "query_tensor", index_name, vector, limit=limit + offset,
+            offset=0, **kwargs)
+        return self._merge(results, limit, offset)
+
+    def query_lexical(self, index_name: str, or_phrases, and_phrases,
+                      limit: int, offset: int = 0, **kwargs) -> QueryResult:
+        results = self._fanout_reads(
+            "query_lexical", index_name, or_phrases, and_phrases,
+            limit=limit + offset, offset=0, **kwargs)
+        return self._merge(results, limit, offset)
+
+    def query_hybrid(self, index_name: str, vector, or_phrases, and_phrases,
+                     limit: int, offset: int = 0, **kwargs) -> QueryResult:
+        # per-shard RRF then score merge (global-rank RRF needs leg scores
+        # from every shard; per-shard fusion is the standard distributed
+        # approximation and exact when one shard holds the index)
+        results = self._fanout_reads(
+            "query_hybrid", index_name, vector, or_phrases, and_phrases,
+            limit=limit + offset, offset=0, **kwargs)
+        return self._merge(results, limit, offset)
+
+    def close(self):
+        for shard in self.shards:
+            shard.close()
+        self._pool.shutdown(wait=False)

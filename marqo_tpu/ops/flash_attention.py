@@ -110,23 +110,3 @@ def attention_segment(q, k, v, segment_ids):
 
 def supports_shape(seq_len: int) -> bool:
     return seq_len <= MAX_SINGLE_BLOCK_SEQ
-
-
-def flash_attention(q, k, v, mask):
-    """Back-compat wrapper used by ops/attention.py (padding mask)."""
-    return attention_padding(q, k, v, mask)
-
-
-def flash_attention_bias(q, k, v, attn_bias):
-    """Bias-matrix fallback: derive a padding mask when the bias is the
-    standard key-padding form, else fall back to XLA attention."""
-    # attn_bias (B,1,1,S) key-padding form
-    if attn_bias.ndim == 4 and attn_bias.shape[1] == 1 and \
-            attn_bias.shape[2] == 1:
-        pad_mask = (attn_bias[:, 0, 0, :] >= 0).astype(jnp.int32)
-        return attention_padding(q, k, v, pad_mask)
-    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
-    scores = jnp.einsum("bnsd,bntd->bnst", q, k) * scale
-    scores = scores.astype(jnp.float32) + attn_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bnst,bntd->bnsd", probs, v)

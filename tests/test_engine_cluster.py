@@ -1,0 +1,108 @@
+"""Cluster engine: sharding + replication + failover across engine servers."""
+
+import numpy as np
+import pytest
+
+from marqo_tpu.api.http_framework import serve
+from marqo_tpu.engine.cluster import ClusterEngine
+from marqo_tpu.engine.descriptor import IndexDescriptor
+from marqo_tpu.engine.server import build_engine_app
+from marqo_tpu.engine.store import StoreEngine
+
+BASE_PORT = 18200
+
+
+@pytest.fixture(scope="module")
+def cluster():
+    # 2 shards × 2 replicas on 4 servers
+    backends = [StoreEngine() for _ in range(4)]
+    servers = [serve(build_engine_app(b), host="127.0.0.1",
+                     port=BASE_PORT + i, background=True)
+               for i, b in enumerate(backends)]
+    topology = [[f"http://127.0.0.1:{BASE_PORT}",
+                 f"http://127.0.0.1:{BASE_PORT + 1}"],
+                [f"http://127.0.0.1:{BASE_PORT + 2}",
+                 f"http://127.0.0.1:{BASE_PORT + 3}"]]
+    engine = ClusterEngine(topology)
+    engine.create_index(IndexDescriptor(name="c-idx", model_dimensions=4))
+    yield engine, backends, servers
+    engine.close()
+    for server in servers:
+        server.shutdown()
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float32)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def _feed_corpus(engine, n=40):
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        vec = rng.standard_normal(4).astype(np.float32)
+        vec /= np.linalg.norm(vec)
+        engine.feed("c-idx", f"doc{i}", {"n": i, "text": f"document {i}"},
+                    {"field": {"chunks": [f"chunk {i}"],
+                               "embeddings": [vec.tolist()]}})
+    return n
+
+
+class TestClusterEngine:
+    def test_ddl_on_all_nodes(self, cluster):
+        engine, backends, _ = cluster
+        assert all(b.has_index("c-idx") for b in backends)
+
+    def test_feed_replicated_and_sharded(self, cluster):
+        engine, backends, _ = cluster
+        n = _feed_corpus(engine)
+        assert engine.doc_count("c-idx") == n
+        # replicas within a shard hold identical copies
+        assert backends[0].doc_count("c-idx") == backends[1].doc_count("c-idx")
+        assert backends[2].doc_count("c-idx") == backends[3].doc_count("c-idx")
+        # both shards got some documents
+        assert backends[0].doc_count("c-idx") > 0
+        assert backends[2].doc_count("c-idx") > 0
+
+    def test_get_routes_to_owning_shard(self, cluster):
+        engine, _, _ = cluster
+        doc = engine.get("c-idx", "doc3")
+        assert doc["n"] == 3
+        assert engine.get("c-idx", "missing") is None
+
+    def test_query_merges_across_shards(self, cluster):
+        engine, backends, _ = cluster
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal(4).astype(np.float32)
+        q /= np.linalg.norm(q)
+        res = engine.query_tensor("c-idx", q.tolist(), limit=10)
+        assert len(res.hits) == 10
+        scores = [h.score for h in res.hits]
+        assert scores == sorted(scores, reverse=True)
+        # global top-1 matches the best across per-shard results
+        local_best = max(
+            (backends[i].query_tensor("c-idx", q, limit=1).hits[0]
+             for i in (0, 2)), key=lambda h: h.score)
+        assert res.hits[0].doc_id == local_best.doc_id
+
+    def test_lexical_across_shards(self, cluster):
+        engine, _, _ = cluster
+        res = engine.query_lexical("c-idx", ["document"], [], limit=40)
+        assert len(res.hits) == 40
+
+    def test_replica_failover(self, cluster):
+        engine, backends, servers = cluster
+        # kill one replica of shard 0; reads must still succeed
+        servers[0].shutdown()
+        try:
+            for _ in range(4):  # cycle the round-robin past the dead node
+                assert engine.doc_count("c-idx") == 40
+            doc = engine.get("c-idx", "doc3")
+            assert doc["n"] == 3
+        finally:
+            pass  # server stays down; remaining tests use other fixtures
+
+    def test_delete_after_failover(self, cluster):
+        engine, backends, _ = cluster
+        # writes succeed while one replica of shard 0 is down (≥1 ack)
+        assert engine.delete("c-idx", "doc3") is True
+        assert engine.get("c-idx", "doc3") is None
