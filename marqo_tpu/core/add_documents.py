@@ -225,6 +225,12 @@ class AddDocumentsHandler:
                 f"custom_vector / multimodal_combination fields) can be "
                 f"vectorised")
         if self._treats_as_media(field, value):
+            from marqo_tpu.tensor_search.add_docs import infer_modality
+            modality = infer_modality(value)
+            if modality == Modality.AUDIO:
+                return {"kind": "audio", "pointer": value, "chunks": [value]}
+            if modality == Modality.VIDEO:
+                return {"kind": "video", "pointer": value, "chunks": [value]}
             return {"kind": "image", "pointer": value, "chunks": [value]}
         chunks = chunk_text(value, self.index.text_preprocessing)
         if not chunks:
@@ -232,9 +238,9 @@ class AddDocumentsHandler:
         return {"kind": "text", "chunks": chunks, "content_key": value}
 
     def _treats_as_media(self, field: str, value: str) -> bool:
-        """Is this string field an image/media pointer to be embedded
-        visually? (reference: treat_urls_and_pointers_as_images for
-        unstructured, ImagePointer field type for structured)."""
+        """Is this string field a media pointer to be embedded as
+        image/audio/video? (reference: treat_urls_and_pointers_as_images /
+        _as_media for unstructured, pointer field types for structured)."""
         from marqo_tpu.tensor_search.add_docs import (infer_modality,
                                                       is_media_pointer)
         if isinstance(self.index, StructuredMarqoIndex):
@@ -242,10 +248,16 @@ class AddDocumentsHandler:
             return declared is not None and declared.type in (
                 FieldType.ImagePointer, FieldType.VideoPointer,
                 FieldType.AudioPointer)
-        if not getattr(self.index, "treat_urls_and_pointers_as_images", False):
+        if not is_media_pointer(value):
             return False
-        return (is_media_pointer(value)
-                and infer_modality(value) == Modality.IMAGE)
+        modality = infer_modality(value)
+        if modality == Modality.IMAGE:
+            return getattr(self.index,
+                           "treat_urls_and_pointers_as_images", False)
+        if modality in (Modality.AUDIO, Modality.VIDEO):
+            return bool(getattr(self.index,
+                                "treat_urls_and_pointers_as_media", False))
+        return False
 
     # -- main entry --
 
@@ -350,6 +362,10 @@ class AddDocumentsHandler:
         slots: List[Tuple[str, str, int]] = []  # (doc_id, field, row-in-field)
         to_embed_images: List[Any] = []
         image_slots: List[Tuple[str, str, int]] = []
+        to_embed_audio: List[Any] = []
+        audio_slots: List[Tuple[str, str, int]] = []
+        to_embed_video: List[Any] = []
+        video_slots: List[Tuple[str, str, int]] = []
         ready: Dict[Tuple[str, str], np.ndarray] = {}
         counts: Dict[Tuple[str, str], int] = defaultdict(int)
 
@@ -381,6 +397,38 @@ class AddDocumentsHandler:
                         counts[(assigned_id, field)] += 1
                         to_embed_images.append(patch)
                     continue
+                if plan["kind"] == "audio":
+                    try:
+                        pieces, chunk_strs = self._chunk_audio(plan["pointer"])
+                    except Exception as e:
+                        collector.collect_error(assigned_id, DocError(
+                            f"Could not process audio "
+                            f"`{plan['pointer']}`: {e}"))
+                        failed_docs.add(assigned_id)
+                        continue
+                    plan["chunks"] = chunk_strs
+                    for piece in pieces:
+                        audio_slots.append((assigned_id, field,
+                                            counts[(assigned_id, field)]))
+                        counts[(assigned_id, field)] += 1
+                        to_embed_audio.append(piece)
+                    continue
+                if plan["kind"] == "video":
+                    try:
+                        clips, chunk_strs = self._chunk_video(plan["pointer"])
+                    except Exception as e:
+                        collector.collect_error(assigned_id, DocError(
+                            f"Could not process video "
+                            f"`{plan['pointer']}`: {e}"))
+                        failed_docs.add(assigned_id)
+                        continue
+                    plan["chunks"] = chunk_strs
+                    for clip in clips:
+                        video_slots.append((assigned_id, field,
+                                            counts[(assigned_id, field)]))
+                        counts[(assigned_id, field)] += 1
+                        to_embed_video.append(clip)
+                    continue
                 if plan["kind"] == "multimodal":
                     # children embedded individually then combined
                     for child, content in plan["sub_content"].items():
@@ -406,8 +454,14 @@ class AddDocumentsHandler:
                     counts[(assigned_id, field)] += 1
                     to_embed.append(chunk_prefix + chunk)
 
+        # drop docs whose media chunking failed mid-collection (any stray
+        # embeddings they queued are computed but never consumed)
+        plans[:] = [p for p in plans if p[0] not in failed_docs]
+
         vectors: List[List[float]] = []
         image_vectors: List[List[float]] = []
+        audio_vectors: List[List[float]] = []
+        video_vectors: List[List[float]] = []
         try:
             common = dict(
                 model_name=self.index.model.name,
@@ -421,6 +475,12 @@ class AddDocumentsHandler:
             if to_embed_images:
                 image_vectors = inference.vectorise(
                     content=to_embed_images, modality=Modality.IMAGE, **common)
+            if to_embed_audio:
+                audio_vectors = inference.vectorise(
+                    content=to_embed_audio, modality=Modality.AUDIO, **common)
+            if to_embed_video:
+                video_vectors = inference.vectorise(
+                    content=to_embed_video, modality=Modality.VIDEO, **common)
         except Exception as e:
             # model-level failure fails every pending doc, not the request
             for assigned_id, _doc, field_plans in plans:
@@ -437,6 +497,10 @@ class AddDocumentsHandler:
         image_grouped: Dict[Tuple[str, str], Dict[int, List[float]]] = \
             defaultdict(dict)
         for (doc_id, field, row), vec in zip(image_slots, image_vectors):
+            image_grouped[(doc_id, field)][row] = vec
+        for (doc_id, field, row), vec in zip(audio_slots, audio_vectors):
+            image_grouped[(doc_id, field)][row] = vec
+        for (doc_id, field, row), vec in zip(video_slots, video_vectors):
             image_grouped[(doc_id, field)][row] = vec
 
         result: Dict[Tuple[str, str], np.ndarray] = dict(ready)
@@ -461,7 +525,7 @@ class AddDocumentsHandler:
                         if norm > 0:
                             acc = acc / norm
                     result[(assigned_id, field)] = acc[None, :]
-                elif plan["kind"] == "image" and \
+                elif plan["kind"] in ("image", "audio", "video") and \
                         (assigned_id, field) in image_grouped:
                     rows = image_grouped.pop((assigned_id, field))
                     result[(assigned_id, field)] = np.asarray(
@@ -508,6 +572,60 @@ class AddDocumentsHandler:
                         f"Could not process image `{pointer}`: {message}",
                         code="invalid_argument"))
         return images, failed_docs
+
+    def _chunk_audio(self, pointer: str):
+        """Fetch + decode + split an audio pointer into overlapping clips
+        (reference AudioVideoChunker over ffmpeg chunks; .wav decodes
+        without ffmpeg via ops/audio_ops.load_wav)."""
+        from marqo_tpu.ops.audio_ops import chunk_waveform, load_wav
+        from marqo_tpu.tensor_search.add_docs import fetch_content
+        prep = self.index.audio_preprocessing
+        split_length = prep.split_length if prep else 10
+        split_overlap = prep.split_overlap if prep else 3
+        wav = load_wav(fetch_content(
+            pointer, self.params.media_download_headers))
+        chunks = chunk_waveform(wav, split_length, split_overlap)
+        pieces = [piece for (_s, _e, piece) in chunks]
+        chunk_strs = [f"[{s:.1f}, {e:.1f}]" for (s, e, _p) in chunks]
+        return pieces, chunk_strs
+
+    def _chunk_video(self, pointer: str):
+        """ffmpeg-chunked video clips → decoded frame stacks (cv2)."""
+        import cv2
+        from marqo_tpu.tensor_search.streaming_media_processor import (
+            StreamingMediaProcessor, ffmpeg_available)
+        if not ffmpeg_available():
+            raise InvalidArgumentError(
+                "Video ingestion requires ffmpeg, which is not available "
+                "in this deployment")
+        prep = self.index.video_preprocessing
+        processor = StreamingMediaProcessor(
+            Modality.VIDEO,
+            split_length=prep.split_length if prep else 20,
+            split_overlap=prep.split_overlap if prep else 3)
+        local = pointer  # StreamingMediaProcessor handles local paths
+        clips = processor.process_media(local)
+        frame_stacks = []
+        chunk_strs = []
+        for clip in clips:
+            cap = cv2.VideoCapture(clip["path"])
+            frames = []
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 1
+            stride = max(1, total // 8)  # sample ≤8 frames per clip
+            i = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if i % stride == 0:
+                    frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                i += 1
+            cap.release()
+            if frames:
+                frame_stacks.append(frames)
+                chunk_strs.append(
+                    f"[{clip['start_time']:.1f}, {clip['end_time']:.1f}]")
+        return frame_stacks, chunk_strs
 
     def _patchify(self, image, pointer: str):
         """Apply the index's patch method; default = whole image, chunk

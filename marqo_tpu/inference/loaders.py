@@ -362,8 +362,8 @@ def load_model(model_name: str, properties: dict, device: Device,
         from marqo_tpu.models.clip import JaxCLIPModel
         cls = JaxCLIPModel
     elif model_type == "languagebind":
-        from marqo_tpu.models.clip import JaxCLIPModel
-        cls = JaxCLIPModel  # A/V towers share the CLIP-style wrapper
+        from marqo_tpu.models.languagebind import JaxLanguageBindModel
+        cls = JaxLanguageBindModel
     elif model_type == "random":
         cls = RandomModel
     elif model_type == "test":

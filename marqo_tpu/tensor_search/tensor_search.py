@@ -97,7 +97,9 @@ def compute_query_vector(index: MarqoIndex,
                                                       infer_modality,
                                                       is_media_pointer)
         from marqo_tpu.ops.image_ops import host_decode
-        treat_media = getattr(index, "treat_urls_and_pointers_as_images",
+        treat_images = getattr(index, "treat_urls_and_pointers_as_images",
+                               False)
+        treat_media = getattr(index, "treat_urls_and_pointers_as_media",
                               False)
         prefix = index.model.get_text_query_prefix(text_query_prefix)
         common = dict(
@@ -107,12 +109,22 @@ def compute_query_vector(index: MarqoIndex,
             device=device,
             normalize_embeddings=index.normalize_embeddings,
             model_auth=model_auth)
-        text_items = [(q, w) for q, w in weighted.items()
-                      if not (treat_media and is_media_pointer(q)
-                              and infer_modality(q) == Modality.IMAGE)]
-        image_items = [(q, w) for q, w in weighted.items()
-                       if (treat_media and is_media_pointer(q)
-                           and infer_modality(q) == Modality.IMAGE)]
+
+        def query_modality(q: str) -> Modality:
+            if not is_media_pointer(q):
+                return Modality.TEXT
+            modality = infer_modality(q)
+            if modality == Modality.IMAGE and treat_images:
+                return Modality.IMAGE
+            if modality in (Modality.AUDIO, Modality.VIDEO) and treat_media:
+                return modality
+            return Modality.TEXT
+
+        by_modality: Dict[Modality, list] = {}
+        for q, w in weighted.items():
+            by_modality.setdefault(query_modality(q), []).append((q, w))
+
+        text_items = by_modality.pop(Modality.TEXT, [])
         if text_items:
             vectors = inference.vectorise(
                 content=[prefix + q for q, _ in text_items],
@@ -120,11 +132,19 @@ def compute_query_vector(index: MarqoIndex,
             for vec, (_, w) in zip(vectors, text_items):
                 acc += np.asarray(vec, dtype=np.float32) * w
                 got_any = True
-        if image_items:
-            images = [host_decode(fetch_content(q)) for q, _ in image_items]
-            vectors = inference.vectorise(
-                content=images, modality=Modality.IMAGE, **common)
-            for vec, (_, w) in zip(vectors, image_items):
+        for modality, items in by_modality.items():
+            if modality == Modality.IMAGE:
+                contents = [host_decode(fetch_content(q)) for q, _ in items]
+            elif modality == Modality.AUDIO:
+                from marqo_tpu.ops.audio_ops import load_wav
+                contents = [load_wav(fetch_content(q)) for q, _ in items]
+            else:
+                raise InvalidArgumentError(
+                    "Video queries require pre-decoded frames; query by "
+                    "text, image, or audio instead")
+            vectors = inference.vectorise(content=contents,
+                                          modality=modality, **common)
+            for vec, (_, w) in zip(vectors, items):
                 acc += np.asarray(vec, dtype=np.float32) * w
                 got_any = True
 
