@@ -165,9 +165,19 @@ def encode_clip_image(params: dict, pixels_u8: jax.Array,
         x = layer_norm(x, p["pre_ln_scale"], p["pre_ln_bias"],
                        config.layer_norm_eps)
         x = x.astype(compute_dtype)
+    # pad the token axis to a multiple of 8 (MXU sublane tiling): e.g.
+    # ViT-B/32's 50 tokens → 56 with the extras key-masked out
+    n_tokens = x.shape[1]
+    padded_tokens = -(-n_tokens // 8) * 8
+    pad_mask = None
+    if padded_tokens != n_tokens:
+        x = jnp.pad(x, ((0, 0), (0, padded_tokens - n_tokens), (0, 0)))
+        pad_mask = jnp.concatenate([
+            jnp.ones((B, n_tokens), jnp.int32),
+            jnp.zeros((B, padded_tokens - n_tokens), jnp.int32)], axis=1)
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), p["layers"])
     x = _run_blocks(x, layers, config.num_heads, config.hidden_act,
-                    config.layer_norm_eps, causal=False)
+                    config.layer_norm_eps, causal=False, pad_mask=pad_mask)
     pooled = layer_norm(x[:, 0, :], p["post_ln_scale"], p["post_ln_bias"],
                         config.layer_norm_eps).astype(jnp.float32)
     return pooled @ p["visual_projection"].astype(jnp.float32)
