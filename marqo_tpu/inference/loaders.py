@@ -138,12 +138,18 @@ class JaxHFTextModel(EmbeddingModel):
         from transformers import AutoConfig, AutoModel
         hf_cfg = AutoConfig.from_pretrained(repo)
         self.config = self._finalize_config(config_from_hf(hf_cfg))
-        torch_model = AutoModel.from_pretrained(repo)
-        self.params = jax.device_put(self._maybe_quantize(
-            params_from_torch_state_dict(torch_model.state_dict(), self.config,
-                                         dtype=self.compute_dtype)),
-            self._jdevice)
-        del torch_model
+        cached = _load_param_cache(repo, self.config)
+        if cached is not None:
+            params = cached
+        else:
+            torch_model = AutoModel.from_pretrained(repo)
+            params = params_from_torch_state_dict(
+                torch_model.state_dict(), self.config,
+                dtype=self.compute_dtype)
+            del torch_model
+            _save_param_cache(repo, self.config, params)
+        self.params = jax.device_put(self._maybe_quantize(params),
+                                     self._jdevice)
         self.tokenizer = TextTokenizer.from_pretrained(repo, max_length=max_len)
 
     def _load_random_init(self, max_len: int) -> None:
@@ -337,6 +343,49 @@ class NoModel(EmbeddingModel):
             "Cannot vectorise anything with `no_model`. This model is intended "
             "for adding documents and searching with custom vectors only. If "
             "vectorisation is needed, please use a different model.")
+
+
+def _param_cache_path(repo: str, config) -> str:
+    """Converted-checkpoint disk cache (role of the reference's on-disk
+    ModelCache, core/inference/model_download.py): one .npz of the JAX
+    pytree per (repo, architecture) so reloads skip torch conversion."""
+    from marqo_tpu.inference.model_download import CACHE_DIR
+    key = hashlib.sha256(
+        f"{repo}|{config.hidden_size}|{config.num_layers}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(CACHE_DIR, "jax_params", f"{key}.npz")
+
+
+def _save_param_cache(repo: str, config, params: dict) -> None:
+    try:
+        path = _param_cache_path(repo, config)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        flat = {}
+        for key, value in params["embeddings"].items():
+            flat[f"embeddings.{key}"] = np.asarray(value)
+        for key, value in params["layers"].items():
+            flat[f"layers.{key}"] = np.asarray(value)
+        np.savez(path + ".tmp.npz", **flat)
+        os.replace(path + ".tmp.npz", path)
+    except Exception as e:
+        logger.warning(f"Could not write param cache for {repo}: {e}")
+
+
+def _load_param_cache(repo: str, config) -> Optional[dict]:
+    path = _param_cache_path(repo, config)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as data:
+            params = {"embeddings": {}, "layers": {}}
+            for key in data.files:
+                section, name = key.split(".", 1)
+                params[section][name] = jnp.asarray(data[key])
+        logger.info(f"Loaded converted params for {repo} from disk cache")
+        return params
+    except Exception as e:
+        logger.warning(f"Corrupt param cache for {repo} ({e}); reconverting")
+        return None
 
 
 def _load_state_dict(path: str) -> dict:
