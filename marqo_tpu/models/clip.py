@@ -119,10 +119,20 @@ def _run_blocks(x, layers, num_heads, act_name, eps, causal=False,
 def encode_clip_text(params: dict, input_ids: jax.Array,
                      config: CLIPTextConfig,
                      compute_dtype=jnp.bfloat16) -> jax.Array:
-    """(B, S) int32 → (B, projection_dim) fp32 (unnormalized)."""
+    """(B, S) int32 → (B, projection_dim) fp32 (unnormalized).
+
+    The token axis is padded to a multiple of 8 for MXU tiling (77 → 80);
+    under causal attention trailing pad tokens can never influence real
+    positions, so no masking is needed."""
     p = params["text"]
     B, S = input_ids.shape
-    x = p["token_embedding"][input_ids] + p["position_embedding"][:S][None]
+    padded = -(-S // 8) * 8
+    if padded != S:
+        input_ids = jnp.pad(input_ids, ((0, 0), (0, padded - S)))
+    pos = p["position_embedding"]
+    if pos.shape[0] < padded:
+        pos = jnp.pad(pos, ((0, padded - pos.shape[0]), (0, 0)))
+    x = p["token_embedding"][input_ids] + pos[:padded][None]
     x = x.astype(compute_dtype)
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), p["layers"])
     x = _run_blocks(x, layers, config.num_heads, config.hidden_act,
