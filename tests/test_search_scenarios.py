@@ -1,0 +1,171 @@
+"""Scenario tests mirroring the reference's integ suites
+(tests/tensor_search/integ_tests/test_hybrid_search.py,
+test_dict_score_modifiers.py, test_custom_vector_field.py, test_embed.py —
+same behaviors, our stack)."""
+
+import numpy as np
+import pytest
+
+from marqo_tpu.api.models.index_settings import IndexSettings
+from marqo_tpu.config import Config
+from marqo_tpu.core.models.add_docs_params import AddDocsParams
+from marqo_tpu.inference import vectorise as inference
+from marqo_tpu.tensor_search import tensor_search
+
+DOCS = [
+    {"_id": "a1", "title": "street food market in Bangkok",
+     "body": "vendors selling noodles and satay at night",
+     "popularity": 5.0, "rating": {"stars": 4.5}},
+    {"_id": "a2", "title": "best noodles in town",
+     "body": "a quiet restaurant serving hand pulled noodles",
+     "popularity": 50.0, "rating": {"stars": 3.0}},
+    {"_id": "a3", "title": "mountain hiking trails",
+     "body": "alpine routes with scenic views", "popularity": 2.0},
+]
+
+
+@pytest.fixture
+def config():
+    inference.clear_loaded_models()
+    cfg = Config()
+    cfg.index_management.bootstrap()
+    cfg.index_management.create_index(
+        IndexSettings(model="test").to_marqo_index("scen-index"))
+    cfg.index_meta_cache.populate()
+    tensor_search.add_documents(cfg, AddDocsParams(
+        index_name="scen-index", docs=DOCS,
+        tensor_fields=["title", "body"]))
+    yield cfg
+    inference.clear_loaded_models()
+
+
+class TestHybridScenarios:
+    @pytest.mark.parametrize("retrieval,ranking", [
+        ("disjunction", "rrf"), ("lexical", "tensor"), ("tensor", "lexical"),
+        ("lexical", "lexical"), ("tensor", "tensor"),
+    ])
+    def test_all_method_combos(self, config, retrieval, ranking):
+        res = tensor_search.search(
+            config, "scen-index", text="noodles",
+            search_method="HYBRID",
+            hybrid_parameters={"retrievalMethod": retrieval,
+                               "rankingMethod": ranking})
+        assert isinstance(res["hits"], list)
+
+    def test_invalid_combo_rejected(self, config):
+        with pytest.raises(Exception):
+            tensor_search.search(
+                config, "scen-index", text="noodles",
+                search_method="HYBRID",
+                hybrid_parameters={"retrievalMethod": "disjunction",
+                                   "rankingMethod": "lexical"})
+
+    def test_per_leg_score_modifiers(self, config):
+        res = tensor_search.search(
+            config, "scen-index", text="noodles", search_method="HYBRID",
+            hybrid_parameters={
+                "retrievalMethod": "disjunction", "rankingMethod": "rrf",
+                "scoreModifiersLexical": {
+                    "multiply_score_by": [{"field_name": "popularity",
+                                           "weight": 1.0}]},
+            })
+        assert len(res["hits"]) > 0
+
+    def test_per_leg_searchable_attributes(self, config):
+        res = tensor_search.search(
+            config, "scen-index", text="noodles", search_method="HYBRID",
+            hybrid_parameters={
+                "retrievalMethod": "disjunction", "rankingMethod": "rrf",
+                "searchableAttributesLexical": ["title"],
+                "searchableAttributesTensor": ["title"],
+            })
+        assert all("_id" in h for h in res["hits"])
+
+
+class TestDictScoreModifiers:
+    def test_map_subfield_modifier(self, config):
+        """Score modifiers address map sub-fields with dot syntax
+        (reference test_dict_score_modifiers.py)."""
+        res = tensor_search.search(
+            config, "scen-index", text="food",
+            score_modifiers={"add_to_score": [
+                {"field_name": "rating.stars", "weight": 10.0}]})
+        # a1 has stars 4.5 → +45; a2 has 3.0 → +30; a3 none
+        top_two = [h["_id"] for h in res["hits"][:2]]
+        assert top_two == ["a1", "a2"]
+
+    def test_multiply_and_add_combined(self, config):
+        res = tensor_search.search(
+            config, "scen-index", text="food",
+            score_modifiers={
+                "multiply_score_by": [{"field_name": "popularity",
+                                       "weight": 1.0}],
+                "add_to_score": [{"field_name": "rating.stars",
+                                  "weight": 1.0}]})
+        assert res["hits"][0]["_id"] == "a2"  # popularity 50 dominates
+
+
+class TestCustomVectorSearch:
+    def test_custom_vector_add_and_filter(self, config):
+        dims = 16
+        vec = np.zeros(dims)
+        vec[3] = 1.0
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name="scen-index",
+            docs=[{"_id": "cv1", "category": "special",
+                   "embedding_field": {"content": "my special content",
+                                       "vector": vec.tolist()}}],
+            tensor_fields=["embedding_field"],
+            mappings={"embedding_field": {"type": "custom_vector"}}))
+        assert res["errors"] is False, res["items"]
+        out = tensor_search.search(
+            config, "scen-index",
+            context={"tensor": [{"vector": vec.tolist(), "weight": 1.0}]},
+            filter="category:special")
+        assert out["hits"][0]["_id"] == "cv1"
+        # the content string is stored and searchable lexically
+        lex = tensor_search.search(config, "scen-index",
+                                   text="special content",
+                                   search_method="LEXICAL")
+        assert any(h["_id"] == "cv1" for h in lex["hits"])
+
+
+class TestEmbedScenarios:
+    def test_content_types_differ_with_prefixes(self):
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(IndexSettings(
+            model="test", textQueryPrefix="query: ",
+            textChunkPrefix="passage: ").to_marqo_index("prefix-index"))
+        cfg.index_meta_cache.populate()
+        q = cfg.embed.embed_content("prefix-index", "hello world", "query")
+        d = cfg.embed.embed_content("prefix-index", "hello world", "document")
+        n = cfg.embed.embed_content("prefix-index", "hello world", None)
+        cos_qd = float(np.dot(q["embeddings"][0], d["embeddings"][0]))
+        assert cos_qd < 0.9999  # prefixes change the embedding
+        assert len(n["embeddings"][0]) == 16
+        inference.clear_loaded_models()
+
+    def test_weighted_dict_content(self, config):
+        out = config.embed.embed_content(
+            "scen-index", {"hello": 0.7, "world": 0.3}, "query")
+        assert len(out["embeddings"]) == 1
+
+    def test_invalid_content_type(self, config):
+        with pytest.raises(Exception):
+            config.embed.embed_content("scen-index", "x", "bogus")
+
+
+class TestPrefixOverrides:
+    def test_request_level_chunk_prefix(self, config):
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name="scen-index",
+            docs=[{"_id": "p1", "title": "prefix test doc"}],
+            tensor_fields=["title"], text_chunk_prefix="custom: "))
+        assert res["errors"] is False
+
+    def test_request_level_query_prefix(self, config):
+        res = tensor_search.search(config, "scen-index", text="noodles",
+                                   text_query_prefix="custom: ")
+        assert len(res["hits"]) > 0
