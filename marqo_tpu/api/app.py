@@ -7,12 +7,11 @@ debug routes.
 """
 
 import os
-from typing import List, Optional
+from typing import Optional
 
-from marqo_tpu import marqo_docs
 from marqo_tpu.api import configs
 from marqo_tpu.api import exceptions as api_exceptions
-from marqo_tpu.api.http_framework import App, Request, Response, bind_body
+from marqo_tpu.api.http_framework import App, Request, bind_body
 from marqo_tpu.api.models.index_settings import IndexSettings
 from marqo_tpu.api.models.requests import (AddDocsBodyParams,
                                            CustomVectorQuery, EmbedRequest,

@@ -11,7 +11,6 @@ from typing import Any, Dict, List, Optional
 from pydantic import BaseModel, ConfigDict, model_validator
 
 import marqo_tpu.core.models.marqo_index as core
-from marqo_tpu.api import exceptions as api_exceptions
 from marqo_tpu.version import __version__
 
 

@@ -29,7 +29,6 @@ from marqo_tpu.core.models.marqo_index import (Field, FieldType, MarqoIndex,
                                                SemiStructuredMarqoIndex,
                                                StructuredMarqoIndex,
                                                TensorField,
-                                               UnstructuredMarqoIndex,
                                                validate_field_name)
 from marqo_tpu.engine.store import StoreEngine
 from marqo_tpu.inference import vectorise as inference

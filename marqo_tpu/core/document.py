@@ -6,7 +6,7 @@ for unstructured), duplicate removal keeps the last occurrence (:173-200).
 """
 
 import time
-from typing import Any, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 from marqo_tpu.core import constants
 from marqo_tpu.core.exceptions import UnsupportedFeatureError

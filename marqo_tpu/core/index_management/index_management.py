@@ -5,7 +5,6 @@ under a deployment lock, version-gated bootstrap, schema generation via the
 descriptor factory, semi-structured update, engine deployment.
 """
 
-import threading
 from typing import List, Optional
 
 from marqo_tpu.core import exceptions as core_exceptions

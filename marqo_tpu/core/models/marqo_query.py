@@ -1,6 +1,6 @@
 """Query domain models (parity: reference core/models/marqo_query.py:13-58)."""
 
-from typing import Any, List, Optional
+from typing import List, Optional
 
 from pydantic import BaseModel, ConfigDict, field_validator, model_validator
 

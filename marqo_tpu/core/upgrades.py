@@ -11,9 +11,9 @@ state is the versioned settings store, so migrations transform persisted
 index-settings documents.
 """
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
-from marqo_tpu.core.exceptions import ApplicationRollbackError, InternalError
+from marqo_tpu.core.exceptions import InternalError
 from marqo_tpu.logging import get_logger
 from marqo_tpu.version import __version__
 

@@ -14,9 +14,8 @@ utils.parse_lexical_query: "quoted required phrases" vs optional terms).
 
 import math
 import re
-import threading
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Set
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 

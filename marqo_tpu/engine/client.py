@@ -9,7 +9,7 @@ reference's co-deployed-vs-external Vespa split (run_marqo.sh:38-100).
 """
 
 import concurrent.futures
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, List, Optional
 
 import httpx
 

@@ -20,11 +20,9 @@ wire it via MARQO_ENGINE_CLUSTER (JSON topology).
 
 import concurrent.futures
 import itertools
-import json
 import threading
 from typing import Dict, List, Optional
 
-from marqo_tpu.api import configs
 from marqo_tpu.core.exceptions import BackendCommunicationError
 from marqo_tpu.engine.client import RemoteStoreEngine
 from marqo_tpu.engine.descriptor import IndexDescriptor

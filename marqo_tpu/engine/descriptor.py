@@ -9,7 +9,7 @@ metric + HNSW params), and model metadata.
 """
 
 from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from marqo_tpu.core.models.marqo_index import (DistanceMetric, FieldType,
                                                MarqoIndex, IndexType,

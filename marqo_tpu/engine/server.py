@@ -20,7 +20,6 @@ Endpoints (JSON):
   GET  /engine/health
 """
 
-import json
 from typing import Optional
 
 from marqo_tpu.core.exceptions import (IndexExistsError, IndexNotFoundError,
@@ -57,7 +56,7 @@ def _hit_json(hit) -> dict:
 
 def build_engine_app(engine: StoreEngine):
     """Mount engine routes on our stdlib HTTP framework."""
-    from marqo_tpu.api.http_framework import App, Request, Response
+    from marqo_tpu.api.http_framework import App, Request
 
     app = App(title="marqo-tpu-engine")
 

@@ -13,7 +13,6 @@ because the wait never exceeds the knob).
 """
 
 import threading
-import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np

@@ -30,10 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
-from marqo_tpu.inference.batching import pick_batch_bucket, pick_seq_bucket
+from marqo_tpu.inference.batching import pick_batch_bucket
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.logging import get_logger
-from marqo_tpu.ops.common import ACTIVATIONS, l2_normalize, layer_norm
+from marqo_tpu.ops.common import ACTIVATIONS, layer_norm
 from marqo_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD, host_decode
 
 logger = get_logger(__name__)

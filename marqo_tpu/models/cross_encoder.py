@@ -12,7 +12,7 @@ state dicts.
 """
 
 import hashlib
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from marqo_tpu.core.exceptions import ModelLoadError
 from marqo_tpu.inference.batching import pick_batch_bucket, pick_seq_bucket
 from marqo_tpu.inference.types import Device
 from marqo_tpu.models.bert import (TextEncoderConfig, config_from_hf,
-                                   encode_tokens, init_params,
+                                   init_params,
                                    params_from_torch_state_dict)
 from marqo_tpu.models.tokenizer import TextTokenizer
 

@@ -20,23 +20,21 @@ random-init (tests) or local converted checkpoints.
 import hashlib
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, List, Optional
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from marqo_tpu.core.exceptions import VectoriseError
-from marqo_tpu.inference.batching import pick_batch_bucket
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.models.clip import (CLIPTextConfig, CLIPVisionConfig,
                                    _init_blocks, _run_blocks,
                                    encode_clip_image_jit,
                                    encode_clip_text_jit, init_clip_params)
-from marqo_tpu.ops.audio_ops import (N_MELS, SAMPLE_RATE, chunk_waveform,
-                                     load_wav, log_mel_spectrogram,
-                                     mel_filterbank)
-from marqo_tpu.ops.common import l2_normalize, layer_norm
+from marqo_tpu.ops.audio_ops import (N_MELS, load_wav,
+                                     log_mel_spectrogram, mel_filterbank)
+from marqo_tpu.ops.common import layer_norm
 
 
 @dataclass(frozen=True)

@@ -11,7 +11,7 @@ host→HBM once.
 import io
 import wave
 from functools import partial
-from typing import Tuple, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

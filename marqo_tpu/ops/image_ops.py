@@ -11,7 +11,6 @@ Resize parity: CLIP uses bicubic resize; ``jax.image.resize`` implements
 the same Keys cubic kernel as PIL/torchvision antialias bicubic.
 """
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -12,7 +12,7 @@ This is the main lever for the ≥10k docs/sec/chip target: effective
 throughput multiplies by (seq_bucket / mean_tokens).
 """
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -8,14 +8,13 @@ guarantees power-of-two batch sizes).
 """
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from marqo_tpu.models.bert import TextEncoderConfig, encode_tokens
-from marqo_tpu.parallel.mesh import AXIS_DP, encoder_param_specs, shard_params
+from marqo_tpu.parallel.mesh import AXIS_DP
 
 
 def make_sharded_encode(mesh: Mesh, config: TextEncoderConfig,

@@ -11,16 +11,13 @@ InfoNCE (the e5/CLIP training objective) over a (dp, tp) mesh:
   - optimizer: optax adamw; opt state inherits param shardings.
 """
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from marqo_tpu.models.bert import TextEncoderConfig, encode_tokens
-from marqo_tpu.parallel.mesh import AXIS_DP, encoder_param_specs, shard_params
+from marqo_tpu.parallel.mesh import AXIS_DP, shard_params
 
 
 def info_nce_loss(query_emb: jax.Array, passage_emb: jax.Array,

@@ -6,7 +6,6 @@ Parity: reference src/marqo/tensor_search/index_meta_cache.py — dict cache
 """
 
 import threading
-import time
 from typing import Dict, Optional
 
 from marqo_tpu.core.exceptions import IndexNotFoundError

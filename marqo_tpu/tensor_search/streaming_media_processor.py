@@ -15,9 +15,7 @@ import os
 import shutil
 import subprocess
 import tempfile
-from typing import List, Optional
-
-import numpy as np
+from typing import List
 
 from marqo_tpu.core.exceptions import InvalidArgumentError
 from marqo_tpu.inference.types import Modality

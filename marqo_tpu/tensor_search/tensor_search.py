@@ -9,7 +9,7 @@ _lexical_search (:1650), get_document_by_id (:1262), delete_documents
 
 import time
 from collections import OrderedDict
-from typing import Any, Dict, List, Optional, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 
