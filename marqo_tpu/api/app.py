@@ -396,6 +396,32 @@ def on_start(config: Config) -> None:
     """Startup bootstrap chain (reference on_start_script.py:28-45)."""
     # 1. bootstrap settings store + engine
     config.index_management.bootstrap()
+    # 1b. restore persisted engine documents + start the snapshot daemon
+    #     (role of Vespa's durable document store)
+    data_dir = configs.read_env_vars_and_defaults("MARQO_ENGINE_DATA_DIR")
+    from marqo_tpu.engine.store import StoreEngine
+    if data_dir and isinstance(config.engine, StoreEngine):
+        engine_dir = os.path.join(str(data_dir), "engine_data")
+        try:
+            restored = config.engine.restore(engine_dir)
+            if restored:
+                logger.info(f"Restored {restored} documents from {engine_dir}")
+        except Exception as e:
+            logger.warning(f"Engine restore failed: {e}")
+
+        import threading
+
+        def snapshot_loop():
+            import time as _time
+            while True:
+                _time.sleep(60)
+                try:
+                    config.engine.snapshot(engine_dir)
+                except Exception as e:
+                    logger.warning(f"Engine snapshot failed: {e}")
+
+        threading.Thread(target=snapshot_loop, daemon=True,
+                         name="engine-snapshot").start()
     # 2. populate + start the index-cache refresh daemon
     config.index_meta_cache.populate()
     config.index_meta_cache.start_refresh_thread()

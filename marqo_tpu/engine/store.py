@@ -374,6 +374,65 @@ class StoreEngine:
             for doc_id, doc in items:
                 yield doc_id, dict(doc)
 
+    # -- persistence (role of Vespa's document store durability) --
+
+    def snapshot(self, directory: str) -> int:
+        """Write all indexes' documents + tensors to ``directory`` (one
+        .npz per index). Lexical and ANN structures are derived state and
+        are rebuilt on restore. Returns number of documents written."""
+        import json as _json
+        import os
+        os.makedirs(directory, exist_ok=True)
+        total = 0
+        for name in self.list_indexes():
+            docs = []
+            for doc_id, fields in self.visit_all(name):
+                tensors = self.get_tensors(name, doc_id)
+                docs.append({"id": doc_id, "fields": fields,
+                             "tensors": tensors})
+                total += 1
+            payload = {
+                "descriptor": self._descriptors[name].to_json(),
+                "docs": docs,
+            }
+            path = os.path.join(directory, f"{name}.engine.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(payload, f)
+            os.replace(tmp, path)
+        # drop snapshots of deleted indexes
+        import glob
+        live = set(self.list_indexes())
+        for path in glob.glob(os.path.join(directory, "*.engine.json")):
+            base = os.path.basename(path)[:-len(".engine.json")]
+            if base not in live:
+                os.remove(path)
+        return total
+
+    def restore(self, directory: str) -> int:
+        """Load snapshots from ``directory`` (indexes not already present);
+        lexical + ANN indexes rebuild as documents re-feed."""
+        import glob
+        import json as _json
+        import os
+        total = 0
+        for path in sorted(glob.glob(os.path.join(directory,
+                                                  "*.engine.json"))):
+            with open(path) as f:
+                payload = _json.load(f)
+            descriptor = IndexDescriptor.from_json(payload["descriptor"])
+            if self.has_index(descriptor.name):
+                continue
+            self.create_index(descriptor)
+            for doc in payload["docs"]:
+                tensors = {
+                    field: {"chunks": [e["chunk"] for e in entries],
+                            "embeddings": [e["embedding"] for e in entries]}
+                    for field, entries in doc.get("tensors", {}).items()}
+                self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
+                total += 1
+        return total
+
     def doc_count(self, index_name: str) -> int:
         return sum(len(s.docs) for s in self._shards(index_name))
 
