@@ -68,7 +68,10 @@ class Route:
         if method.upper() != self.method:
             return None
         m = self.regex.match(path)
-        return m.groupdict() if m else None
+        if not m:
+            return None
+        from urllib.parse import unquote
+        return {k: unquote(v) for k, v in m.groupdict().items()}
 
 
 def error_envelope(exc: api_exceptions.MarqoWebError) -> Tuple[int, dict]:

@@ -10,6 +10,7 @@ reference's co-deployed-vs-external Vespa split (run_marqo.sh:38-100).
 
 import concurrent.futures
 from typing import Dict, List, Optional
+from urllib.parse import quote
 
 import httpx
 
@@ -126,18 +127,18 @@ class RemoteStoreEngine:
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:
         body = self._request("GET",
-                             f"/engine/indexes/{index_name}/docs/{doc_id}")
+                             f"/engine/indexes/{index_name}/docs/{quote(doc_id, safe='')}")
         return body.get("fields")
 
     def get_tensors(self, index_name: str, doc_id: str) -> Dict[str, list]:
         body = self._request("GET",
-                             f"/engine/indexes/{index_name}/docs/{doc_id}",
+                             f"/engine/indexes/{index_name}/docs/{quote(doc_id, safe='')}",
                              params={"tensors": "true"})
         return body.get("tensors", {})
 
     def delete(self, index_name: str, doc_id: str) -> bool:
         return bool(self._request(
-            "DELETE", f"/engine/indexes/{index_name}/docs/{doc_id}"
+            "DELETE", f"/engine/indexes/{index_name}/docs/{quote(doc_id, safe='')}"
         ).get("found"))
 
     def delete_all(self, index_name: str) -> int:

@@ -294,3 +294,16 @@ class TestRealHTTPServer:
         finally:
             server.shutdown()
             config.index_meta_cache.stop_refresh_thread()
+
+
+class TestSpecialCharacterIds:
+    def test_doc_id_with_spaces_over_http(self, client):
+        status, body = client.post(
+            "/indexes/test-index/documents",
+            {"documents": [{"_id": "doc with spaces", "title": "spaced"}],
+             "tensorFields": ["title"]})
+        assert status == 200 and body["errors"] is False
+        status, body = client.get(
+            "/indexes/test-index/documents/doc%20with%20spaces")
+        assert status == 200
+        assert body["title"] == "spaced"
