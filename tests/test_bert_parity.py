@@ -114,3 +114,33 @@ class TestBertParity:
             params, jnp.asarray(pad_ids), jnp.asarray(pad_mask), config,
             compute_dtype=jnp.float32))
         np.testing.assert_allclose(short, padded, atol=2e-5)
+
+
+class TestXlmRobertaParity:
+    """multilingual-e5 / stsb-xlm-r path: RoBERTa-style position offsets
+    (padding_idx+1) must match torch exactly."""
+
+    def test_roberta_position_offset(self):
+        from transformers import XLMRobertaConfig, XLMRobertaModel
+        torch.manual_seed(1)
+        cfg = XLMRobertaConfig(
+            vocab_size=256, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=40, type_vocab_size=1, pad_token_id=1)
+        model = XLMRobertaModel(cfg, add_pooling_layer=False).eval()
+        config = config_from_hf(cfg)
+        assert config.position_offset == 2  # pad_token_id + 1
+        params = params_from_torch_state_dict(model.state_dict(), config)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(2, 256, size=(2, 10)).astype(np.int64)
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            ref = model(input_ids=torch.tensor(ids),
+                        attention_mask=torch.tensor(mask)).last_hidden_state
+            ref = _torch_mean_pool(ref, torch.tensor(mask))
+            ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+        ours = np.asarray(encode_tokens(
+            params, jnp.asarray(ids), jnp.asarray(mask), config,
+            compute_dtype=jnp.float32))
+        cos = (ref * ours).sum(-1)
+        assert np.all(cos > 1 - 1e-5), cos
