@@ -319,7 +319,11 @@ class AddDocumentsHandler:
                 collector.collect_error(doc_id, e)
 
         # vectorise everything in one batch (PER_BATCH strategy)
-        embeddings = self._vectorise_plans(plans, existing_tensors, collector)
+        from marqo_tpu.api.telemetry import RequestMetricsStore
+        metrics = RequestMetricsStore.for_request()
+        with metrics.time("add_documents.vectorise"):
+            embeddings = self._vectorise_plans(plans, existing_tensors,
+                                               collector)
         if embeddings is None:
             return collector.to_response(self.index.name)
 
@@ -328,6 +332,7 @@ class AddDocumentsHandler:
         self._maybe_grow_semi_structured_schema(plans)
 
         # feed
+        metrics.start("add_documents.engine._bulk")
         for assigned_id, doc, field_plans in plans:
             try:
                 tensors = {}
@@ -350,6 +355,7 @@ class AddDocumentsHandler:
                 collector.collect_error(
                     assigned_id, DocError(str(e), status=500, code="backend_error"))
 
+        metrics.stop("add_documents.engine._bulk")
         return collector.to_response(self.index.name)
 
     def _vectorise_plans(self, plans, existing_tensors, collector):

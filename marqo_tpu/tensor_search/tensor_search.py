@@ -276,11 +276,15 @@ def _tensor_search(config, index, text, context, limit, offset, ef_search,
                    approximate, searchable_attributes, search_filter, mods,
                    attributes_to_retrieve, device, show_highlights,
                    text_query_prefix, model_auth, expose_facets) -> dict:
-    vector = compute_query_vector(index, text, context, device,
-                                  text_query_prefix, model_auth)
+    from marqo_tpu.api.telemetry import RequestMetricsStore
+    metrics = RequestMetricsStore.for_request()
+    with metrics.time("search.vector.processing_before_engine"):
+        vector = compute_query_vector(index, text, context, device,
+                                      text_query_prefix, model_auth)
     if approximate is None:
         approximate = configs.read_env_vars_and_defaults_bool(
             "MARQO_DEFAULT_APPROXIMATE_SEARCH")
+    metrics.start("search.vector.engine")
     res = config.engine.query_tensor(
         index.schema_name, vector, limit=limit, offset=offset,
         searchable_fields=searchable_attributes,
@@ -289,6 +293,7 @@ def _tensor_search(config, index, text, context, limit, offset, ef_search,
         approximate=approximate,
         attributes_to_retrieve=attributes_to_retrieve,
         expose_facets=expose_facets)
+    metrics.stop("search.vector.engine")
     return {"hits": [_hit_to_dict(h, show_highlights, SEARCH_METHOD_TENSOR)
                      for h in res.hits]}
 
