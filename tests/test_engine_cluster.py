@@ -106,3 +106,17 @@ class TestClusterEngine:
         # writes succeed while one replica of shard 0 is down (≥1 ack)
         assert engine.delete("c-idx", "doc3") is True
         assert engine.get("c-idx", "doc3") is None
+
+
+class TestClusterFromEnv:
+    def test_engine_from_env_cluster(self, cluster, monkeypatch):
+        import json as _json
+        from marqo_tpu.engine.client import engine_from_env
+        from marqo_tpu.engine.cluster import ClusterEngine
+        topology = [[f"http://127.0.0.1:{BASE_PORT + 1}"],
+                    [f"http://127.0.0.1:{BASE_PORT + 2}"]]
+        monkeypatch.setenv("MARQO_ENGINE_CLUSTER", _json.dumps(topology))
+        engine = engine_from_env()
+        assert isinstance(engine, ClusterEngine)
+        assert len(engine.shards) == 2
+        engine.close()

@@ -143,3 +143,32 @@ class TestImagePatching:
         assert chunks[0] == "[0, 0, 120, 90]"
         patches_o, _ = chunk_image(img, "overlap")
         assert len(patches_o) > 10
+
+
+class TestStructuredImagePointer:
+    def test_image_pointer_field_type(self, images):
+        """Structured indexes embed ImagePointer fields visually
+        (reference FieldType.ImagePointer)."""
+        from marqo_tpu.api.models.index_settings import (FieldRequest,
+                                                         IndexSettings)
+        from marqo_tpu.core.models.marqo_index import FieldType, IndexType
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        settings = IndexSettings(
+            type=IndexType.Structured, model="my-test-clip",
+            modelProperties=CLIP_PROPS,
+            allFields=[FieldRequest(name="img", type=FieldType.ImagePointer),
+                       FieldRequest(name="caption", type=FieldType.Text)],
+            tensorFields=["img", "caption"])
+        cfg.index_management.create_index(settings.to_marqo_index("s-img"))
+        cfg.index_meta_cache.populate()
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="s-img",
+            docs=[{"_id": k, "img": v, "caption": f"{k} image"}
+                  for k, v in images.items()]))
+        assert res["errors"] is False, res["items"]
+        out = tensor_search.search(cfg, "s-img", text=images["green"],
+                                   searchable_attributes=["img"])
+        assert out["hits"][0]["_id"] == "green"
+        inference.clear_loaded_models()
