@@ -102,6 +102,8 @@ class _FieldTensors:
         self._rows_by_doc: Dict[str, List[int]] = defaultdict(list)
         self._hnsw = None
         self._hnsw_params = (hnsw_m, hnsw_ef_construction)
+        self._version = 0
+        self._jax_scorer = None
 
     def _ensure_hnsw(self):
         if self._hnsw is None:
@@ -145,6 +147,7 @@ class _FieldTensors:
             if self._hnsw is not None:
                 self._hnsw.add(vec)
         self._matrix = None
+        self._version += 1
 
     def remove(self, doc_id: str) -> None:
         if doc_id not in self._live_docs:
@@ -155,6 +158,7 @@ class _FieldTensors:
             self._valid[row] = False
             if self._hnsw is not None:
                 self._hnsw.remove(row)
+        self._version += 1
 
     def matrix(self) -> Tuple[np.ndarray, List[str], List[str], np.ndarray]:
         """(vectors, per-row doc ids, per-row chunks, validity mask)."""
@@ -180,6 +184,15 @@ class _FieldTensors:
                     mask[row] = 1
         k = min(k, len(self._doc_ids))
         return hnsw.search(query, k=k, ef=max(ef, k), filter_mask=mask)
+
+    def search_exact_device(self, query: np.ndarray, k: int):
+        """Accelerator-backed exact top-k (engine/jax_scorer.py); None when
+        the corpus is small or no healthy device is attached."""
+        from marqo_tpu.engine.jax_scorer import JaxExactScorer
+        if self._jax_scorer is None:
+            self._jax_scorer = JaxExactScorer(self.metric)
+        matrix, _doc_ids, _chunks, valid = self.matrix()
+        return self._jax_scorer.top_k(matrix, self._version, query, k, valid)
 
     def doc_tensors(self, doc_id: str) -> List[Tuple[str, np.ndarray]]:
         return [(self._chunks[i], self._vectors[i])
@@ -618,6 +631,18 @@ class StoreEngine:
                     matrix, doc_ids, chunks, valid = ts.matrix()
                     if matrix.shape[0] == 0:
                         continue
+                    if max_hits is not None and allowed is None:
+                        device_hits = ts.search_exact_device(
+                            query, k=max(max_hits * 4, 64))
+                        if device_hits is not None:
+                            rows, dev_scores = device_hits
+                            for row, s in zip(rows, dev_scores):
+                                doc_id = doc_ids[row]
+                                s = float(s)
+                                if s > best.get(doc_id, float("-inf")):
+                                    best[doc_id] = s
+                                    best_chunk[doc_id] = {field: chunks[row]}
+                            continue
                     scores = closeness(metric, query, matrix)
                     for i, doc_id in enumerate(doc_ids):
                         if not valid[i]:

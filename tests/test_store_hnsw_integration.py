@@ -72,3 +72,32 @@ class TestApproximatePath:
         # restore for other tests
         eng.feed("big", "d3", {"n": 3},
                  {"vec": {"chunks": ["c3"], "embeddings": [vectors[3]]}})
+
+
+class TestDeviceExactScorer:
+    def test_scorer_below_threshold_returns_none(self):
+        from marqo_tpu.engine.jax_scorer import JaxExactScorer
+        scorer = JaxExactScorer()
+        matrix = np.random.default_rng(0).standard_normal(
+            (100, 8)).astype(np.float32)
+        out = scorer.top_k(matrix, 0, matrix[0], k=5,
+                           valid_mask=np.ones(100, bool))
+        assert out is None  # corpus too small / no accelerator in tests
+
+    def test_scorer_logic_with_forced_threshold(self, monkeypatch):
+        """Exercise the jit scoring path on CPU by lowering the gates."""
+        import marqo_tpu.engine.jax_scorer as js
+        monkeypatch.setattr(js, "MIN_ROWS_FOR_DEVICE", 10)
+        monkeypatch.setattr(js, "device_available", lambda: True)
+        rng = np.random.default_rng(1)
+        matrix = rng.standard_normal((64, 8)).astype(np.float32)
+        matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+        valid = np.ones(64, bool)
+        valid[7] = False
+        scorer = js.JaxExactScorer("prenormalized-angular")
+        rows, scores = scorer.top_k(matrix, 0, matrix[7], k=3, valid_mask=valid)
+        assert 7 not in rows  # invalid row excluded
+        # agrees with numpy ranking over valid rows (bf16 tolerance)
+        sims = matrix @ matrix[7]
+        sims[~valid] = -np.inf
+        assert rows[0] == int(np.argmax(sims))
