@@ -76,3 +76,37 @@ class TestQuantizedEncoder:
         assert np.all(np.isfinite(out))
         np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
                                    atol=1e-4)
+
+
+class TestFusedW8A8Kernel:
+    """Pallas fused quantized matmul (interpret mode on CPU; hardware
+    verification deferred to round 2 per CLAUDE.md)."""
+
+    def test_matches_reference_int8_linear(self):
+        from marqo_tpu.ops.quant import int8_linear, quantize_weight
+        from marqo_tpu.ops import quant_matmul as qm
+        rng = np.random.default_rng(0)
+        M, K, N = qm.BM, 128, qm.BN
+        x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+        w_q, w_scale = quantize_weight(w)
+        ref = np.asarray(int8_linear(x[None], w_q, w_scale[0], bias,
+                                     out_dtype=jnp.float32))[0]
+        out = np.asarray(qm.w8a8_matmul(x, w_q, w_scale[0], bias,
+                                        out_dtype=jnp.float32))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    def test_multi_tile_grid(self):
+        from marqo_tpu.ops.quant import quantize_weight
+        from marqo_tpu.ops import quant_matmul as qm
+        rng = np.random.default_rng(1)
+        M, K, N = qm.BM * 2, 64, qm.BN * 2
+        x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+        w_q, w_scale = quantize_weight(w)
+        out = np.asarray(qm.w8a8_matmul(x, w_q, w_scale[0],
+                                        jnp.zeros(N), out_dtype=jnp.float32))
+        ref = np.asarray(x @ w)
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 0.03, rel
