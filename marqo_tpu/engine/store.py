@@ -261,7 +261,26 @@ class _Shard:
         if search_filter is None or search_filter.root is None:
             return None
         return {doc_id for doc_id, doc in self.docs.items()
-                if evaluate_node(search_filter.root, doc, doc_id)}
+                if evaluate_node(search_filter.root,
+                                 self._filterable_view(doc), doc_id)}
+
+    def _filterable_view(self, doc: dict) -> dict:
+        """Unstructured/semi-structured indexes only keep strings up to
+        filter_string_max_length in the filterable store (reference
+        unstructured schema: short-string map is filterable, long strings
+        are lexical-only — filter_string_max_length threshold)."""
+        if not self.descriptor.dynamic_fields:
+            return doc
+        cap = self.descriptor.filter_string_max_length
+        view = {}
+        for key, value in doc.items():
+            if isinstance(value, str) and len(value) > cap:
+                continue
+            if isinstance(value, list):
+                value = [v for v in value
+                         if not (isinstance(v, str) and len(v) > cap)]
+            view[key] = value
+        return view
 
 
 # --- results ----------------------------------------------------------------

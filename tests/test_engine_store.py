@@ -226,3 +226,25 @@ class TestCloseness:
         q = np.array([1, -1, 1], dtype=np.float32)
         m = np.array([[1, -1, 1], [-1, 1, -1]], dtype=np.float32)
         np.testing.assert_allclose(closeness("hamming", q, m), [1.0, 0.25])
+
+
+class TestFilterStringMaxLength:
+    def test_long_strings_not_filterable(self):
+        """Unstructured parity: strings above filter_string_max_length are
+        lexical-only, never filterable (reference short-string threshold)."""
+        eng = StoreEngine()
+        eng.create_index(IndexDescriptor(name="fsml", model_dimensions=4,
+                                         filter_string_max_length=10))
+        eng.feed("fsml", "short", {"tag": "brief"}, {})
+        eng.feed("fsml", "long", {"tag": "a very long tag value here"}, {})
+        f = MarqoFilterStringParser().parse(
+            "tag:(a very long tag value here)")
+        res = eng.query_lexical("fsml", ["tag"], [], limit=10,
+                                search_filter=f)
+        assert res.hits == []  # long value filtered out of the view
+        f2 = MarqoFilterStringParser().parse("tag:brief")
+        allowed = eng._shards("fsml")[0].allowed_docs(f2) | \
+            eng._shards("fsml")[-1].allowed_docs(f2) \
+            if len(eng._shards("fsml")) > 1 else \
+            eng._shards("fsml")[0].allowed_docs(f2)
+        assert "short" in allowed
