@@ -19,11 +19,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# fail fast if the TPU tunnel is wedged (observed repeatedly in round 1,
+# CLAUDE.md): better a clear error than an indefinite hang
+WATCHDOG_SECONDS = 480
+
+
+def _watchdog(signum, frame):
+    print("bench watchdog: TPU execution did not complete within "
+          f"{WATCHDOG_SECONDS}s — device/tunnel likely wedged",
+          file=sys.stderr)
+    os._exit(1)
 
 
 def build_corpus(n_docs: int, seed: int = 0):
@@ -110,4 +124,7 @@ def main():
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_SECONDS)
     main()
+    signal.alarm(0)
