@@ -169,3 +169,47 @@ class TestPrefixOverrides:
         res = tensor_search.search(config, "scen-index", text="noodles",
                                    text_query_prefix="custom: ")
         assert len(res["hits"]) > 0
+
+
+class TestNoModelIndex:
+    """Storage-only indexes with `no_model` + custom vectors (reference
+    test_no_model.py behavior)."""
+
+    def test_custom_vectors_only(self):
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(IndexSettings(
+            model="no_model",
+            modelProperties={"type": "no_model", "dimensions": 8},
+        ).to_marqo_index("nm-index"))
+        cfg.index_meta_cache.populate()
+        vec = [1.0, 0, 0, 0, 0, 0, 0, 0]
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="nm-index",
+            docs=[{"_id": "v1", "f": {"content": "stored text",
+                                      "vector": vec}}],
+            tensor_fields=["f"],
+            mappings={"f": {"type": "custom_vector"}}))
+        assert res["errors"] is False, res["items"]
+        out = tensor_search.search(
+            cfg, "nm-index",
+            context={"tensor": [{"vector": vec, "weight": 1.0}]})
+        assert out["hits"][0]["_id"] == "v1"
+
+    def test_text_vectorise_rejected(self):
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(IndexSettings(
+            model="no_model",
+            modelProperties={"type": "no_model", "dimensions": 8},
+        ).to_marqo_index("nm2-index"))
+        cfg.index_meta_cache.populate()
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="nm2-index",
+            docs=[{"_id": "t1", "text": "needs vectorising"}],
+            tensor_fields=["text"]))
+        assert res["errors"] is True  # no_model cannot vectorise
+        with pytest.raises(Exception):
+            tensor_search.search(cfg, "nm2-index", text="query text")
