@@ -594,43 +594,67 @@ class AddDocumentsHandler:
         chunk_strs = [f"[{s:.1f}, {e:.1f}]" for (s, e, _p) in chunks]
         return pieces, chunk_strs
 
-    def _chunk_video(self, pointer: str):
-        """ffmpeg-chunked video clips → decoded frame stacks (cv2)."""
+    def _chunk_video(self, pointer: str, frames_per_clip: int = 8):
+        """Video → overlapping clips of sampled frames. Decodes with
+        OpenCV's bundled codecs (no ffmpeg binary needed; the ffmpeg
+        streaming processor remains available for exotic containers).
+        Chunking mirrors the reference's fixed-length overlapping clips
+        (streaming_media_processor.py:86-136)."""
         import cv2
-        from marqo_tpu.tensor_search.streaming_media_processor import (
-            StreamingMediaProcessor, ffmpeg_available)
-        if not ffmpeg_available():
-            raise InvalidArgumentError(
-                "Video ingestion requires ffmpeg, which is not available "
-                "in this deployment")
-        prep = self.index.video_preprocessing
-        processor = StreamingMediaProcessor(
-            Modality.VIDEO,
-            split_length=prep.split_length if prep else 20,
-            split_overlap=prep.split_overlap if prep else 3)
-        local = pointer  # StreamingMediaProcessor handles local paths
-        clips = processor.process_media(local)
-        frame_stacks = []
-        chunk_strs = []
-        for clip in clips:
-            cap = cv2.VideoCapture(clip["path"])
-            frames = []
-            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 1
-            stride = max(1, total // 8)  # sample ≤8 frames per clip
-            i = 0
-            while True:
-                ok, frame = cap.read()
-                if not ok:
+        import os as _os
+        import tempfile
+        from marqo_tpu.tensor_search.add_docs import fetch_content
+        local = pointer
+        cleanup = None
+        if not _os.path.isfile(pointer):
+            data = fetch_content(pointer,
+                                 self.params.media_download_headers)
+            fd, local = tempfile.mkstemp(suffix=_os.path.splitext(
+                pointer.split("?")[0])[1] or ".mp4")
+            with _os.fdopen(fd, "wb") as f:
+                f.write(data)
+            cleanup = local
+        try:
+            cap = cv2.VideoCapture(local)
+            if not cap.isOpened():
+                raise InvalidArgumentError(
+                    f"Could not decode video `{pointer}`")
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            duration = total / fps if fps else 0
+            prep = self.index.video_preprocessing
+            split_length = prep.split_length if prep else 20
+            split_overlap = prep.split_overlap if prep else 3
+            step = max(1, split_length - split_overlap)
+            frame_stacks, chunk_strs = [], []
+            start = 0.0
+            while start < max(duration, 1e-6):
+                end = min(start + split_length, duration)
+                first = int(start * fps)
+                last = max(first + 1, int(end * fps))
+                picks = np.linspace(first, last - 1,
+                                    min(frames_per_clip, last - first),
+                                    dtype=int)
+                frames = []
+                for frame_no in picks:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, int(frame_no))
+                    ok, frame = cap.read()
+                    if ok:
+                        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                if frames:
+                    frame_stacks.append(frames)
+                    chunk_strs.append(f"[{start:.1f}, {end:.1f}]")
+                if start + split_length >= duration:
                     break
-                if i % stride == 0:
-                    frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-                i += 1
+                start += step
             cap.release()
-            if frames:
-                frame_stacks.append(frames)
-                chunk_strs.append(
-                    f"[{clip['start_time']:.1f}, {clip['end_time']:.1f}]")
-        return frame_stacks, chunk_strs
+            if not frame_stacks:
+                raise InvalidArgumentError(
+                    f"No frames decoded from `{pointer}`")
+            return frame_stacks, chunk_strs
+        finally:
+            if cleanup:
+                _os.unlink(cleanup)
 
     def _patchify(self, image, pointer: str):
         """Apply the index's patch method; default = whole image, chunk
