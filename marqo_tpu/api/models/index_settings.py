@@ -57,6 +57,20 @@ class IndexSettings(BaseModel):
     storageClass: Optional[str] = None
 
     @model_validator(mode="after")
+    def _validate_ef_construction_cap(self):
+        """efConstruction upper bound (reference
+        MARQO_EF_CONSTRUCTION_MAX_VALUE, api/configs.py:43)."""
+        from marqo_tpu.api import configs
+        cap = configs.read_env_vars_and_defaults_ints(
+            "MARQO_EF_CONSTRUCTION_MAX_VALUE")
+        if cap is not None and self.annParameters.parameters.ef_construction > cap:
+            raise ValueError(
+                f"efConstruction must be ≤ {cap} "
+                f"(MARQO_EF_CONSTRUCTION_MAX_VALUE), got "
+                f"{self.annParameters.parameters.ef_construction}")
+        return self
+
+    @model_validator(mode="after")
     def _validate_media_flags(self):
         if self.treatUrlsAndPointersAsImages is False and \
                 self.treatUrlsAndPointersAsMedia:

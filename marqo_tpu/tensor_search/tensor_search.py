@@ -204,6 +204,15 @@ def search(config: Config, index_name: str,
             f"Search method `{search_method}` is not valid! Choose one of "
             f"TENSOR, LEXICAL, HYBRID")
 
+    if searchable_attributes is not None:
+        max_attrs = configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_SEARCHABLE_TENSOR_ATTRIBUTES")
+        if max_attrs is not None and len(searchable_attributes) > max_attrs:
+            raise api_exceptions.InvalidArgError(
+                f"Maximum searchable attributes (set via "
+                f"MARQO_MAX_SEARCHABLE_TENSOR_ATTRIBUTES) for tensor search "
+                f"is {max_attrs}, received {len(searchable_attributes)}.")
+
     index = config.index_meta_cache.get_index(index_name)
     search_filter = (MarqoFilterStringParser().parse(filter)
                      if filter else None)

@@ -250,3 +250,29 @@ class TestUpgradeRunner:
         cfg.index_management.bootstrap()
         result = UpgradeRunner(cfg.index_management).upgrade()
         assert result["migrated"] == 0
+
+
+class TestRequestLimits:
+    def test_searchable_attributes_cap(self, monkeypatch):
+        from marqo_tpu.api.exceptions import InvalidArgError
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.config import Config
+        from marqo_tpu.tensor_search import tensor_search
+        monkeypatch.setenv("MARQO_MAX_SEARCHABLE_TENSOR_ATTRIBUTES", "2")
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="random").to_marqo_index("cap-index"))
+        cfg.index_meta_cache.populate()
+        with pytest.raises(InvalidArgError):
+            tensor_search.search(cfg, "cap-index", text="x",
+                                 searchable_attributes=["a", "b", "c"])
+
+    def test_ef_construction_cap(self, monkeypatch):
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        monkeypatch.setenv("MARQO_EF_CONSTRUCTION_MAX_VALUE", "1024")
+        with pytest.raises(Exception):
+            IndexSettings(model="random",
+                          annParameters={"spaceType": "prenormalized-angular",
+                                         "parameters": {"efConstruction": 5000,
+                                                        "m": 16}})
