@@ -685,8 +685,11 @@ class AddDocumentsHandler:
                     and all(isinstance(v, str) for v in value))
                 if is_text and field not in known_lexical \
                         and field not in new_lexical:
+                    field_type = (FieldType.ArrayText
+                                  if isinstance(value, list)
+                                  else FieldType.Text)
                     new_lexical[field] = Field(
-                        name=field, type=FieldType.Text,
+                        name=field, type=field_type,
                         features=[], lexical_field_name=f"marqo__lexical_{field}")
             for field in field_plans:
                 if field not in known_tensor and field not in new_tensor:
