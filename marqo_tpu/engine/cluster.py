@@ -172,13 +172,86 @@ class ClusterEngine:
         return self._merge(results, limit, offset)
 
     def query_hybrid(self, index_name: str, vector, or_phrases, and_phrases,
-                     limit: int, offset: int = 0, **kwargs) -> QueryResult:
-        # per-shard RRF then score merge (global-rank RRF needs leg scores
-        # from every shard; per-shard fusion is the standard distributed
-        # approximation and exact when one shard holds the index)
+                     limit: int, offset: int = 0,
+                     retrieval_method: str = "disjunction",
+                     ranking_method: str = "rrf",
+                     alpha: float = 0.5, rrf_k: int = 60,
+                     searchable_fields_tensor=None,
+                     searchable_fields_lexical=None, search_filter=None,
+                     score_modifiers_tensor=None,
+                     score_modifiers_lexical=None, ef_search=None,
+                     approximate=True, attributes_to_retrieve=None,
+                     expose_facets=False) -> QueryResult:
+        if retrieval_method == "disjunction" and ranking_method == "rrf":
+            # GLOBAL-rank RRF: gather each leg from every shard, rank each
+            # leg globally by score, then fuse — identical semantics to a
+            # single-node index (HybridSearcher.java fuses global legs too)
+            max_leg = limit + offset
+            common = dict(limit=max_leg, offset=0,
+                          search_filter=search_filter,
+                          attributes_to_retrieve=attributes_to_retrieve,
+                          expose_facets=expose_facets)
+            tensor_futures = [
+                self._pool.submit(shard.read_one, "query_tensor", index_name,
+                                  vector,
+                                  searchable_fields=searchable_fields_tensor,
+                                  score_modifiers=score_modifiers_tensor,
+                                  ef_search=ef_search,
+                                  approximate=approximate, **common)
+                for shard in self.shards]
+            lexical_futures = [
+                self._pool.submit(shard.read_one, "query_lexical", index_name,
+                                  or_phrases, and_phrases,
+                                  searchable_fields=searchable_fields_lexical,
+                                  score_modifiers=score_modifiers_lexical,
+                                  **common)
+                for shard in self.shards]
+            tensor_hits: List[Hit] = []
+            for f in tensor_futures:
+                tensor_hits.extend(f.result().hits)
+            lexical_hits: List[Hit] = []
+            for f in lexical_futures:
+                lexical_hits.extend(f.result().hits)
+            tensor_hits.sort(key=lambda h: (-h.score, h.doc_id))
+            lexical_hits.sort(key=lambda h: (-h.score, h.doc_id))
+
+            fused: Dict[str, float] = {}
+            by_id: Dict[str, Hit] = {}
+            raw_tensor: Dict[str, float] = {}
+            raw_lexical: Dict[str, float] = {}
+            for rank, hit in enumerate(tensor_hits[:max_leg]):
+                fused[hit.doc_id] = fused.get(hit.doc_id, 0.0) + \
+                    alpha * (1.0 / (rank + 1 + rrf_k))
+                raw_tensor[hit.doc_id] = hit.score
+                by_id.setdefault(hit.doc_id, hit)
+            for rank, hit in enumerate(lexical_hits[:max_leg]):
+                fused[hit.doc_id] = fused.get(hit.doc_id, 0.0) + \
+                    (1.0 - alpha) * (1.0 / (rank + 1 + rrf_k))
+                raw_lexical[hit.doc_id] = hit.score
+                by_id.setdefault(hit.doc_id, hit)
+            ranked = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+            hits = []
+            for doc_id, score in ranked[offset:offset + limit]:
+                src = by_id[doc_id]
+                hits.append(Hit(doc_id, score, src.fields, src.highlight,
+                                raw_tensor.get(doc_id),
+                                raw_lexical.get(doc_id)))
+            return QueryResult(hits, len(ranked))
+
+        # non-RRF combos: per-shard execution then score merge
         results = self._fanout_reads(
             "query_hybrid", index_name, vector, or_phrases, and_phrases,
-            limit=limit + offset, offset=0, **kwargs)
+            limit=limit + offset, offset=0,
+            retrieval_method=retrieval_method, ranking_method=ranking_method,
+            alpha=alpha, rrf_k=rrf_k,
+            searchable_fields_tensor=searchable_fields_tensor,
+            searchable_fields_lexical=searchable_fields_lexical,
+            search_filter=search_filter,
+            score_modifiers_tensor=score_modifiers_tensor,
+            score_modifiers_lexical=score_modifiers_lexical,
+            ef_search=ef_search, approximate=approximate,
+            attributes_to_retrieve=attributes_to_retrieve,
+            expose_facets=expose_facets)
         return self._merge(results, limit, offset)
 
     def close(self):

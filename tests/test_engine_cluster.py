@@ -120,3 +120,40 @@ class TestClusterFromEnv:
         assert isinstance(engine, ClusterEngine)
         assert len(engine.shards) == 2
         engine.close()
+
+
+class TestGlobalRRF:
+    def test_global_leg_ranking(self, cluster):
+        """Cluster hybrid (disjunction+rrf) ranks each leg GLOBALLY across
+        shards: the fused top hit must carry leg scores, the tensor leg's
+        global best must get the tensor rank-1 contribution, and scores obey
+        the rrf bound. (Exact lexical parity with a single node needs global
+        IDF — round-2 item; tensor-leg closeness is already global.)"""
+        engine, backends, _ = cluster
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal(4).astype(np.float32)
+        q /= np.linalg.norm(q)
+        res = engine.query_hybrid("c-idx", q.tolist(), ["document"], [],
+                                  limit=10, alpha=0.5, rrf_k=60)
+        assert len(res.hits) == 10
+        scores = [h.score for h in res.hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 < s <= 1.0 / 61 + 1e-9 for s in scores)
+        # the globally-best tensor doc must appear with rank-1 tensor credit
+        tensor_best = engine.query_tensor("c-idx", q.tolist(), limit=1).hits[0]
+        top_ids = [h.doc_id for h in res.hits]
+        assert tensor_best.doc_id in top_ids
+        best_hit = next(h for h in res.hits if h.doc_id == tensor_best.doc_id)
+        assert best_hit.raw_tensor_score is not None
+        assert abs(best_hit.raw_tensor_score - tensor_best.score) < 1e-6
+
+    def test_alpha_extremes(self, cluster):
+        engine, _, _ = cluster
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal(4).astype(np.float32)
+        q /= np.linalg.norm(q)
+        tensor_only = engine.query_hybrid("c-idx", q.tolist(), ["document"],
+                                          [], limit=5, alpha=1.0)
+        tensor_ref = engine.query_tensor("c-idx", q.tolist(), limit=5)
+        assert [h.doc_id for h in tensor_only.hits] == \
+            [h.doc_id for h in tensor_ref.hits]
