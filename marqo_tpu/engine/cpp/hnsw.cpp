@@ -102,7 +102,7 @@ class HnswIndex {
     for (int lc = std::min(level, max_level_); lc >= 0; --lc) {
       auto candidates = search_layer(q, cur, ef_construction_, lc, nullptr);
       int max_links = (lc == 0) ? M0_ : M_;
-      auto selected = select_neighbors(q, candidates, M_);
+      auto selected = select_neighbors(q, candidates, M_, /*backfill=*/true);
       auto& my_links = links_[id][lc];
       for (auto& sr : selected) {
         my_links.push_back(sr.id);
@@ -299,10 +299,14 @@ class HnswIndex {
     return filter == nullptr || filter[id] != 0;
   }
 
-  // Simple neighbor selection with the distance-diversity heuristic.
+  // Neighbor selection with the distance-diversity heuristic
+  // (Malkov & Yashunin Alg. 4). ``backfill`` re-adds the closest pruned
+  // candidates (keepPrunedConnections) — used for a new node's own links,
+  // NOT when shrinking an existing node's list (backfilling there crowds
+  // out the diverse long-range links and hurts recall at scale).
   std::vector<SearchResult> select_neighbors(
       const float* q, const std::vector<SearchResult>& candidates,
-      int M) const {
+      int M, bool backfill) const {
     (void)q;
     std::vector<SearchResult> selected;
     for (const auto& c : candidates) {
@@ -316,8 +320,7 @@ class HnswIndex {
       }
       if (keep) selected.push_back(c);
     }
-    // backfill if the heuristic pruned too aggressively
-    if (int(selected.size()) < M) {
+    if (backfill && int(selected.size()) < M) {
       for (const auto& c : candidates) {
         if (int(selected.size()) >= M) break;
         bool present = false;
@@ -339,7 +342,7 @@ class HnswIndex {
               [](const SearchResult& a, const SearchResult& b) {
                 return a.dist < b.dist;
               });
-    auto selected = select_neighbors(base, cands, max_links);
+    auto selected = select_neighbors(base, cands, max_links, /*backfill=*/false);
     lst.clear();
     for (auto& s : selected) lst.push_back(s.id);
   }
