@@ -67,6 +67,7 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_TPU_BATCH_BUCKETS": [1, 8, 16, 32, 64, 128, 256],
         "MARQO_TPU_DEFAULT_DTYPE": "bfloat16",
         "MARQO_TELEMETRY_ENABLED": "TRUE",
+        "MARQO_DYNAMIC_BATCHING": "FALSE",  # coalesce concurrent embeds
     }
 
 

@@ -182,9 +182,9 @@ def vectorise(model_name: str,
 
     if misses:
         try:
-            encoded = model.encode([contents[i] for i in misses],
-                                   normalize=normalize_embeddings,
-                                   modality=modality)
+            encoded = _encode(model, cache_key,
+                              [contents[i] for i in misses],
+                              normalize_embeddings, modality)
         except VectoriseError:
             raise
         except Exception as e:
@@ -198,6 +198,27 @@ def vectorise(model_name: str,
                 cache.set(cache_key, contents[i], encoded[j])
 
     return results  # type: ignore[return-value]
+
+
+def _encode(model: EmbeddingModel, cache_key: str, contents: List[Any],
+            normalize: bool, modality: Modality):
+    """Dispatch to the model, optionally through the dynamic micro-batching
+    scheduler (MARQO_DYNAMIC_BATCHING=TRUE): concurrent small text requests
+    coalesce into one bucketed device batch — the TPU-serving replacement
+    for the reference's thread-per-request torch loops (SURVEY.md D2)."""
+    use_scheduler = (
+        modality == Modality.TEXT and normalize is True and
+        configs.read_env_vars_and_defaults_bool("MARQO_DYNAMIC_BATCHING") and
+        all(isinstance(c, str) for c in contents))
+    if not use_scheduler:
+        return model.encode(contents, normalize=normalize, modality=modality)
+    from marqo_tpu.inference.batch_scheduler import get_scheduler
+    scheduler = get_scheduler(
+        cache_key,
+        lambda batch: model.encode(batch, normalize=True,
+                                   modality=Modality.TEXT),
+        max_batch=256, max_wait_ms=2.0)
+    return scheduler.encode(contents)
 
 
 def _float_list(arr) -> List[List[float]]:

@@ -87,3 +87,40 @@ class TestBatchScheduler:
         s2 = get_scheduler("m1", encode)
         assert s1 is s2
         clear_schedulers()
+
+
+class TestVectoriseIntegration:
+    def test_concurrent_vectorise_coalesced(self, monkeypatch):
+        import threading
+        import numpy as np
+        from marqo_tpu.inference import vectorise as v
+        from marqo_tpu.inference import batch_scheduler as bs
+        monkeypatch.setenv("MARQO_DYNAMIC_BATCHING", "TRUE")
+        v.clear_loaded_models()
+        bs.clear_schedulers()
+        # load the model once up front (avoids busy-rejection 429s)
+        baseline = v.vectorise("test", ["warm up"])
+        results = {}
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = v.vectorise("test", [f"sentence number {i}"])
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == [], errors
+        assert len(results) == 12
+        # each result must equal the unbatched encode of the same content
+        for i in (0, 5, 11):
+            direct = v.vectorise("test", [f"sentence number {i}"])
+            cos = float(np.dot(results[i][0], direct[0]))
+            assert cos > 1 - 1e-3, (i, cos)
+        bs.clear_schedulers()
+        v.clear_loaded_models()
