@@ -409,9 +409,9 @@ class StoreEngine:
     # -- persistence (role of Vespa's document store durability) --
 
     def snapshot(self, directory: str) -> int:
-        """Write all indexes' documents + tensors to ``directory`` (one
-        .npz per index). Lexical and ANN structures are derived state and
-        are rebuilt on restore. Returns number of documents written."""
+        """Write all indexes' documents + tensor stores (including the
+        native HNSW graph blobs) to ``directory``. Lexical indexes are
+        derived state and rebuild on restore. Returns #documents written."""
         import json as _json
         import os
         os.makedirs(directory, exist_ok=True)
@@ -419,19 +419,40 @@ class StoreEngine:
         for name in self.list_indexes():
             docs = []
             for doc_id, fields in self.visit_all(name):
-                tensors = self.get_tensors(name, doc_id)
-                docs.append({"id": doc_id, "fields": fields,
-                             "tensors": tensors})
+                docs.append({"id": doc_id, "fields": fields})
                 total += 1
+            # row-ordered tensor state per (shard, field): vectors + hnsw
+            # blobs as binary, string metadata in the JSON
+            tensor_meta = {}
+            binary: Dict[str, np.ndarray] = {}
+            for shard_idx, shard in enumerate(self._shards(name)):
+                with shard.lock:
+                    for field, ts in shard.tensors.items():
+                        key = f"{shard_idx}::{field}"
+                        matrix, doc_ids, chunks, valid = ts.matrix()
+                        tensor_meta[key] = {
+                            "doc_ids": list(doc_ids),
+                            "chunks": list(chunks),
+                            "valid": [bool(v) for v in valid],
+                            "metric": ts.metric,
+                            "hnsw_params": list(ts._hnsw_params),
+                        }
+                        binary[key + "::vectors"] = matrix
+                        if ts._hnsw is not None:
+                            binary[key + "::hnsw"] = np.frombuffer(
+                                ts._hnsw.save(), dtype=np.uint8)
             payload = {
                 "descriptor": self._descriptors[name].to_json(),
                 "docs": docs,
+                "tensor_meta": tensor_meta,
             }
             path = os.path.join(directory, f"{name}.engine.json")
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
+            with open(path + ".tmp", "w") as f:
                 _json.dump(payload, f)
-            os.replace(tmp, path)
+            os.replace(path + ".tmp", path)
+            bin_path = os.path.join(directory, f"{name}.tensors.npz")
+            np.savez(bin_path + ".tmp.npz", **binary)
+            os.replace(bin_path + ".tmp.npz", bin_path)
         # drop snapshots of deleted indexes
         import glob
         live = set(self.list_indexes())
@@ -439,11 +460,16 @@ class StoreEngine:
             base = os.path.basename(path)[:-len(".engine.json")]
             if base not in live:
                 os.remove(path)
+                npz = os.path.join(directory, f"{base}.tensors.npz")
+                if os.path.exists(npz):
+                    os.remove(npz)
         return total
 
     def restore(self, directory: str) -> int:
-        """Load snapshots from ``directory`` (indexes not already present);
-        lexical + ANN indexes rebuild as documents re-feed."""
+        """Load snapshots from ``directory`` (indexes not already present).
+        Tensor stores (and HNSW graphs, when the native engine is available)
+        restore directly from the binary sidecar — no graph rebuild; only
+        the lexical indexes re-derive from documents."""
         import glob
         import json as _json
         import os
@@ -456,13 +482,43 @@ class StoreEngine:
             if self.has_index(descriptor.name):
                 continue
             self.create_index(descriptor)
+            # documents + lexical rebuild
             for doc in payload["docs"]:
-                tensors = {
-                    field: {"chunks": [e["chunk"] for e in entries],
-                            "embeddings": [e["embedding"] for e in entries]}
-                    for field, entries in doc.get("tensors", {}).items()}
-                self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
+                self.feed(descriptor.name, doc["id"], doc["fields"], {})
                 total += 1
+            # tensor stores from the binary sidecar
+            bin_path = path[:-len(".engine.json")] + ".tensors.npz"
+            if not os.path.exists(bin_path):
+                continue
+            with np.load(bin_path) as data:
+                for key, meta in payload.get("tensor_meta", {}).items():
+                    shard_idx_s, field = key.split("::", 1)
+                    shard = self._shards(descriptor.name)[int(shard_idx_s)]
+                    ts = _FieldTensors(
+                        descriptor.model_dimensions, metric=meta["metric"],
+                        hnsw_m=meta["hnsw_params"][0],
+                        hnsw_ef_construction=meta["hnsw_params"][1])
+                    matrix = data[key + "::vectors"]
+                    ts._doc_ids = list(meta["doc_ids"])
+                    ts._chunks = list(meta["chunks"])
+                    ts._vectors = [matrix[i] for i in range(matrix.shape[0])]
+                    ts._valid = list(meta["valid"])
+                    ts._live_docs = {d for d, v in zip(ts._doc_ids, ts._valid)
+                                     if v}
+                    for row, doc_id in enumerate(ts._doc_ids):
+                        if ts._valid[row]:
+                            ts._rows_by_doc[doc_id].append(row)
+                    hnsw_key = key + "::hnsw"
+                    if hnsw_key in data.files:
+                        try:
+                            from marqo_tpu.engine.native import NativeHnsw
+                            ts._hnsw = NativeHnsw.load(
+                                data[hnsw_key].tobytes(),
+                                metric=meta["metric"])
+                        except Exception:
+                            ts._hnsw = None  # lazily rebuilt on first query
+                    with shard.lock:
+                        shard.tensors[field] = ts
         return total
 
     def doc_count(self, index_name: str) -> int:

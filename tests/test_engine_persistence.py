@@ -63,3 +63,42 @@ class TestEngineSnapshot:
         # restore into the same engine: index exists → skipped, no error
         assert eng.restore(str(tmp_path)) == 0
         assert eng.doc_count("dup") == 1
+
+
+class TestHnswPersistence:
+    def test_hnsw_blob_restored_not_rebuilt(self, tmp_path):
+        from marqo_tpu.engine.native import native_available
+        if not native_available():
+            pytest.skip("native engine not built")
+        from marqo_tpu.engine.descriptor import TensorFieldDescriptor
+        rng = np.random.default_rng(0)
+        n, d = 1500, 16
+        eng = StoreEngine()
+        eng.create_index(IndexDescriptor(
+            name="h-idx", model_dimensions=d,
+            tensor_fields=[TensorFieldDescriptor(name="v", dimensions=d)]))
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+        for i in range(n):
+            eng.feed("h-idx", f"d{i}", {"n": i},
+                     {"v": {"chunks": [f"c{i}"],
+                            "embeddings": [vectors[i]]}})
+        # force HNSW build + verify, then snapshot WITH the graph
+        res = eng.query_tensor("h-idx", vectors[7], limit=1,
+                               approximate=True)
+        assert res.hits[0].doc_id == "d7"
+        eng.snapshot(str(tmp_path))
+
+        fresh = StoreEngine()
+        fresh.restore(str(tmp_path))
+        ts = fresh._shards("h-idx")[0].tensors["v"]
+        assert ts._hnsw is not None  # loaded from blob, no rebuild
+        assert len(ts._hnsw) == n
+        res = fresh.query_tensor("h-idx", vectors[7], limit=1,
+                                 approximate=True)
+        assert res.hits[0].doc_id == "d7"
+        # mutations after restore keep working
+        fresh.delete("h-idx", "d7")
+        res = fresh.query_tensor("h-idx", vectors[7], limit=1,
+                                 approximate=True)
+        assert res.hits[0].doc_id != "d7"
