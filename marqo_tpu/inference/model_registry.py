@@ -112,18 +112,32 @@ def _sbert_models() -> Dict[str, dict]:
     names = {
         "sentence-transformers/all-MiniLM-L6-v1": 384,
         "sentence-transformers/all-MiniLM-L6-v2": 384,
+        "sentence-transformers/all-MiniLM-L12-v1": 384,
         "sentence-transformers/all-MiniLM-L12-v2": 384,
         "sentence-transformers/all-mpnet-base-v1": 768,
         "sentence-transformers/all-mpnet-base-v2": 768,
+        "sentence-transformers/all-roberta-large-v1": 1024,
         "sentence-transformers/all-distilroberta-v1": 768,
         "sentence-transformers/multi-qa-MiniLM-L6-cos-v1": 384,
+        "sentence-transformers/multi-qa-MiniLM-L6-dot-v1": 384,
         "sentence-transformers/multi-qa-mpnet-base-cos-v1": 768,
+        "sentence-transformers/multi-qa-mpnet-base-dot-v1": 768,
         "sentence-transformers/multi-qa-distilbert-cos-v1": 768,
+        "sentence-transformers/multi-qa-distilbert-dot-v1": 768,
         "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2": 384,
         "sentence-transformers/paraphrase-multilingual-mpnet-base-v2": 768,
+        "sentence-transformers/paraphrase-MiniLM-L3-v2": 384,
+        "sentence-transformers/paraphrase-MiniLM-L6-v2": 384,
+        "sentence-transformers/paraphrase-albert-small-v2": 768,
         "sentence-transformers/msmarco-MiniLM-L6-cos-v5": 384,
         "sentence-transformers/msmarco-MiniLM-L12-cos-v5": 384,
+        "sentence-transformers/msmarco-distilbert-cos-v5": 768,
+        "sentence-transformers/msmarco-distilbert-base-tas-b": 768,
         "sentence-transformers/stsb-xlm-r-multilingual": 768,
+        "sentence-transformers/distiluse-base-multilingual-cased-v1": 512,
+        "sentence-transformers/distiluse-base-multilingual-cased-v2": 512,
+        "flax-sentence-embeddings/all_datasets_v3_MiniLM-L12": 384,
+        "flax-sentence-embeddings/all_datasets_v4_MiniLM-L12": 384,
     }
     out = {}
     for name, dims in names.items():
@@ -225,22 +239,58 @@ def _fp16_clip_models() -> Dict[str, dict]:
 
 
 def _onnx_alias_models() -> Dict[str, dict]:
-    """Reference ONNX variants (onnx_clip_utils.py, sbert_onnx_utils.py) —
-    alternative runtimes of the same checkpoints. On TPU they resolve to
-    the JAX implementations (the runtime IS the accelerator-native one)."""
+    """Reference ONNX variants (onnx_clip_utils.py, sbert_onnx_utils.py —
+    64 onnx-CLIP + 10 sbert-onnx entries) — alternative runtimes of the
+    same checkpoints. On TPU they resolve to the JAX implementations (the
+    runtime IS the accelerator-native one)."""
     out = {}
-    for name, dims, size in [("ViT-B/32", 512, 224), ("ViT-B/16", 512, 224),
-                             ("ViT-L/14", 768, 224), ("RN50", 1024, 224)]:
+    openai_archs = [("ViT-B/32", 512, 224), ("ViT-B/16", 512, 224),
+                    ("ViT-L/14", 768, 224), ("ViT-L/14@336px", 768, 336),
+                    ("RN50", 1024, 224), ("RN101", 512, 224),
+                    ("RN50x4", 640, 288), ("RN50x16", 768, 384),
+                    ("RN50x64", 1024, 448)]
+    for name, dims, size in openai_archs:
         for prefix in ("onnx16", "onnx32"):
             out[f"{prefix}/openai/{name}"] = {
                 "name": name, "dimensions": dims, "type": "clip",
                 "image_size": size,
                 "notes": "ONNX-named alias; served by the JAX CLIP runtime"}
+    laion_archs = [
+        ("open_clip/ViT-B-32/laion400m_e31", 512, 224),
+        ("open_clip/ViT-B-32/laion400m_e32", 512, 224),
+        ("open_clip/ViT-B-32/laion2b_e16", 512, 224),
+        ("open_clip/ViT-B-32/laion2b_s34b_b79k", 512, 224),
+        ("open_clip/ViT-B-16/laion400m_e31", 512, 224),
+        ("open_clip/ViT-B-16/laion400m_e32", 512, 224),
+        ("open_clip/ViT-B-16-plus-240/laion400m_e31", 640, 240),
+        ("open_clip/ViT-B-16-plus-240/laion400m_e32", 640, 240),
+        ("open_clip/ViT-L-14/laion400m_e31", 768, 224),
+        ("open_clip/ViT-L-14/laion400m_e32", 768, 224),
+        ("open_clip/ViT-L-14/laion2b_s32b_b82k", 768, 224),
+        ("open_clip/ViT-H-14/laion2b_s32b_b79k", 1024, 224),
+        ("open_clip/ViT-g-14/laion2b_s12b_b42k", 1024, 224),
+    ]
+    for key, dims, size in laion_archs:
+        for prefix in ("onnx16", "onnx32"):
+            arch = key.split("/", 1)[1]
+            out[f"{prefix}/{arch.replace('/', '/')}"] = {
+                "name": key, "dimensions": dims, "type": "open_clip",
+                "image_size": size,
+                "notes": "ONNX-named alias; served by the JAX CLIP runtime"}
     for name, dims in [("onnx/all-MiniLM-L6-v1", 384),
                        ("onnx/all-MiniLM-L6-v2", 384),
+                       ("onnx/all-MiniLM-L12-v2", 384),
+                       ("onnx/all-mpnet-base-v1", 768),
+                       ("onnx/all-mpnet-base-v2", 768),
+                       ("onnx/all-distilroberta-v1", 768),
+                       ("onnx/multi-qa-MiniLM-L6-cos-v1", 384),
+                       ("onnx/multi-qa-mpnet-base-cos-v1", 768),
+                       ("onnx/all_datasets_v3_MiniLM-L6", 384),
                        ("onnx/all_datasets_v4_MiniLM-L6", 384)]:
-        hf_name = "sentence-transformers/" + name.split("/", 1)[1]
-        out[name] = _hf(hf_name, dims, 128, model_type="sbert")
+        base = name.split("/", 1)[1]
+        prefix = ("flax-sentence-embeddings/" if base.startswith("all_datasets")
+                  else "sentence-transformers/")
+        out[name] = _hf(prefix + base, dims, 128, model_type="sbert")
     return out
 
 
