@@ -168,3 +168,62 @@ class TestNodeEquality:
                       And(EqualityTerm("b", "2", "b:2"),
                           EqualityTerm("c", "3", "c:3")))
         assert parsed.root == expected
+
+
+class TestRoundTrip:
+    """Property test: str(SearchFilter) must re-parse to an equal tree
+    (the remote engine ships filters as strings — engine/client.py)."""
+
+    def _random_tree(self, rng, depth=0):
+        import random
+        choice = rng.choice(["eq", "range", "in", "and", "or", "not"]
+                            if depth < 3 else ["eq", "range", "in"])
+        if choice == "eq":
+            field = rng.choice(["alpha", "beta_2", "G_amma"])
+            value = rng.choice(["v1", "42", "x_y"])
+            return EqualityTerm(field, value, f"{field}:{value}")
+        if choice == "range":
+            lo, hi = sorted(rng.choice(range(100), size=2, replace=False))
+            field = rng.choice(["price", "count"])
+            return RangeTerm(field, int(lo), int(hi),
+                             f"{field}:[{lo} TO {hi}]")
+        if choice == "in":
+            field = rng.choice(["tag", "cat"])
+            values = [rng.choice(["a", "b9", "zz"])
+                      for _ in range(rng.integers(1, 4))]
+            raw = f"{field} IN ({','.join(values)})"
+            return InTerm(field, values, raw)
+        left = self._random_tree(rng, depth + 1)
+        right = self._random_tree(rng, depth + 1)
+        if choice == "and":
+            return And(left, right)
+        if choice == "or":
+            return Or(left, right)
+        # NOT NOT is not expressible in the grammar (reference rejects it
+        # too) — the parser can never produce it, so don't generate it
+        while isinstance(left, Not):
+            left = left.modified
+        return Not(left)
+
+    def test_random_roundtrips(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        parser = MarqoFilterStringParser()
+        for _ in range(200):
+            tree = self._random_tree(rng)
+            rendered = str(SearchFilter(tree))
+            reparsed = parser.parse(rendered)
+            assert reparsed.root == tree, rendered
+
+    def test_engine_wire_format(self):
+        """The exact strings the remote client sends must re-parse."""
+        cases = [
+            "a:b AND (c:[1 TO 5] OR NOT tag IN (x,(y z)))",
+            "My\\ Field:(hello there) AND _id:doc1",
+            "NOT (a:1 OR b:2) AND c:3",
+        ]
+        parser = MarqoFilterStringParser()
+        for case in cases:
+            once = parser.parse(case)
+            twice = parser.parse(str(once))
+            assert once == twice, case
