@@ -8,7 +8,7 @@ while single-node deployments keep the engine in-process and skip the hop.
 
 Endpoints (JSON):
   POST /engine/indexes                    {descriptor}
-  PUT  /engine/indexes                    {descriptor}   (update)
+  POST /engine/indexes/{name}/update      {descriptor}
   DELETE /engine/indexes/{name}
   GET  /engine/indexes
   POST /engine/indexes/{name}/docs        {id, fields, tensors}
