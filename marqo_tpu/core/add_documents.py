@@ -57,7 +57,8 @@ class AddDocumentsResponseCollector:
         self.items: List[dict] = []
         self.errors = False
 
-    def collect_error(self, doc_id: Optional[str], error: DocError) -> None:
+    def collect_error(self, doc_id: Optional[str], error: DocError,
+                      position: Optional[int] = None) -> None:
         self.errors = True
         self.items.append({
             "_id": doc_id or "",
@@ -65,17 +66,33 @@ class AddDocumentsResponseCollector:
             "error": error.message,
             "message": error.message,
             "code": error.code,
+            "_position": position,
         })
 
-    def collect_success(self, doc_id: str) -> None:
-        self.items.append({"_id": doc_id, "status": 200})
+    def collect_success(self, doc_id: str,
+                        position: Optional[int] = None) -> None:
+        self.items.append({"_id": doc_id, "status": 200,
+                           "_position": position})
 
     def to_response(self, index_name: str) -> dict:
+        # items come back in REQUEST order (reference response shape);
+        # entries without a known position sort last, stably
+        indexed = sorted(
+            enumerate(self.items),
+            key=lambda pair: (pair[1]["_position"] is None,
+                              pair[1]["_position"]
+                              if pair[1]["_position"] is not None else 0,
+                              pair[0]))
+        items = []
+        for _, item in indexed:
+            item = dict(item)
+            item.pop("_position", None)
+            items.append(item)
         return {
             "errors": self.errors,
             "processingTimeMs": (time.perf_counter() - self.start) * 1000,
             "index_name": index_name,
-            "items": self.items,
+            "items": items,
         }
 
 
@@ -287,12 +304,14 @@ class AddDocumentsHandler:
                 docs_to_process.append((position, doc_id, doc))
             except DocError as e:
                 collector.collect_error(
-                    doc_id or (raw.get("_id") if isinstance(raw, dict) else None), e)
+                    doc_id or (raw.get("_id") if isinstance(raw, dict) else None),
+                    e, position=position)
         docs_to_process.reverse()  # restore request order
 
         # plan: validate fields, chunk, gather embedding work
         plans: List[Tuple[str, dict, Dict[str, dict]]] = []
         existing_tensors: Dict[str, Dict[str, list]] = {}
+        self._positions: Dict[str, int] = {}
         for _pos, doc_id, doc in docs_to_process:
             try:
                 self._validate_structured_fields(doc)
@@ -315,8 +334,9 @@ class AddDocumentsHandler:
                     existing_tensors[assigned_id] = self.engine.get_tensors(
                         self.index.schema_name, doc_id)
                 plans.append((assigned_id, doc, field_plans))
+                self._positions[assigned_id] = _pos
             except DocError as e:
-                collector.collect_error(doc_id, e)
+                collector.collect_error(doc_id, e, position=_pos)
 
         # vectorise everything in one batch (PER_BATCH strategy)
         from marqo_tpu.api.telemetry import RequestMetricsStore
@@ -350,10 +370,13 @@ class AddDocumentsHandler:
                         fields[field] = plan["chunks"][0]
                 self.engine.feed(self.index.schema_name, assigned_id, fields,
                                  tensors)
-                collector.collect_success(assigned_id)
+                collector.collect_success(
+                    assigned_id, position=self._positions.get(assigned_id))
             except Exception as e:
                 collector.collect_error(
-                    assigned_id, DocError(str(e), status=500, code="backend_error"))
+                    assigned_id,
+                    DocError(str(e), status=500, code="backend_error"),
+                    position=self._positions.get(assigned_id))
 
         metrics.stop("add_documents.engine._bulk")
         return collector.to_response(self.index.name)
@@ -408,7 +431,8 @@ class AddDocumentsHandler:
                     except Exception as e:
                         collector.collect_error(assigned_id, DocError(
                             f"Could not process audio "
-                            f"`{plan['pointer']}`: {e}"))
+                            f"`{plan['pointer']}`: {e}"),
+                            position=self._positions.get(assigned_id))
                         failed_docs.add(assigned_id)
                         continue
                     plan["chunks"] = chunk_strs
@@ -424,7 +448,8 @@ class AddDocumentsHandler:
                     except Exception as e:
                         collector.collect_error(assigned_id, DocError(
                             f"Could not process video "
-                            f"`{plan['pointer']}`: {e}"))
+                            f"`{plan['pointer']}`: {e}"),
+                            position=self._positions.get(assigned_id))
                         failed_docs.add(assigned_id)
                         continue
                     plan["chunks"] = chunk_strs
@@ -575,7 +600,8 @@ class AddDocumentsHandler:
                     failed_docs.add(doc_id)
                     collector.collect_error(doc_id, DocError(
                         f"Could not process image `{pointer}`: {message}",
-                        code="invalid_argument"))
+                        code="invalid_argument"),
+                        position=self._positions.get(doc_id))
         return images, failed_docs
 
     def _chunk_audio(self, pointer: str):

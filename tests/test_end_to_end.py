@@ -242,3 +242,19 @@ class TestSemiStructuredSchemaGrowth:
         _add_docs(config, docs=[{"_id": "d9", "title": "another one",
                                  "description": "more text"}])
         assert config.index_management.get_index("my-index").version == v1
+
+
+class TestItemOrdering:
+    def test_items_in_request_order(self, config):
+        """Response items preserve the request's document order even when
+        failures interleave (reference response shape)."""
+        docs = [{"_id": "ok0", "title": "a"},
+                {"_id": 123, "title": "bad id"},
+                {"_id": "ok1", "title": "b"},
+                {"_id": "", "title": "empty id"},
+                {"_id": "ok2", "title": "c"}]
+        res = _add_docs(config, docs=docs)
+        statuses = [i["status"] for i in res["items"]]
+        assert statuses == [200, 400, 200, 400, 200]
+        assert [i["_id"] for i in res["items"] if i["status"] == 200] == \
+            ["ok0", "ok1", "ok2"]
