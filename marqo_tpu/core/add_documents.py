@@ -150,6 +150,7 @@ class AddDocumentsHandler:
         self.index_management = index_management
         self.meta_cache = meta_cache
         self.mappings = params.mappings or {}
+        self._positions: Dict[str, int] = {}
 
     # -- tensor field resolution --
 
