@@ -102,3 +102,45 @@ class TestHnswPersistence:
         res = fresh.query_tensor("h-idx", vectors[7], limit=1,
                                  approximate=True)
         assert res.hits[0].doc_id != "d7"
+
+
+class TestBootRestore:
+    def test_on_start_restores_engine_data(self, tmp_path, monkeypatch):
+        """Full restart cycle: settings + documents survive via
+        MARQO_ENGINE_DATA_DIR (reference: Vespa app package + content
+        durability)."""
+        import os
+        from marqo_tpu.api.app import on_start
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.config import Config
+        from marqo_tpu.core.models.add_docs_params import AddDocsParams
+        from marqo_tpu.inference import vectorise as inference
+        from marqo_tpu.tensor_search import tensor_search
+
+        monkeypatch.setenv("MARQO_ENGINE_DATA_DIR", str(tmp_path))
+        monkeypatch.setenv("MARQO_MODELS_TO_PRELOAD", "[]")
+        inference.clear_loaded_models()
+
+        # first "process": create, ingest, snapshot
+        cfg1 = Config()
+        on_start(cfg1)
+        cfg1.index_management.create_index(
+            IndexSettings(model="test").to_marqo_index("durable"))
+        cfg1.index_meta_cache.populate()
+        res = tensor_search.add_documents(cfg1, AddDocsParams(
+            index_name="durable",
+            docs=[{"_id": "p1", "text": "persistent hello"}],
+            tensor_fields=["text"]))
+        assert res["errors"] is False
+        cfg1.engine.snapshot(os.path.join(str(tmp_path), "engine_data"))
+        cfg1.index_meta_cache.stop_refresh_thread()
+
+        # second "process": fresh Config restores everything at boot
+        cfg2 = Config()
+        on_start(cfg2)
+        cfg2.index_meta_cache.populate()
+        assert cfg2.engine.doc_count("durable") == 1
+        out = tensor_search.search(cfg2, "durable", text="persistent hello")
+        assert out["hits"][0]["_id"] == "p1"
+        cfg2.index_meta_cache.stop_refresh_thread()
+        inference.clear_loaded_models()
