@@ -394,10 +394,9 @@ def generate_config() -> Config:
 
 def on_start(config: Config) -> None:
     """Startup bootstrap chain (reference on_start_script.py:28-45)."""
-    # 1. bootstrap settings store + engine
-    config.index_management.bootstrap()
-    # 1b. restore persisted engine documents + start the snapshot daemon
-    #     (role of Vespa's durable document store)
+    # 1. restore persisted engine documents BEFORE bootstrap — bootstrap
+    #    re-creates any missing engine indexes from settings, and restore
+    #    skips indexes that already exist (role of Vespa's durable store)
     data_dir = configs.read_env_vars_and_defaults("MARQO_ENGINE_DATA_DIR")
     from marqo_tpu.engine.store import StoreEngine
     if data_dir and isinstance(config.engine, StoreEngine):
@@ -408,6 +407,10 @@ def on_start(config: Config) -> None:
                 logger.info(f"Restored {restored} documents from {engine_dir}")
         except Exception as e:
             logger.warning(f"Engine restore failed: {e}")
+    # 2. bootstrap settings store + any engine indexes without snapshots
+    config.index_management.bootstrap()
+    if data_dir and isinstance(config.engine, StoreEngine):
+        engine_dir = os.path.join(str(data_dir), "engine_data")
 
         import threading
 
