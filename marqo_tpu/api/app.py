@@ -423,16 +423,18 @@ def on_start(config: Config) -> None:
                 except Exception as e:
                     logger.warning(f"Engine snapshot failed: {e}")
 
-        threading.Thread(target=snapshot_loop, daemon=True,
-                         name="engine-snapshot").start()
-    # 2. populate + start the index-cache refresh daemon
+        if not any(t.name == "engine-snapshot"
+                   for t in threading.enumerate()):
+            threading.Thread(target=snapshot_loop, daemon=True,
+                             name="engine-snapshot").start()
+    # 3. populate + start the index-cache refresh daemon
     config.index_meta_cache.populate()
     config.index_meta_cache.start_refresh_thread()
-    # 3. best available device env var (reference SetBestAvailableDevice)
+    # 4. best available device env var (reference SetBestAvailableDevice)
     best = Device.best_available().value
     os.environ["MARQO_BEST_AVAILABLE_DEVICE"] = best
     logger.info(f"Best available device: {best}")
-    # 4. model pre-warming (reference CacheModels: timed warmup vectorise)
+    # 5. model pre-warming (reference CacheModels: timed warmup vectorise)
     #    + compile-bucket warmup so query p50 never pays an XLA compile
     for model_name in configs.read_env_vars_and_defaults_list(
             "MARQO_MODELS_TO_PRELOAD"):
