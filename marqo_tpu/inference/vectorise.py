@@ -177,6 +177,11 @@ def vectorise(model_name: str,
                 results[i] = hit
             else:
                 misses.append(i)
+        from marqo_tpu.api.telemetry import RequestMetricsStore
+        metrics = RequestMetricsStore.for_request()
+        metrics.increment_counter("inference_cache.hits",
+                                  len(contents) - len(misses))
+        metrics.increment_counter("inference_cache.misses", len(misses))
     else:
         misses = list(range(len(contents)))
 

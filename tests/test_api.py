@@ -307,3 +307,38 @@ class TestSpecialCharacterIds:
             "/indexes/test-index/documents/doc%20with%20spaces")
         assert status == 200
         assert body["title"] == "spaced"
+
+
+class TestPartialUpdateRoute:
+    def test_patch_documents_structured(self, monkeypatch):
+        monkeypatch.setenv("MARQO_MODELS_TO_PRELOAD", "[]")
+        inference.clear_loaded_models()
+        config = Config()
+        on_start(config)
+        app = build_app(config)
+        c = Client(app)
+        status, _ = c.post("/indexes/patch-index", {
+            "type": "structured", "model": "test",
+            "allFields": [
+                {"name": "title", "type": "text",
+                 "features": ["lexical_search"]},
+                {"name": "stock", "type": "int", "features": ["filter"]},
+            ],
+            "tensorFields": ["title"]})
+        assert status == 200
+        status, body = c.post("/indexes/patch-index/documents", {
+            "documents": [{"_id": "p1", "title": "widget", "stock": 5}]})
+        assert status == 200 and body["errors"] is False
+        status, body = c.patch("/indexes/patch-index/documents", {
+            "documents": [{"_id": "p1", "stock": 7}]})
+        assert status == 200
+        assert body["errors"] is False, body["items"]
+        status, body = c.get("/indexes/patch-index/documents/p1")
+        assert body["stock"] == 7 and body["title"] == "widget"
+        config.index_meta_cache.stop_refresh_thread()
+        inference.clear_loaded_models()
+
+    def test_patch_unstructured_rejected(self, client):
+        status, body = client.patch("/indexes/test-index/documents", {
+            "documents": [{"_id": "x", "n": 1}]})
+        assert status == 400
