@@ -342,3 +342,44 @@ class TestPartialUpdateRoute:
         status, body = client.patch("/indexes/test-index/documents", {
             "documents": [{"_id": "x", "n": 1}]})
         assert status == 400
+
+
+class TestOpsRoutes:
+    def test_memory_gated_then_enabled(self, client, monkeypatch):
+        status, _ = client.get("/memory")
+        assert status == 400
+        monkeypatch.setenv("MARQO_ENABLE_DEBUG_API", "TRUE")
+        status, body = client.get("/memory")
+        assert status == 200
+        assert "memory_used" in body and "stats" in body
+
+    def test_healthz(self, client):
+        status, body = client.get("/healthz")
+        assert status == 200 and body["status"] == "green"
+
+    def test_settings_history_404_for_missing_index(self, client):
+        status, _ = client.get("/indexes/ghost/settings/history")
+        assert status == 404
+
+    def test_upgrade_rollback_gated(self, client, monkeypatch):
+        assert client.post("/upgrade")[0] == 400
+        assert client.post("/rollback", {"indexName": "test-index"})[0] == 400
+        monkeypatch.setenv("MARQO_ENABLE_UPGRADE_API", "TRUE")
+        status, body = client.post("/upgrade")
+        assert status == 200
+        # rollback needs settings history; fresh index has none → 500 mapped
+        status, body = client.post("/rollback", {"indexName": "test-index"})
+        assert status in (200, 500)
+
+    def test_batch_create_indexes(self, client, monkeypatch):
+        monkeypatch.setenv("MARQO_ENABLE_BATCH_APIS", "TRUE")
+        status, body = client.post("/batch/indexes/create", [
+            {"indexName": "bc1", "model": "random"},
+            {"indexName": "bc2", "model": "random"},
+        ])
+        assert status == 200
+        status, body = client.get("/indexes")
+        names = {r["indexName"] for r in body["results"]}
+        assert {"bc1", "bc2"} <= names
+        status, _ = client.post("/batch/indexes/delete", ["bc1", "bc2"])
+        assert status == 200
