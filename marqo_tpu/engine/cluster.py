@@ -21,6 +21,7 @@ wire it via MARQO_ENGINE_CLUSTER (JSON topology).
 import concurrent.futures
 import itertools
 import threading
+import zlib
 from typing import Dict, List, Optional
 
 from marqo_tpu.core.exceptions import BackendCommunicationError
@@ -85,7 +86,10 @@ class ClusterEngine:
     # -- routing --
 
     def _shard_for(self, doc_id: str) -> _ShardGroup:
-        return self.shards[hash(doc_id) % len(self.shards)]
+        # Stable across API-process restarts (builtin hash() is salted per
+        # process; docs fed by a previous process must keep routing to the
+        # same shard for get/delete to find them).
+        return self.shards[zlib.crc32(doc_id.encode("utf-8")) % len(self.shards)]
 
     def _fanout_reads(self, fn_name: str, *args, **kwargs) -> List:
         futures = [self._pool.submit(shard.read_one, fn_name, *args, **kwargs)

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
@@ -175,32 +176,50 @@ class HnswIndex {
     return out;
   }
 
+  // Returns nullptr on malformed/truncated input: every read is bounds-
+  // checked against len and header values are sanity-checked, so a corrupt
+  // snapshot blob degrades to a Python-side rebuild instead of an OOB read
+  // or a multi-GB allocation segfaulting the server process.
   static HnswIndex* load(const uint8_t* data, size_t len) {
     size_t off = 0;
+    bool ok = true;
     auto pull = [&](void* p, size_t n) {
+      if (!ok || n > len - off) { ok = false; return; }
       std::memcpy(p, data + off, n);
       off += n;
     };
     int32_t dim, M, efc, metric, n, ep, ml;
     pull(&dim, 4); pull(&M, 4); pull(&efc, 4); pull(&metric, 4);
     pull(&n, 4); pull(&ep, 4); pull(&ml, 4);
-    auto* idx = new HnswIndex(dim, M, efc, metric, 42);
+    if (!ok || dim <= 0 || dim > (1 << 20) || M <= 0 || M > (1 << 16) ||
+        efc < 0 || metric < 0 || metric > 2 || n < 0)
+      return nullptr;
+    // vectors alone need n*dim*4 bytes — reject before allocating
+    if (size_t(n) * size_t(dim) * 4 > len - off) return nullptr;
+    if (n > 0 && (ep < 0 || ep >= n)) return nullptr;
+    std::unique_ptr<HnswIndex> idx(new HnswIndex(dim, M, efc, metric, 42));
     idx->vectors_.resize(size_t(n) * dim);
     pull(idx->vectors_.data(), idx->vectors_.size() * 4);
     idx->deleted_.resize(n);
     pull(idx->deleted_.data(), n);
     idx->levels_.resize(n);
     pull(idx->levels_.data(), size_t(n) * 4);
+    if (!ok) return nullptr;
     idx->links_.resize(n);
     for (int32_t i = 0; i < n; ++i) {
-      int32_t nl;
+      int32_t nl = 0;
       pull(&nl, 4);
+      if (!ok || nl < 0 || size_t(nl) * 4 > len - off) return nullptr;
       idx->links_[i].resize(nl);
       for (int32_t l = 0; l < nl; ++l) {
-        int32_t cnt;
+        int32_t cnt = 0;
         pull(&cnt, 4);
+        if (!ok || cnt < 0 || size_t(cnt) * 4 > len - off) return nullptr;
         idx->links_[i][l].resize(cnt);
         pull(idx->links_[i][l].data(), size_t(cnt) * 4);
+        if (!ok) return nullptr;
+        for (int32_t nb : idx->links_[i][l])
+          if (nb < 0 || nb >= n) return nullptr;
       }
     }
     idx->entry_point_ = ep;
@@ -208,8 +227,7 @@ class HnswIndex {
     idx->live_count_ = 0;
     for (int32_t i = 0; i < n; ++i)
       if (!idx->deleted_[i]) idx->live_count_++;
-    (void)len;
-    return idx;
+    return idx.release();
   }
 
  private:

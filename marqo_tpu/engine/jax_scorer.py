@@ -71,7 +71,16 @@ class JaxExactScorer:
                     d2 = jnp.sum((m.astype(jnp.float32) -
                                   qv.astype(jnp.float32)[None]) ** 2, axis=1)
                     s = 1.0 / (1.0 + jnp.sqrt(d2))
-                else:  # prenormalized-angular / angular on unit vectors
+                elif self.metric == "angular":
+                    # true angle on possibly non-unit vectors: matches the
+                    # numpy exact path (closeness = 1/(1+arccos))
+                    mf = m.astype(jnp.float32)
+                    qf = qv.astype(jnp.float32)
+                    mn = jnp.maximum(jnp.linalg.norm(mf, axis=1), 1e-12)
+                    qn = jnp.maximum(jnp.linalg.norm(qf), 1e-12)
+                    cos = jnp.clip((mf @ qf) / (mn * qn), -1.0, 1.0)
+                    s = 1.0 / (1.0 + jnp.arccos(cos))
+                else:  # prenormalized-angular (unit vectors by contract)
                     s = (1.0 / (2.0 - (m @ qv).astype(jnp.float32)))
                 s = jnp.where(valid, s, -jnp.inf)
                 return jax.lax.top_k(s, k)

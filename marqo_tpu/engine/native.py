@@ -181,9 +181,14 @@ class NativeHnsw:
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native engine unavailable")
+        if len(blob) < 28:  # 7-int32 header
+            raise ValueError("HNSW snapshot blob truncated")
         buf = np.frombuffer(blob, dtype=np.uint8)
         handle = lib.hnsw_load(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(blob))
+        if not handle:  # native loader rejected a malformed/corrupt blob
+            raise ValueError("HNSW snapshot blob malformed; caller should "
+                             "fall back to a lazy graph rebuild")
         dim = int(np.frombuffer(blob[:4], dtype=np.int32)[0])
         return cls(dim, metric=metric, _handle=handle)
 

@@ -16,6 +16,7 @@ distribution, SURVEY.md D1).
 """
 
 import threading
+import zlib
 from collections import defaultdict
 from typing import Any, Dict, Iterable, List, Optional, Set, Tuple
 
@@ -30,6 +31,9 @@ from marqo_tpu.core.search.search_filter import SearchFilter
 from marqo_tpu.engine.bm25 import Bm25FieldIndex, make_field_index, tokenize
 from marqo_tpu.engine.descriptor import IndexDescriptor
 from marqo_tpu.engine.filter_eval import evaluate_node
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
 
 
 # --- scoring ---------------------------------------------------------------
@@ -75,6 +79,12 @@ def _closeness_from_distance(metric: str, dists: np.ndarray) -> np.ndarray:
         return -dists
     if metric == "euclidean":
         return (1.0 / (1.0 + np.sqrt(np.maximum(dists, 0)))).astype(np.float32)
+    if metric == "angular":
+        # HNSW holds L2-normalized copies for this metric, so the native
+        # distance is 1-cos; convert to the true-angle closeness the exact
+        # path reports (1/(1+arccos)).
+        cos = np.clip(1.0 - dists, -1.0, 1.0)
+        return (1.0 / (1.0 + np.arccos(cos))).astype(np.float32)
     return (1.0 / (1.0 + dists)).astype(np.float32)
 
 
@@ -105,6 +115,15 @@ class _FieldTensors:
         self._version = 0
         self._jax_scorer = None
 
+    def _hnsw_vec(self, vec: np.ndarray) -> np.ndarray:
+        """The native HNSW only implements prenormalized (1-dot) angular
+        distance; for the true `angular` metric insert/query L2-normalized
+        copies — angle ordering equals 1-dot ordering on unit vectors."""
+        if self.metric != "angular":
+            return vec
+        norm = np.linalg.norm(vec)
+        return vec / norm if norm > 1e-12 else vec
+
     def _ensure_hnsw(self):
         if self._hnsw is None:
             try:
@@ -115,7 +134,7 @@ class _FieldTensors:
                                             ef_construction=efc,
                                             metric=self.metric)
                     for row, vec in enumerate(self._vectors):
-                        node = self._hnsw.add(vec)
+                        node = self._hnsw.add(self._hnsw_vec(vec))
                         assert node == row
                         if not self._valid[row]:
                             self._hnsw.remove(row)
@@ -145,7 +164,7 @@ class _FieldTensors:
             self._vectors.append(vec)
             self._valid.append(True)
             if self._hnsw is not None:
-                self._hnsw.add(vec)
+                self._hnsw.add(self._hnsw_vec(vec))
         self._matrix = None
         self._version += 1
 
@@ -183,7 +202,8 @@ class _FieldTensors:
                 for row in self._rows_by_doc.get(doc_id, ()):
                     mask[row] = 1
         k = min(k, len(self._doc_ids))
-        return hnsw.search(query, k=k, ef=max(ef, k), filter_mask=mask)
+        return hnsw.search(self._hnsw_vec(np.asarray(query, dtype=np.float32)),
+                           k=k, ef=max(ef, k), filter_mask=mask)
 
     def search_exact_device(self, query: np.ndarray, k: int):
         """Accelerator-backed exact top-k (engine/jax_scorer.py); None when
@@ -360,8 +380,10 @@ class StoreEngine:
             raise IndexNotFoundError(f"Index {name} not found")
 
     def _shard_for(self, name: str, doc_id: str) -> _Shard:
+        # Stable across process restarts (builtin hash() is salted per
+        # process, which would misroute restored/re-fed docs).
         shards = self._shards(name)
-        return shards[hash(doc_id) % len(shards)]
+        return shards[zlib.crc32(doc_id.encode("utf-8")) % len(shards)]
 
     # -- documents --
 
@@ -411,22 +433,31 @@ class StoreEngine:
     def snapshot(self, directory: str) -> int:
         """Write all indexes' documents + tensor stores (including the
         native HNSW graph blobs) to ``directory``. Lexical indexes are
-        derived state and rebuild on restore. Returns #documents written."""
+        derived state and rebuild on restore. Returns #documents written.
+
+        Consistency: docs and tensors for each shard are captured under a
+        single lock hold, and the JSON/npz pair carries a shared snapshot id
+        so restore() can detect a torn pair (e.g. crash between the two
+        os.replace calls) and degrade to doc-only restore instead of raising.
+        """
         import json as _json
         import os
+        import uuid
         os.makedirs(directory, exist_ok=True)
         total = 0
         for name in self.list_indexes():
+            snapshot_id = uuid.uuid4().hex
             docs = []
-            for doc_id, fields in self.visit_all(name):
-                docs.append({"id": doc_id, "fields": fields})
-                total += 1
-            # row-ordered tensor state per (shard, field): vectors + hnsw
-            # blobs as binary, string metadata in the JSON
             tensor_meta = {}
             binary: Dict[str, np.ndarray] = {}
-            for shard_idx, shard in enumerate(self._shards(name)):
+            shards = self._shards(name)
+            for shard_idx, shard in enumerate(shards):
+                # one lock hold per shard: docs + tensors are mutually
+                # consistent (feed() updates both under this same lock)
                 with shard.lock:
+                    for doc_id, doc in shard.docs.items():
+                        docs.append({"id": doc_id, "fields": dict(doc)})
+                        total += 1
                     for field, ts in shard.tensors.items():
                         key = f"{shard_idx}::{field}"
                         matrix, doc_ids, chunks, valid = ts.matrix()
@@ -442,17 +473,24 @@ class StoreEngine:
                             binary[key + "::hnsw"] = np.frombuffer(
                                 ts._hnsw.save(), dtype=np.uint8)
             payload = {
+                "snapshot_id": snapshot_id,
+                "n_shards": len(shards),
                 "descriptor": self._descriptors[name].to_json(),
                 "docs": docs,
                 "tensor_meta": tensor_meta,
             }
+            binary["__snapshot_id__"] = np.frombuffer(
+                snapshot_id.encode("ascii"), dtype=np.uint8)
+            # npz first, JSON second: restore keys off the JSON, so a crash
+            # between the two replaces leaves old-JSON + new-npz, which the
+            # id check downgrades to doc-only restore of the OLD snapshot.
+            bin_path = os.path.join(directory, f"{name}.tensors.npz")
+            np.savez(bin_path + ".tmp.npz", **binary)
+            os.replace(bin_path + ".tmp.npz", bin_path)
             path = os.path.join(directory, f"{name}.engine.json")
             with open(path + ".tmp", "w") as f:
                 _json.dump(payload, f)
             os.replace(path + ".tmp", path)
-            bin_path = os.path.join(directory, f"{name}.tensors.npz")
-            np.savez(bin_path + ".tmp.npz", **binary)
-            os.replace(bin_path + ".tmp.npz", bin_path)
         # drop snapshots of deleted indexes
         import glob
         live = set(self.list_indexes())
@@ -469,57 +507,112 @@ class StoreEngine:
         """Load snapshots from ``directory`` (indexes not already present).
         Tensor stores (and HNSW graphs, when the native engine is available)
         restore directly from the binary sidecar — no graph rebuild; only
-        the lexical indexes re-derive from documents."""
+        the lexical indexes re-derive from documents.
+
+        Robustness: each index restores independently (one corrupt snapshot
+        never blocks the rest); a torn JSON/npz pair (snapshot-id mismatch)
+        or a shard-count change degrades gracefully instead of raising.
+        """
         import glob
         import json as _json
         import os
         total = 0
         for path in sorted(glob.glob(os.path.join(directory,
                                                   "*.engine.json"))):
-            with open(path) as f:
-                payload = _json.load(f)
-            descriptor = IndexDescriptor.from_json(payload["descriptor"])
-            if self.has_index(descriptor.name):
-                continue
-            self.create_index(descriptor)
-            # documents + lexical rebuild
-            for doc in payload["docs"]:
-                self.feed(descriptor.name, doc["id"], doc["fields"], {})
-                total += 1
-            # tensor stores from the binary sidecar
-            bin_path = path[:-len(".engine.json")] + ".tensors.npz"
-            if not os.path.exists(bin_path):
-                continue
-            with np.load(bin_path) as data:
-                for key, meta in payload.get("tensor_meta", {}).items():
-                    shard_idx_s, field = key.split("::", 1)
-                    shard = self._shards(descriptor.name)[int(shard_idx_s)]
-                    ts = _FieldTensors(
-                        descriptor.model_dimensions, metric=meta["metric"],
-                        hnsw_m=meta["hnsw_params"][0],
-                        hnsw_ef_construction=meta["hnsw_params"][1])
-                    matrix = data[key + "::vectors"]
-                    ts._doc_ids = list(meta["doc_ids"])
-                    ts._chunks = list(meta["chunks"])
-                    ts._vectors = [matrix[i] for i in range(matrix.shape[0])]
-                    ts._valid = list(meta["valid"])
-                    ts._live_docs = {d for d, v in zip(ts._doc_ids, ts._valid)
-                                     if v}
-                    for row, doc_id in enumerate(ts._doc_ids):
-                        if ts._valid[row]:
-                            ts._rows_by_doc[doc_id].append(row)
-                    hnsw_key = key + "::hnsw"
-                    if hnsw_key in data.files:
-                        try:
-                            from marqo_tpu.engine.native import NativeHnsw
-                            ts._hnsw = NativeHnsw.load(
-                                data[hnsw_key].tobytes(),
-                                metric=meta["metric"])
-                        except Exception:
-                            ts._hnsw = None  # lazily rebuilt on first query
-                    with shard.lock:
-                        shard.tensors[field] = ts
+            try:
+                total += self._restore_one(path, _json, os)
+            except Exception:
+                logger.exception(f"Failed to restore snapshot {path}; "
+                                 "skipping this index")
         return total
+
+    def _restore_one(self, path: str, _json, os) -> int:
+        count = 0
+        with open(path) as f:
+            payload = _json.load(f)
+        descriptor = IndexDescriptor.from_json(payload["descriptor"])
+        if self.has_index(descriptor.name):
+            return 0
+        self.create_index(descriptor)
+        # documents + lexical rebuild
+        for doc in payload["docs"]:
+            self.feed(descriptor.name, doc["id"], doc["fields"], {})
+            count += 1
+        # tensor stores from the binary sidecar
+        bin_path = path[:-len(".engine.json")] + ".tensors.npz"
+        if not os.path.exists(bin_path):
+            return count
+        shards = self._shards(descriptor.name)
+        snap_shards = payload.get("n_shards", len(shards))
+        with np.load(bin_path) as data:
+            if "__snapshot_id__" in data.files and "snapshot_id" in payload:
+                npz_id = data["__snapshot_id__"].tobytes().decode("ascii")
+                if npz_id != payload["snapshot_id"]:
+                    logger.warning(
+                        f"Snapshot pair for index {descriptor.name} is torn "
+                        f"(json id {payload['snapshot_id']} != npz id "
+                        f"{npz_id}); restoring documents only — tensors for "
+                        "this index are lost and need re-embedding")
+                    return count
+            redistribute = snap_shards != len(shards)
+            if redistribute:
+                logger.warning(
+                    f"Index {descriptor.name}: snapshot has {snap_shards} "
+                    f"shards but engine now runs {len(shards)}; re-routing "
+                    "tensor rows per document (HNSW graphs rebuild lazily)")
+            for key, meta in payload.get("tensor_meta", {}).items():
+                shard_idx_s, field = key.split("::", 1)
+                matrix = data[key + "::vectors"]
+                if redistribute:
+                    self._reroute_tensor_rows(descriptor.name, field, meta,
+                                              matrix)
+                    continue
+                shard = shards[int(shard_idx_s)]
+                ts = _FieldTensors(
+                    descriptor.model_dimensions, metric=meta["metric"],
+                    hnsw_m=meta["hnsw_params"][0],
+                    hnsw_ef_construction=meta["hnsw_params"][1])
+                ts._doc_ids = list(meta["doc_ids"])
+                ts._chunks = list(meta["chunks"])
+                ts._vectors = [matrix[i] for i in range(matrix.shape[0])]
+                ts._valid = list(meta["valid"])
+                ts._live_docs = {d for d, v in zip(ts._doc_ids, ts._valid)
+                                 if v}
+                for row, doc_id in enumerate(ts._doc_ids):
+                    if ts._valid[row]:
+                        ts._rows_by_doc[doc_id].append(row)
+                hnsw_key = key + "::hnsw"
+                if hnsw_key in data.files:
+                    try:
+                        from marqo_tpu.engine.native import NativeHnsw
+                        ts._hnsw = NativeHnsw.load(
+                            data[hnsw_key].tobytes(),
+                            metric=meta["metric"])
+                    except Exception:
+                        ts._hnsw = None  # lazily rebuilt on first query
+                with shard.lock:
+                    shard.tensors[field] = ts
+        return count
+
+    def _reroute_tensor_rows(self, index_name: str, field: str, meta: dict,
+                             matrix: np.ndarray) -> None:
+        """Re-feed one snapshotted tensor store through current doc routing
+        (used when the engine shard count changed between snapshot and
+        restore, so the recorded shard index no longer matches where
+        get/delete will look for the doc)."""
+        rows_by_doc: Dict[str, List[int]] = defaultdict(list)
+        for row, (doc_id, valid) in enumerate(zip(meta["doc_ids"],
+                                                  meta["valid"])):
+            if valid:
+                rows_by_doc[doc_id].append(row)
+        for doc_id, rows in rows_by_doc.items():
+            shard = self._shard_for(index_name, doc_id)
+            with shard.lock:
+                ts = shard._tensor_store(field)
+                ts.metric = meta["metric"]
+                ts._hnsw_params = tuple(meta["hnsw_params"])
+                ts.add(doc_id, [meta["chunks"][r] for r in rows],
+                       matrix[rows])
 
     def doc_count(self, index_name: str) -> int:
         return sum(len(s.docs) for s in self._shards(index_name))

@@ -113,6 +113,17 @@ def get_scheduler(key: str, encode_fn, max_batch: int = 256,
         return _schedulers[key]
 
 
+def clear_scheduler(key: str) -> None:
+    """Shut down and drop the scheduler for one model cache key. Must be
+    called when that model is ejected/evicted — the scheduler's encode_fn
+    closure holds the model object, so a live scheduler keeps an evicted
+    model (and its device memory) alive and serving."""
+    with _schedulers_lock:
+        scheduler = _schedulers.pop(key, None)
+    if scheduler is not None:
+        scheduler.shutdown()
+
+
 def clear_schedulers() -> None:
     with _schedulers_lock:
         for scheduler in _schedulers.values():

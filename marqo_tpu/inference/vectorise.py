@@ -105,6 +105,7 @@ def _evict_lru_until_fits(device: Device, incoming_gib: float) -> None:
         key, _ = min(candidates, key=lambda kv: kv[1]["most_recently_used_time"])
         logger.info(f"Evicting model `{key}` from {device.value} cache to free memory")
         del _available_models[key]
+        _drop_scheduler(key)
 
 
 def _update_available_models(model_cache_key: str, model_name: str,
@@ -266,13 +267,23 @@ def eject_model(model_name: str, device: str) -> dict:
             f"The model_name `{model_name}` device `{device}` is not cached or found")
     for key in to_remove:
         del _available_models[key]
+        _drop_scheduler(key)
     return {"result": "success",
             "message": f"successfully eject model_name `{model_name}` "
                        f"from device `{dev.value}`"}
 
 
+def _drop_scheduler(cache_key: str) -> None:
+    """Release the dynamic-batching scheduler tied to an ejected/evicted
+    model — its encode_fn closure would otherwise keep the model alive."""
+    from marqo_tpu.inference.batch_scheduler import clear_scheduler
+    clear_scheduler(cache_key)
+
+
 def clear_loaded_models() -> None:
+    from marqo_tpu.inference.batch_scheduler import clear_schedulers
     _available_models.clear()
+    clear_schedulers()
 
 
 def clear_inference_cache() -> None:
