@@ -265,7 +265,8 @@ def build_app(config: Config) -> App:
             media_download_headers=(body.mediaDownloadHeaders
                                     or body.imageDownloadHeaders),
             image_download_thread_count=body.imageDownloadThreadCount,
-            media_download_thread_count=body.mediaDownloadThreadCount)
+            media_download_thread_count=body.mediaDownloadThreadCount,
+            batch_vectorisation_mode=body.batchVectorisationMode)
         return tensor_search.add_documents(config, params)
 
     @app.patch("/indexes/{index_name}/documents")

@@ -9,6 +9,7 @@ from typing import Any, Dict, List, Optional, Union
 
 from pydantic import BaseModel, ConfigDict, field_validator, model_validator
 
+from marqo_tpu.core.models.add_docs_params import BatchVectorisationMode
 from marqo_tpu.core.models.hybrid_parameters import HybridParameters, ScoreModifierLists
 
 
@@ -101,6 +102,9 @@ class AddDocsBodyParams(BaseModel):
     mediaDownloadHeaders: Optional[Dict[str, str]] = None
     imageDownloadThreadCount: Optional[int] = None
     mediaDownloadThreadCount: Optional[int] = None
+    # reference api/models/add_docs_objects.py:32 — experimental param
+    batchVectorisationMode: BatchVectorisationMode = \
+        BatchVectorisationMode.PER_DOCUMENT
 
 
 class EmbedRequest(BaseModel):

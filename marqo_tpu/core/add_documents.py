@@ -24,7 +24,8 @@ import numpy as np
 from marqo_tpu.api import configs
 from marqo_tpu.core import constants
 from marqo_tpu.core.exceptions import InvalidArgumentError
-from marqo_tpu.core.models.add_docs_params import AddDocsParams
+from marqo_tpu.core.models.add_docs_params import (AddDocsParams,
+                                                   BatchVectorisationMode)
 from marqo_tpu.core.models.marqo_index import (Field, FieldType, MarqoIndex,
                                                SemiStructuredMarqoIndex,
                                                StructuredMarqoIndex,
@@ -339,14 +340,14 @@ class AddDocumentsHandler:
             except DocError as e:
                 collector.collect_error(doc_id, e, position=_pos)
 
-        # vectorise everything in one batch (PER_BATCH strategy)
+        # vectorise: one large device batch regardless of mode; the
+        # batch_vectorisation_mode governs failure isolation (see
+        # _encode_with_isolation)
         from marqo_tpu.api.telemetry import RequestMetricsStore
         metrics = RequestMetricsStore.for_request()
         with metrics.time("add_documents.vectorise"):
             embeddings = self._vectorise_plans(plans, existing_tensors,
                                                collector)
-        if embeddings is None:
-            return collector.to_response(self.index.name)
 
         # semi-structured: grow the schema for new fields BEFORE persisting
         # (reference semi_structured_add_document_handler.py:66-74)
@@ -384,7 +385,8 @@ class AddDocumentsHandler:
 
     def _vectorise_plans(self, plans, existing_tensors, collector):
         """Run one batched vectorise over all pending chunks; returns
-        {(doc_id, field): np.ndarray} or None on fatal model error."""
+        {(doc_id, field): np.ndarray}; encode failures are isolated per the
+        request's batch_vectorisation_mode (_encode_with_isolation)."""
         chunk_prefix = self.index.model.get_text_chunk_prefix(
             self.params.text_chunk_prefix)
         to_embed: List[str] = []
@@ -489,37 +491,28 @@ class AddDocumentsHandler:
         # embeddings they queued are computed but never consumed)
         plans[:] = [p for p in plans if p[0] not in failed_docs]
 
-        vectors: List[List[float]] = []
-        image_vectors: List[List[float]] = []
-        audio_vectors: List[List[float]] = []
-        video_vectors: List[List[float]] = []
-        try:
-            common = dict(
-                model_name=self.index.model.name,
-                model_properties=(self.index.model.properties
-                                  if self.index.model.custom else None),
-                device=self.params.device,
-                normalize_embeddings=self.index.normalize_embeddings,
-                model_auth=self.params.model_auth)
-            if to_embed:
-                vectors = inference.vectorise(content=to_embed, **common)
-            if to_embed_images:
-                image_vectors = inference.vectorise(
-                    content=to_embed_images, modality=Modality.IMAGE, **common)
-            if to_embed_audio:
-                audio_vectors = inference.vectorise(
-                    content=to_embed_audio, modality=Modality.AUDIO, **common)
-            if to_embed_video:
-                video_vectors = inference.vectorise(
-                    content=to_embed_video, modality=Modality.VIDEO, **common)
-        except Exception as e:
-            # model-level failure fails every pending doc, not the request
-            for assigned_id, _doc, field_plans in plans:
-                collector.collect_error(
-                    assigned_id,
-                    DocError(f"Error vectorising content: {e}", status=500,
-                             code="vectorise_error"))
-            return None
+        common = dict(
+            model_name=self.index.model.name,
+            model_properties=(self.index.model.properties
+                              if self.index.model.custom else None),
+            device=self.params.device,
+            normalize_embeddings=self.index.normalize_embeddings,
+            model_auth=self.params.model_auth)
+        modal_inputs = {
+            Modality.TEXT: (to_embed, slots),
+            Modality.IMAGE: (to_embed_images, image_slots),
+            Modality.AUDIO: (to_embed_audio, audio_slots),
+            Modality.VIDEO: (to_embed_video, video_slots),
+        }
+        encoded, encode_failed = self._encode_with_isolation(
+            modal_inputs, common, collector)
+        if encode_failed:
+            failed_docs |= encode_failed
+            plans[:] = [p for p in plans if p[0] not in failed_docs]
+        vectors = encoded[Modality.TEXT]
+        image_vectors = encoded[Modality.IMAGE]
+        audio_vectors = encoded[Modality.AUDIO]
+        video_vectors = encoded[Modality.VIDEO]
 
         # scatter
         grouped: Dict[Tuple[str, str], Dict[int, List[float]]] = defaultdict(dict)
@@ -566,6 +559,90 @@ class AddDocumentsHandler:
                     result[(assigned_id, field)] = np.asarray(
                         [rows[i] for i in sorted(rows)], dtype=np.float32)
         return result
+
+    def _encode_with_isolation(self, modal_inputs, common, collector):
+        """Batched encode with the reference's per-mode error isolation
+        (reference add_documents_handler.py:264-373, add_docs_params.py:62).
+
+        TPU-first shape: EVERY mode first tries one large device batch per
+        modality — big dense batches are the whole point of the TPU design,
+        and the reference's per-field/per-doc model calls would starve the
+        MXU. The batching modes differ only in how a FAILURE is handled:
+
+        - PER_BATCH: the whole request fails with InternalError (reference
+          handler raises InternalError, add_documents_handler.py:367-372).
+        - PER_DOCUMENT (default) / PER_FIELD: re-encode per document (or
+          per field) so only the poisoned documents fail; every other doc
+          keeps its vectors. A field failure fails its whole document in
+          both modes, matching the reference's remove_doc semantics.
+
+        Returns ({modality: vectors-aligned-with-contents}, failed_doc_ids);
+        failed docs keep None placeholders so slot alignment is preserved.
+        Documents with no tensor chunks are never failed by a model error —
+        they proceed to the feed stage regardless.
+        """
+        results = {}
+        try:
+            for modality, (contents, _slots) in modal_inputs.items():
+                results[modality] = (
+                    inference.vectorise(content=contents, modality=modality,
+                                        **common) if contents else [])
+            return results, set()
+        except Exception as e:
+            if self.params.batch_vectorisation_mode == \
+                    BatchVectorisationMode.PER_BATCH:
+                from marqo_tpu.api.exceptions import InternalError
+                raise InternalError(
+                    f"Encountered problem when vectorising batch of "
+                    f"documents. Reason: {e}") from e
+            logger.warning(
+                f"Batched vectorisation failed ({e}); re-encoding "
+                f"{self.params.batch_vectorisation_mode.value} to isolate "
+                f"the failure")
+
+        per_field = (self.params.batch_vectorisation_mode ==
+                     BatchVectorisationMode.PER_FIELD)
+
+        def key_of(slot):
+            doc_id, field, _row = slot
+            # multimodal children slots are named `field::child`; isolate at
+            # the parent-field level
+            return (doc_id, field.split("::", 1)[0]) if per_field else doc_id
+
+        group_keys: List[Any] = []
+        seen_keys = set()
+        for _modality, (_contents, mslots) in modal_inputs.items():
+            for slot in mslots:
+                key = key_of(slot)
+                if key not in seen_keys:
+                    seen_keys.add(key)
+                    group_keys.append(key)
+
+        results = {m: [None] * len(c) for m, (c, _s) in modal_inputs.items()}
+        failed: set = set()
+        for key in group_keys:
+            doc_id = key[0] if per_field else key
+            if doc_id in failed:
+                continue  # reference: a field failure removes its whole doc
+            try:
+                for modality, (contents, mslots) in modal_inputs.items():
+                    idxs = [i for i, s in enumerate(mslots)
+                            if key_of(s) == key]
+                    if not idxs:
+                        continue
+                    vecs = inference.vectorise(
+                        content=[contents[i] for i in idxs],
+                        modality=modality, **common)
+                    for i, vec in zip(idxs, vecs):
+                        results[modality][i] = vec
+            except Exception as e:
+                failed.add(doc_id)
+                collector.collect_error(
+                    doc_id,
+                    DocError(f"Error vectorising content: {e}", status=500,
+                             code="vectorise_error"),
+                    position=self._positions.get(doc_id))
+        return results, failed
 
     def _download_images(self, plans, collector):
         """Threaded fetch of every image pointer in the batch; docs whose

@@ -3,12 +3,33 @@
 Parity: reference core/models/add_docs_params.py — docs, tensor_fields
 (required for unstructured/semi-structured), use_existing_tensors, mappings
 (multimodal_combination / custom_vector), device, text_chunk_prefix,
-model_auth, media download headers/thread counts.
+model_auth, media download headers/thread counts, and
+batch_vectorisation_mode (reference add_docs_params.py:18-21,62 — default
+PER_DOCUMENT).
 """
 
+import enum
 from typing import Any, Dict, List, Optional
 
 from pydantic import BaseModel, ConfigDict, field_validator
+
+
+class BatchVectorisationMode(str, enum.Enum):
+    """Vectorisation batching strategy (reference add_docs_params.py:18-21).
+
+    The reference trades throughput for error isolation: PER_FIELD and
+    PER_DOCUMENT make one model call per field/doc so a poisoned input
+    fails only its doc, while PER_BATCH makes one call for everything and
+    a failure kills the whole request. The TPU build keeps ONE large
+    device batch in every mode (big batches are where the MXU lives) and
+    recovers the isolation semantics on failure: if the batched encode
+    raises, PER_DOCUMENT/PER_FIELD re-encode per doc/field to fail only
+    the poisoned documents, while PER_BATCH propagates the reference's
+    InternalError for the whole request.
+    """
+    PER_FIELD = "per_field"
+    PER_DOCUMENT = "per_document"
+    PER_BATCH = "per_batch"
 
 
 class AddDocsParams(BaseModel):
@@ -26,6 +47,8 @@ class AddDocsParams(BaseModel):
     media_download_headers: Optional[Dict[str, str]] = None
     image_download_thread_count: Optional[int] = None
     media_download_thread_count: Optional[int] = None
+    batch_vectorisation_mode: BatchVectorisationMode = \
+        BatchVectorisationMode.PER_DOCUMENT
 
     @field_validator("docs")
     @classmethod
