@@ -27,6 +27,20 @@ def tokenize(text: str) -> List[str]:
     return _TOKEN_RE.findall(str(text).lower())
 
 
+def global_idf(num_docs: int, df: int) -> float:
+    """Okapi idf from externally-aggregated corpus statistics (same formula
+    as the local paths; used for cluster-wide / cross-shard scoring so BM25
+    matches a single-node index exactly)."""
+    if df <= 0:
+        return 0.0
+    return math.log(1 + (num_docs - df + 0.5) / (df + 0.5))
+
+
+def stats_avg_len(stats: Dict) -> float:
+    n = stats.get("num_docs", 0)
+    return (stats["total_length"] / n) if n else 0.0
+
+
 class Bm25FieldIndex:
     """Inverted index for one lexical field."""
 
@@ -67,16 +81,36 @@ class Bm25FieldIndex:
             return 0.0
         return math.log(1 + (n - df + 0.5) / (df + 0.5))
 
+    def stats(self, terms: List[str]) -> Dict:
+        """Corpus statistics for cross-shard aggregation: live doc count,
+        total token length, per-term document frequency."""
+        return {"num_docs": self.num_docs,
+                "total_length": self.total_length,
+                "df": {t: len(self.postings.get(t, ())) for t in terms}}
+
     def score_terms(self, terms: List[str],
-                    allowed: Optional[Set[str]] = None) -> Dict[str, float]:
-        """BM25 scores for docs matching any term (weakAnd)."""
+                    allowed: Optional[Set[str]] = None,
+                    global_stats: Optional[Dict] = None) -> Dict[str, float]:
+        """BM25 scores for docs matching any term (weakAnd). When
+        `global_stats` ({"num_docs", "total_length", "df"}) is given, idf
+        and avgdl come from those aggregated statistics instead of this
+        shard's local corpus."""
         scores: Dict[str, float] = defaultdict(float)
-        avg_len = self.avg_length() or 1.0
+        if global_stats is not None:
+            avg_len = stats_avg_len(global_stats) or 1.0
+        else:
+            avg_len = self.avg_length() or 1.0
         for term in terms:
             postings = self.postings.get(term)
             if not postings:
                 continue
-            idf = self.idf(term)
+            if global_stats is not None:
+                idf = global_idf(global_stats["num_docs"],
+                                 int(global_stats["df"].get(term, 0)))
+            else:
+                idf = self.idf(term)
+            if idf <= 0.0:
+                continue
             for doc_id, tf in postings.items():
                 if allowed is not None and doc_id not in allowed:
                     continue
@@ -134,8 +168,14 @@ class NativeBm25FieldIndex:
     def idf(self, term: str) -> float:
         return self._native.idf(term)
 
+    def stats(self, terms: List[str]) -> Dict:
+        num_docs, total_length, dfs = self._native.stats(" ".join(terms))
+        return {"num_docs": num_docs, "total_length": total_length,
+                "df": {t: int(d) for t, d in zip(terms, dfs)}}
+
     def score_terms(self, terms: List[str],
-                    allowed: Optional[Set[str]] = None) -> Dict[str, float]:
+                    allowed: Optional[Set[str]] = None,
+                    global_stats: Optional[Dict] = None) -> Dict[str, float]:
         import numpy as np
         mask = None
         if allowed is not None:
@@ -144,7 +184,15 @@ class NativeBm25FieldIndex:
                 handle = self._handle_by_doc.get(doc_id)
                 if handle is not None:
                     mask[handle] = 1
-        docs, scores = self._native.score(" ".join(terms), mask)
+        idfs, avgdl = None, None
+        if global_stats is not None:
+            idfs = np.asarray(
+                [global_idf(global_stats["num_docs"],
+                            int(global_stats["df"].get(t, 0)))
+                 for t in terms], dtype=np.float32)
+            avgdl = stats_avg_len(global_stats)
+        docs, scores = self._native.score(" ".join(terms), mask,
+                                          idfs=idfs, avgdl=avgdl)
         return {self._doc_by_handle[int(h)]: float(s)
                 for h, s in zip(docs, scores) if int(h) in self._doc_by_handle}
 

@@ -184,7 +184,7 @@ class RemoteStoreEngine:
                       limit: int, offset: int = 0, searchable_fields=None,
                       search_filter=None, score_modifiers=None,
                       attributes_to_retrieve=None,
-                      expose_facets=False) -> QueryResult:
+                      expose_facets=False, global_stats=None) -> QueryResult:
         return self._query(index_name, {
             "type": "lexical", "or_phrases": or_phrases,
             "and_phrases": and_phrases, "limit": limit, "offset": offset,
@@ -192,7 +192,13 @@ class RemoteStoreEngine:
             "filter": _filter_str(search_filter),
             "score_modifiers": _mods_json(score_modifiers),
             "attributes_to_retrieve": attributes_to_retrieve,
-            "expose_facets": expose_facets})
+            "expose_facets": expose_facets, "global_stats": global_stats})
+
+    def lexical_stats(self, index_name: str, terms,
+                      searchable_fields=None) -> dict:
+        return self._request(
+            "POST", f"/engine/indexes/{index_name}/lexical-stats",
+            {"terms": list(terms), "searchable_fields": searchable_fields})
 
     def query_hybrid(self, index_name: str, vector, or_phrases, and_phrases,
                      limit: int, offset: int = 0,
@@ -202,7 +208,7 @@ class RemoteStoreEngine:
                      score_modifiers_tensor=None,
                      score_modifiers_lexical=None, ef_search=None,
                      approximate=True, attributes_to_retrieve=None,
-                     expose_facets=False) -> QueryResult:
+                     expose_facets=False, global_stats=None) -> QueryResult:
         vec = vector.tolist() if hasattr(vector, "tolist") else list(vector)
         return self._query(index_name, {
             "type": "hybrid", "vector": vec, "or_phrases": or_phrases,
@@ -216,7 +222,7 @@ class RemoteStoreEngine:
             "score_modifiers_lexical": _mods_json(score_modifiers_lexical),
             "ef_search": ef_search, "approximate": approximate,
             "attributes_to_retrieve": attributes_to_retrieve,
-            "expose_facets": expose_facets})
+            "expose_facets": expose_facets, "global_stats": global_stats})
 
     def close(self) -> None:
         self._client.close()

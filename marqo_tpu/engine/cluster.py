@@ -168,11 +168,40 @@ class ClusterEngine:
             offset=0, **kwargs)
         return self._merge(results, limit, offset)
 
+    def _global_lexical_stats(self, index_name: str, or_phrases,
+                              and_phrases, searchable_fields) -> dict:
+        """Fan out lexical_stats and sum per-field statistics across shards
+        so every shard scores BM25 with GLOBAL document frequencies —
+        single-node-identical ranking (Vespa content clusters expose
+        cluster-wide idf to ranking the same way; reference
+        HybridSearcher.java:154-285 fuses legs assuming globally-comparable
+        scores)."""
+        from marqo_tpu.engine.bm25 import tokenize
+        terms = sorted({t for phrase in list(or_phrases) + list(and_phrases)
+                        for t in tokenize(phrase)})
+        if not terms:
+            return {}
+        per_shard = self._fanout_reads("lexical_stats", index_name, terms,
+                                       searchable_fields=searchable_fields)
+        merged: Dict[str, dict] = {}
+        for shard_stats in per_shard:
+            for field, stats in (shard_stats or {}).items():
+                slot = merged.setdefault(
+                    field, {"num_docs": 0, "total_length": 0, "df": {}})
+                slot["num_docs"] += int(stats.get("num_docs", 0))
+                slot["total_length"] += int(stats.get("total_length", 0))
+                for term, df in (stats.get("df") or {}).items():
+                    slot["df"][term] = slot["df"].get(term, 0) + int(df)
+        return merged
+
     def query_lexical(self, index_name: str, or_phrases, and_phrases,
                       limit: int, offset: int = 0, **kwargs) -> QueryResult:
+        stats = self._global_lexical_stats(
+            index_name, or_phrases, and_phrases,
+            kwargs.get("searchable_fields"))
         results = self._fanout_reads(
             "query_lexical", index_name, or_phrases, and_phrases,
-            limit=limit + offset, offset=0, **kwargs)
+            limit=limit + offset, offset=0, global_stats=stats, **kwargs)
         return self._merge(results, limit, offset)
 
     def query_hybrid(self, index_name: str, vector, or_phrases, and_phrases,
@@ -189,8 +218,13 @@ class ClusterEngine:
         if retrieval_method == "disjunction" and ranking_method == "rrf":
             # GLOBAL-rank RRF: gather each leg from every shard, rank each
             # leg globally by score, then fuse — identical semantics to a
-            # single-node index (HybridSearcher.java fuses global legs too)
+            # single-node index (HybridSearcher.java fuses global legs too).
+            # The lexical leg scores with cluster-wide idf (global stats
+            # exchange) so its global ranking is exact, not per-shard.
             max_leg = limit + offset
+            lexical_global_stats = self._global_lexical_stats(
+                index_name, or_phrases, and_phrases,
+                searchable_fields_lexical)
             common = dict(limit=max_leg, offset=0,
                           search_filter=search_filter,
                           attributes_to_retrieve=attributes_to_retrieve,
@@ -208,6 +242,7 @@ class ClusterEngine:
                                   or_phrases, and_phrases,
                                   searchable_fields=searchable_fields_lexical,
                                   score_modifiers=score_modifiers_lexical,
+                                  global_stats=lexical_global_stats,
                                   **common)
                 for shard in self.shards]
             tensor_hits: List[Hit] = []
@@ -242,10 +277,14 @@ class ClusterEngine:
                                 raw_lexical.get(doc_id)))
             return QueryResult(hits, len(ranked))
 
-        # non-RRF combos: per-shard execution then score merge
+        # non-RRF combos: per-shard execution then score merge (lexical
+        # scores still use cluster-wide idf so the merge is globally valid)
         results = self._fanout_reads(
             "query_hybrid", index_name, vector, or_phrases, and_phrases,
             limit=limit + offset, offset=0,
+            global_stats=self._global_lexical_stats(
+                index_name, or_phrases, and_phrases,
+                searchable_fields_lexical),
             retrieval_method=retrieval_method, ranking_method=ranking_method,
             alpha=alpha, rrf_k=rrf_k,
             searchable_fields_tensor=searchable_fields_tensor,

@@ -102,43 +102,66 @@ class Bm25Index {
     return live_docs_ ? float(total_length_) / float(live_docs_) : 0.f;
   }
 
-  // weakAnd scoring of space-separated query terms; returns number of
-  // scored docs written to (out_docs, out_scores), capped at capacity,
-  // sorted by descending score. allowed: optional byte mask by doc id.
-  int score(std::string_view terms, const uint8_t* allowed,
-            int32_t allowed_len, int32_t* out_docs, float* out_scores,
-            int32_t capacity) const {
-    std::unordered_map<int32_t, float> scores;
-    float avg = avg_length();
-    if (avg <= 0.f) avg = 1.f;
+  static std::vector<std::string> split_terms(std::string_view terms) {
+    std::vector<std::string> out;
     size_t start = 0;
     while (start < terms.size()) {
       size_t end = terms.find(' ', start);
       if (end == std::string_view::npos) end = terms.size();
-      if (end > start) {
-        std::string term(terms.substr(start, end - start));
-        auto it = postings_.find(term);
-        if (it != postings_.end()) {
-          // document frequency over live docs
-          int32_t df = 0;
-          for (const auto& p : it->second)
-            if (alive(p.doc)) df++;
-          if (df > 0) {
-            float idf = std::log(1.f + (float(live_docs_) - df + 0.5f) /
-                                           (df + 0.5f));
-            for (const auto& p : it->second) {
-              if (!alive(p.doc)) continue;
-              if (allowed && (p.doc >= allowed_len || !allowed[p.doc]))
-                continue;
-              float tf = float(p.positions.size());
-              float dl = float(doc_lengths_[p.doc]);
-              float denom = tf + kK1 * (1.f - kB + kB * dl / avg);
-              scores[p.doc] += idf * tf * (kK1 + 1.f) / denom;
-            }
-          }
-        }
-      }
+      if (end > start) out.emplace_back(terms.substr(start, end - start));
       start = end + 1;
+    }
+    return out;
+  }
+
+  // live document frequency of one term
+  int32_t df(const std::string& term) const {
+    auto it = postings_.find(term);
+    if (it == postings_.end()) return 0;
+    int32_t n = 0;
+    for (const auto& p : it->second)
+      if (alive(p.doc)) n++;
+    return n;
+  }
+
+  int64_t total_length() const { return total_length_; }
+
+  // weakAnd scoring of space-separated query terms; returns number of
+  // scored docs written to (out_docs, out_scores), capped at capacity,
+  // sorted by descending score. allowed: optional byte mask by doc id.
+  // idfs/avg_override: when provided (cluster global-IDF scoring), per-term
+  // idf values aligned with the term order and a global average doc length
+  // replace the locally-derived statistics.
+  int score(std::string_view terms, const uint8_t* allowed,
+            int32_t allowed_len, int32_t* out_docs, float* out_scores,
+            int32_t capacity, const float* idfs = nullptr,
+            float avg_override = -1.f) const {
+    std::unordered_map<int32_t, float> scores;
+    float avg = avg_override > 0.f ? avg_override : avg_length();
+    if (avg <= 0.f) avg = 1.f;
+    auto term_list = split_terms(terms);
+    for (size_t t = 0; t < term_list.size(); ++t) {
+      const std::string& term = term_list[t];
+      auto it = postings_.find(term);
+      if (it == postings_.end()) continue;
+      float idf;
+      if (idfs) {
+        idf = idfs[t];
+      } else {
+        int32_t d = df(term);
+        if (d == 0) continue;
+        idf = std::log(1.f + (float(live_docs_) - d + 0.5f) / (d + 0.5f));
+      }
+      if (idf <= 0.f) continue;
+      for (const auto& p : it->second) {
+        if (!alive(p.doc)) continue;
+        if (allowed && (p.doc >= allowed_len || !allowed[p.doc]))
+          continue;
+        float tf = float(p.positions.size());
+        float dl = float(doc_lengths_[p.doc]);
+        float denom = tf + kK1 * (1.f - kB + kB * dl / avg);
+        scores[p.doc] += idf * tf * (kK1 + 1.f) / denom;
+      }
     }
     std::vector<std::pair<int32_t, float>> ranked(scores.begin(),
                                                   scores.end());
@@ -272,6 +295,31 @@ int bm25_phrase_docs(void* handle, const char* phrase, int32_t* out,
 
 float bm25_idf(void* handle, const char* term) {
   return static_cast<Bm25Index*>(handle)->idf(term);
+}
+
+// Global-IDF scoring: per-term idf values (aligned with the space-separated
+// term order) and a global average doc length replace local statistics —
+// used by the cluster coordinator so per-shard BM25 matches single-node.
+int bm25_score_global(void* handle, const char* terms, const uint8_t* allowed,
+                      int32_t allowed_len, const float* idfs, float avgdl,
+                      int32_t* out_docs, float* out_scores,
+                      int32_t capacity) {
+  return static_cast<Bm25Index*>(handle)->score(terms, allowed, allowed_len,
+                                                out_docs, out_scores,
+                                                capacity, idfs, avgdl);
+}
+
+// Corpus statistics for a term list: writes per-term live document
+// frequency into out_df (aligned with term order) and returns live doc
+// count; *out_total_length receives the summed live token count.
+int64_t bm25_stats(void* handle, const char* terms, int64_t* out_df,
+                   int32_t capacity, int64_t* out_total_length) {
+  auto* index = static_cast<Bm25Index*>(handle);
+  auto term_list = Bm25Index::split_terms(terms);
+  for (int32_t i = 0; i < int32_t(term_list.size()) && i < capacity; ++i)
+    out_df[i] = index->df(term_list[i]);
+  *out_total_length = index->total_length();
+  return index->num_docs();
 }
 
 }  // extern "C"

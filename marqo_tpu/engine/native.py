@@ -106,6 +106,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.bm25_idf.restype = ctypes.c_float
         lib.bm25_idf.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.bm25_score_global.restype = ctypes.c_int
+        lib.bm25_score_global.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32]
+        lib.bm25_stats.restype = ctypes.c_int64
+        lib.bm25_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         logger.info("Native engine loaded (libmarqo_engine.so)")
         return _lib
@@ -224,8 +236,13 @@ class NativeBm25:
     def __len__(self) -> int:
         return self._lib.bm25_num_docs(self._handle)
 
-    def score(self, terms: str, allowed_mask: Optional[np.ndarray] = None
+    def score(self, terms: str, allowed_mask: Optional[np.ndarray] = None,
+              idfs: Optional[np.ndarray] = None,
+              avgdl: Optional[float] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top scored docs. When `idfs` (per-term, aligned with the
+        space-separated term order) and `avgdl` are given, they replace the
+        local corpus statistics — cluster global-IDF scoring."""
         out_docs = np.empty(self.MAX_RESULTS, dtype=np.int32)
         out_scores = np.empty(self.MAX_RESULTS, dtype=np.float32)
         mask_ptr, mask_len = None, 0
@@ -234,12 +251,32 @@ class NativeBm25:
             mask_ptr = allowed_mask.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8))
             mask_len = len(allowed_mask)
-        n = self._lib.bm25_score(
-            self._handle, terms.encode("utf-8"), mask_ptr, mask_len,
-            out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self.MAX_RESULTS)
+        docs_ptr = out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        scores_ptr = out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if idfs is not None:
+            idfs = np.ascontiguousarray(idfs, dtype=np.float32)
+            n = self._lib.bm25_score_global(
+                self._handle, terms.encode("utf-8"), mask_ptr, mask_len,
+                idfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                float(avgdl if avgdl and avgdl > 0 else 1.0),
+                docs_ptr, scores_ptr, self.MAX_RESULTS)
+        else:
+            n = self._lib.bm25_score(
+                self._handle, terms.encode("utf-8"), mask_ptr, mask_len,
+                docs_ptr, scores_ptr, self.MAX_RESULTS)
         return out_docs[:n].copy(), out_scores[:n].copy()
+
+    def stats(self, terms: str) -> Tuple[int, int, np.ndarray]:
+        """(live_doc_count, total_token_length, per-term document
+        frequencies aligned with the space-separated term order)."""
+        term_count = len(terms.split())
+        out_df = np.zeros(max(term_count, 1), dtype=np.int64)
+        total_len = ctypes.c_int64(0)
+        n_docs = self._lib.bm25_stats(
+            self._handle, terms.encode("utf-8"),
+            out_df.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(out_df), ctypes.byref(total_len))
+        return int(n_docs), int(total_len.value), out_df[:term_count].copy()
 
     def phrase_docs(self, phrase: str) -> np.ndarray:
         out = np.empty(self.MAX_RESULTS, dtype=np.int32)

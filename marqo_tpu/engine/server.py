@@ -151,6 +151,7 @@ def build_engine_app(engine: StoreEngine):
                 name, body.get("or_phrases", []), body.get("and_phrases", []),
                 searchable_fields=body.get("searchable_fields"),
                 score_modifiers=_parse_mods(body.get("score_modifiers")),
+                global_stats=body.get("global_stats"),
                 **common)
         elif qtype == "hybrid":
             res = engine.query_hybrid(
@@ -167,10 +168,20 @@ def build_engine_app(engine: StoreEngine):
                 score_modifiers_lexical=_parse_mods(
                     body.get("score_modifiers_lexical")),
                 ef_search=body.get("ef_search"),
-                approximate=bool(body.get("approximate", True)), **common)
+                approximate=bool(body.get("approximate", True)),
+                global_stats=body.get("global_stats"), **common)
         else:
             raise InvalidArgumentError(f"Unknown query type `{qtype}`")
         return {"total": res.total, "hits": [_hit_json(h) for h in res.hits]}
+
+    @app.post("/engine/indexes/{name}/lexical-stats")
+    def lexical_stats(request: Request):
+        """Per-field corpus statistics for the requested terms — fanned out
+        by the cluster coordinator to score BM25 with global idf."""
+        body = request.body or {}
+        return engine.lexical_stats(
+            request.path_params["name"], body.get("terms", []),
+            searchable_fields=body.get("searchable_fields"))
 
     return app
 

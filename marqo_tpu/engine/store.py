@@ -28,7 +28,9 @@ from marqo_tpu.core.exceptions import (IndexExistsError, IndexNotFoundError,
 from marqo_tpu.core.models.score_modifier import (ScoreModifier,
                                                   ScoreModifierType)
 from marqo_tpu.core.search.search_filter import SearchFilter
-from marqo_tpu.engine.bm25 import Bm25FieldIndex, make_field_index, tokenize
+from marqo_tpu.engine.bm25 import (Bm25FieldIndex,
+                                   global_idf as bm25_global_idf,
+                                   make_field_index, tokenize)
 from marqo_tpu.engine.descriptor import IndexDescriptor
 from marqo_tpu.engine.filter_eval import evaluate_node
 from marqo_tpu.logging import get_logger
@@ -646,12 +648,42 @@ class StoreEngine:
                       search_filter: Optional[SearchFilter] = None,
                       score_modifiers: Optional[List[ScoreModifier]] = None,
                       attributes_to_retrieve: Optional[List[str]] = None,
-                      expose_facets: bool = False) -> QueryResult:
+                      expose_facets: bool = False,
+                      global_stats: Optional[dict] = None) -> QueryResult:
         scored = self._lexical_leg(index_name, or_phrases, and_phrases,
-                                   searchable_fields, search_filter)
+                                   searchable_fields, search_filter,
+                                   global_stats=global_stats)
         return self._finalize(index_name, scored, limit, offset,
                               score_modifiers, attributes_to_retrieve,
                               expose_facets, leg="lexical")
+
+    def lexical_stats(self, index_name: str, terms: List[str],
+                      searchable_fields: Optional[List[str]] = None) -> dict:
+        """Per-field corpus statistics for the given (pre-tokenized) terms,
+        aggregated across this engine's internal shards: {field:
+        {"num_docs", "total_length", "df": {term: df}}}. The cluster
+        coordinator sums these across engine nodes so BM25 scores with
+        GLOBAL document frequencies (single-node-identical ranking;
+        semantics target: Vespa's cluster-wide idf in the reference's
+        content cluster)."""
+        merged: Dict[str, dict] = {}
+        for shard in self._shards(index_name):
+            with shard.lock:
+                fields = (searchable_fields if searchable_fields
+                          else list(shard.lexical))
+                for field in fields:
+                    idx = shard.lexical.get(field)
+                    if idx is None:
+                        continue
+                    stats = idx.stats(terms)
+                    slot = merged.setdefault(
+                        field, {"num_docs": 0, "total_length": 0,
+                                "df": {t: 0 for t in terms}})
+                    slot["num_docs"] += stats["num_docs"]
+                    slot["total_length"] += stats["total_length"]
+                    for t, df in stats["df"].items():
+                        slot["df"][t] = slot["df"].get(t, 0) + int(df)
+        return merged
 
     def query_hybrid(self, index_name: str, vector, or_phrases: List[str],
                      and_phrases: List[str], limit: int, offset: int = 0,
@@ -666,7 +698,8 @@ class StoreEngine:
                      ef_search: Optional[int] = None,
                      approximate: bool = True,
                      attributes_to_retrieve: Optional[List[str]] = None,
-                     expose_facets: bool = False) -> QueryResult:
+                     expose_facets: bool = False,
+                     global_stats: Optional[dict] = None) -> QueryResult:
         """Hybrid retrieval + fusion (HybridSearcher.java semantics)."""
         max_leg = limit + offset
 
@@ -685,7 +718,8 @@ class StoreEngine:
         if retrieval_method in ("disjunction", "lexical"):
             lexical_raw = self._lexical_leg(
                 index_name, or_phrases, and_phrases,
-                searchable_fields_lexical, search_filter)
+                searchable_fields_lexical, search_filter,
+                global_stats=global_stats)
             lexical_scores = {d: s for d, (s, _) in lexical_raw.items()}
             if score_modifiers_lexical:
                 lexical_scores = {
@@ -696,7 +730,8 @@ class StoreEngine:
             # retrieve by tensor, rank those docs by lexical score
             lexical_raw = self._lexical_leg(
                 index_name, or_phrases, and_phrases,
-                searchable_fields_lexical, search_filter)
+                searchable_fields_lexical, search_filter,
+                global_stats=global_stats)
             scored = {d: (lexical_raw.get(d, (0.0, None))[0], h)
                       for d, (s, h) in tensor_scores.items()}
             return self._finalize(index_name, scored, limit, offset, None,
@@ -826,11 +861,22 @@ class StoreEngine:
     def _lexical_leg(self, index_name: str, or_phrases: List[str],
                      and_phrases: List[str],
                      searchable_fields: Optional[List[str]],
-                     search_filter: Optional[SearchFilter]
+                     search_filter: Optional[SearchFilter],
+                     global_stats: Optional[dict] = None
                      ) -> Dict[str, Tuple[float, None]]:
         """weakAnd optional terms + required phrases; per-doc score = sum of
-        per-field bm25 (reference bm25-sum rank profile)."""
+        per-field bm25 (reference bm25-sum rank profile).
+
+        IDF scope: `global_stats` ({field: {num_docs, total_length, df}})
+        makes every shard score with the SAME corpus statistics. The cluster
+        coordinator supplies cluster-wide stats; absent that, a multi-shard
+        engine aggregates across its own shards, so ranking always equals a
+        single-shard index."""
         terms = [t for phrase in or_phrases for t in tokenize(phrase)]
+        if global_stats is None and len(self._shards(index_name)) > 1:
+            all_terms = terms + [t for p in and_phrases for t in tokenize(p)]
+            global_stats = self.lexical_stats(index_name, all_terms,
+                                              searchable_fields)
         doc_scores: Dict[str, float] = defaultdict(float)
         for shard in self._shards(index_name):
             with shard.lock:
@@ -856,7 +902,10 @@ class StoreEngine:
                     if required is not None:
                         shard_allowed = (required if shard_allowed is None
                                          else shard_allowed & required)
-                    field_scores = idx.score_terms(terms, shard_allowed)
+                    field_scores = idx.score_terms(
+                        terms, shard_allowed,
+                        global_stats=(global_stats.get(field)
+                                      if global_stats else None))
                     for doc_id, s in field_scores.items():
                         doc_scores[doc_id] += s
                 # phrase-only query: every doc matching all phrases scores
@@ -868,8 +917,18 @@ class StoreEngine:
                                 for field in fields:
                                     idx = shard.lexical.get(field)
                                     if idx and doc_id in idx.docs_with_phrase(phrase):
-                                        doc_scores[doc_id] += sum(
-                                            idx.idf(t) for t in tokenize(phrase))
+                                        stats = (global_stats.get(field)
+                                                 if global_stats else None)
+                                        if stats is not None:
+                                            doc_scores[doc_id] += sum(
+                                                bm25_global_idf(
+                                                    stats["num_docs"],
+                                                    int(stats["df"].get(t, 0)))
+                                                for t in tokenize(phrase))
+                                        else:
+                                            doc_scores[doc_id] += sum(
+                                                idx.idf(t)
+                                                for t in tokenize(phrase))
                                         break
         return {d: (s, None) for d, s in doc_scores.items()}
 
