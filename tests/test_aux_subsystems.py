@@ -54,6 +54,63 @@ class TestVectorInterpolation:
         assert isinstance(from_interpolation_method(InterpolationMethod.LERP),
                           Lerp)
 
+    def test_slerp_default_is_hierarchical(self):
+        """Reference vector_interpolation.py:126-128 defaults to the
+        hierarchical (pairwise-tree) reduction."""
+        from marqo_tpu.core.utils.vector_interpolation import SlerpMethod
+        assert Slerp().method == SlerpMethod.HIERARCHICAL
+        slerp = from_interpolation_method(InterpolationMethod.SLERP)
+        assert slerp.method == SlerpMethod.HIERARCHICAL
+
+    def test_hierarchical_reduces_pairwise(self):
+        """4 vectors: result == slerp(slerp(v0,v1,·), slerp(v2,v3,·), ·)
+        with pair weights halved (reference :211-237)."""
+        from marqo_tpu.core.utils.vector_interpolation import SlerpMethod
+        vecs = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.6, 0.8]]
+        ws = [1.0, 3.0, 2.0, 2.0]
+        slerp = Slerp()
+        got = slerp.interpolate(vecs, ws)
+        import numpy as np
+        left = np.asarray(slerp._slerp_pair(
+            np.asarray(vecs[0]), np.asarray(vecs[1]), 3.0 / 4.0))
+        right = np.asarray(slerp._slerp_pair(
+            np.asarray(vecs[2]), np.asarray(vecs[3]), 2.0 / 4.0))
+        # new weights are (1+3)/2=2 and (2+2)/2=2 → t = 2/(2+2)
+        expected = slerp._slerp_pair(left, right, 0.5)
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_hierarchical_odd_tail_passes_through(self):
+        from marqo_tpu.core.utils.vector_interpolation import SlerpMethod
+        vecs = [[1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+        ws = [1.0, 1.0, 2.0]
+        slerp = Slerp()
+        got = slerp.interpolate(vecs, ws)
+        import numpy as np
+        pair = np.asarray(slerp._slerp_pair(
+            np.asarray(vecs[0]), np.asarray(vecs[1]), 0.5))
+        # level 2: weights [1.0 (halved sum), 2.0] → t = 2/3
+        expected = slerp._slerp_pair(pair, np.asarray(vecs[2]), 2.0 / 3.0)
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_sequential_halves_accumulated_weight(self):
+        """Reference :195-209 — after folding a pair, the carried weight is
+        (w0+w1)/2, NOT the full sum; affects every 3+-vector interpolation."""
+        from marqo_tpu.core.utils.vector_interpolation import SlerpMethod
+        vecs = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+        ws = [1.0, 1.0, 1.0]
+        slerp = Slerp(method=SlerpMethod.SEQUENTIAL)
+        got = slerp.interpolate(vecs, ws)
+        import numpy as np
+        step1 = np.asarray(slerp._slerp_pair(
+            np.asarray(vecs[0]), np.asarray(vecs[1]), 0.5))
+        # carried weight = (1+1)/2 = 1 → t = 1/(1+1) = 0.5
+        expected = slerp._slerp_pair(step1, np.asarray(vecs[2]), 0.5)
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_zero_pair_weight_sum_raises(self):
+        with pytest.raises(InvalidArgumentError, match="sum weight of zero"):
+            Slerp().interpolate([[1.0, 0.0], [0.0, 1.0]], [1.0, -1.0])
+
     def test_weight_count_mismatch(self):
         with pytest.raises(InvalidArgumentError):
             Lerp().interpolate([[1, 0]], [1, 2])
