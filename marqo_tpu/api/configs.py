@@ -56,6 +56,10 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_ENGINE_CLUSTER": None,  # JSON [[shard0 replicas...],...]
         "MARQO_ENGINE_SHARDS": 1,
         "MARQO_ENGINE_REPLICAS": 0,
+        # --- cross-replica coordination (role of reference ZK + Redis) ---
+        "MARQO_COORDINATION_BACKEND": "in_process",  # in_process|file|engine
+        "MARQO_COORDINATION_DIR": None,   # file backend; default derives
+        "MARQO_COORDINATION_URL": None,   # engine backend: engine server URL
         # --- ops / feature gates (reference utils.py feature decorators) ---
         "MARQO_ENABLE_BATCH_APIS": "FALSE",
         "MARQO_ENABLE_DEBUG_API": "FALSE",

@@ -3,14 +3,27 @@
 Parity: reference src/marqo/tensor_search/throttling/redis_throttle.py —
 per-operation concurrency caps (INDEX=8, SEARCH=8, PARTIAL_UPDATE=100,
 api/configs.py:28-30,49), 429 on breach, and FAIL-OPEN on limiter failure
-(:26,71-75). Single-process deployments use in-process counters; a Redis
-implementation can plug in behind the same decorator for multi-replica
-admission control (SURVEY.md D6).
+(:26,71-75).
+
+Backends (MARQO_COORDINATION_BACKEND, same selector as the DDL lock):
+  in_process (default) — per-process counters.
+  file                 — pid-stamped slot files under
+                         MARQO_COORDINATION_DIR: the cap spans every API
+                         process on the host; slots of dead pids are
+                         reclaimed (the reference's Redis key-expiry role).
+  engine               — TTL semaphore hosted on an engine server
+                         (MARQO_COORDINATION_URL), spanning replicas across
+                         hosts like the reference's shared Redis.
+All backends FAIL OPEN: a broken limiter logs a warning and admits the
+request (reference redis_throttle.py:71-75).
 """
 
+import os
 import threading
+import uuid
 from enum import Enum
 from functools import wraps
+from typing import Optional
 
 from marqo_tpu.api import configs
 from marqo_tpu.api.exceptions import TooManyRequestsError
@@ -58,6 +71,135 @@ def current_concurrency(request_type: RequestType) -> int:
     return _counters[request_type].value
 
 
+class _InProcessBackend:
+    def try_acquire(self, request_type: RequestType, limit: int):
+        """Returns an opaque release token, or None when at the cap."""
+        counter = _counters[request_type]
+        return counter if counter.try_acquire(limit) else None
+
+    def release(self, request_type: RequestType, token) -> None:
+        token.release()
+
+
+class _FileBackend:
+    """Cross-process host-wide concurrency: slot i is held by creating
+    `<dir>/throttle_<TYPE>/slot_<i>` exclusively with the holder's pid
+    inside; slots whose pid is dead are reclaimed, so a crashed worker
+    can't leak capacity."""
+
+    def __init__(self, directory: str):
+        self._dir = directory
+
+    def _slot_dir(self, request_type: RequestType) -> str:
+        path = os.path.join(self._dir, f"throttle_{request_type.value}")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+
+    def try_acquire(self, request_type: RequestType, limit: int):
+        slot_dir = self._slot_dir(request_type)
+        for i in range(limit):
+            path = os.path.join(slot_dir, f"slot_{i}")
+            for _attempt in (0, 1):  # second attempt after stale reclaim
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    return path
+                except FileExistsError:
+                    try:
+                        with open(path) as f:
+                            holder = int(f.read().strip() or "0")
+                    except (OSError, ValueError):
+                        break  # concurrent writer; try next slot
+                    if holder and self._pid_alive(holder):
+                        break  # genuinely held; try next slot
+                    try:  # stale slot from a dead process: reclaim
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+        return None
+
+    def release(self, request_type: RequestType, token) -> None:
+        try:
+            os.unlink(token)
+        except FileNotFoundError:
+            pass
+
+
+class _EngineBackend:
+    """Cluster-wide concurrency via the engine-hosted TTL semaphore
+    (engine/coordination.py). The TTL reclaims slots of crashed workers."""
+
+    def __init__(self, base_url: str, ttl: float = 600.0,
+                 timeout_s: float = 5.0):
+        import httpx
+        self._client = httpx.Client(base_url=base_url.rstrip("/"),
+                                    timeout=timeout_s)
+        self._ttl = ttl
+
+    def try_acquire(self, request_type: RequestType, limit: int):
+        owner = uuid.uuid4().hex
+        response = self._client.post(
+            "/engine/coordination/semaphore/acquire",
+            json={"name": f"throttle_{request_type.value}", "owner": owner,
+                  "limit": limit, "ttl": self._ttl})
+        response.raise_for_status()
+        return owner if response.json().get("acquired") else None
+
+    def release(self, request_type: RequestType, token) -> None:
+        self._client.post(
+            "/engine/coordination/semaphore/release",
+            json={"name": f"throttle_{request_type.value}", "owner": token})
+
+
+_backend = None
+_backend_lock = threading.Lock()
+
+
+def _get_backend():
+    global _backend
+    if _backend is not None:
+        return _backend
+    with _backend_lock:
+        if _backend is not None:
+            return _backend
+        kind = (configs.read_env_vars_and_defaults(
+            "MARQO_COORDINATION_BACKEND") or "in_process").lower()
+        if kind == "file":
+            from marqo_tpu.core.distributed_lock import _coordination_dir
+            _backend = _FileBackend(_coordination_dir())
+        elif kind == "engine":
+            url = configs.read_env_vars_and_defaults("MARQO_COORDINATION_URL")
+            if url:
+                _backend = _EngineBackend(str(url))
+            else:
+                logger.warning(
+                    "MARQO_COORDINATION_BACKEND=engine but "
+                    "MARQO_COORDINATION_URL is unset; throttling falls back "
+                    "to per-process counters")
+                _backend = _InProcessBackend()
+        else:
+            _backend = _InProcessBackend()
+        return _backend
+
+
+def reset_backend() -> None:
+    """Re-read the backend env selection (tests / reconfiguration)."""
+    global _backend
+    with _backend_lock:
+        _backend = None
+
+
 def throttle(request_type: RequestType):
     """Decorator enforcing the per-operation concurrency cap."""
 
@@ -69,13 +211,13 @@ def throttle(request_type: RequestType):
                 return fn(*args, **kwargs)
             limit = configs.read_env_vars_and_defaults_ints(
                 _ENV_BY_TYPE[request_type])
-            counter = _counters[request_type]
+            backend = _get_backend()
             try:
-                acquired = counter.try_acquire(limit)
+                token = backend.try_acquire(request_type, limit)
             except Exception as e:  # fail open, never block traffic
                 logger.warning(f"Throttling check failed (fail-open): {e}")
                 return fn(*args, **kwargs)
-            if not acquired:
+            if token is None:
                 raise TooManyRequestsError(
                     f"Throttled by Marqo {request_type.value} throttling: "
                     f"maximum concurrent operations ({limit}) reached. "
@@ -83,7 +225,10 @@ def throttle(request_type: RequestType):
             try:
                 return fn(*args, **kwargs)
             finally:
-                counter.release()
+                try:
+                    backend.release(request_type, token)
+                except Exception as e:
+                    logger.warning(f"Throttle release failed: {e}")
 
         return wrapper
 

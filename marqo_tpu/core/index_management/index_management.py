@@ -20,6 +20,7 @@ from marqo_tpu.logging import get_logger
 logger = get_logger(__name__)
 
 DEPLOYMENT_LOCK_TIMEOUT = 5.0  # seconds (reference: acquire timeout on ZK lock)
+BOOTSTRAP_LOCK_TIMEOUT = 15.0  # bounded wait at startup; never blocks boot
 
 
 class IndexManagement:
@@ -36,13 +37,25 @@ class IndexManagement:
 
     def bootstrap(self) -> bool:
         """Initialize the settings store and re-deploy persisted indexes
-        into the engine (reference bootstrap_vespa)."""
-        with self._ddl_lock():
+        into the engine (reference bootstrap_vespa). A held cross-replica
+        lock must NOT crash startup (reference config.py:68-81: Marqo still
+        starts when the coordination backend is unavailable — only DDL
+        degrades): wait a bounded time, then warn and proceed, since the
+        shared settings store makes bootstrap idempotent across replicas."""
+        acquired = self._lock.acquire(timeout=BOOTSTRAP_LOCK_TIMEOUT)
+        if not acquired:
+            logger.warning(
+                "Deployment lock held by another replica during bootstrap; "
+                "proceeding without it (bootstrap is idempotent)")
+        try:
             first_time = self._store.bootstrap()
             for index in self._store.get_all():
                 if not self._engine.has_index(index.schema_name):
                     self._engine.create_index(descriptor_from_marqo_index(index))
             return first_time
+        finally:
+            if acquired:
+                self._lock.release()
 
     def _ddl_lock(self):
         return self._lock.context(

@@ -183,6 +183,38 @@ def build_engine_app(engine: StoreEngine):
             request.path_params["name"], body.get("terms", []),
             searchable_fields=body.get("searchable_fields"))
 
+    # -- coordination: cross-replica DDL lock + admission control --------
+    # (role of the reference's Zookeeper lock + Redis throttle; see
+    # engine/coordination.py)
+    from marqo_tpu.engine.coordination import Coordinator
+    coordinator = Coordinator()
+
+    @app.post("/engine/coordination/lock/acquire")
+    def lock_acquire(request: Request):
+        body = request.body or {}
+        return {"acquired": coordinator.lock_acquire(
+            str(body["name"]), str(body["owner"]),
+            float(body.get("ttl", 120.0)))}
+
+    @app.post("/engine/coordination/lock/release")
+    def lock_release(request: Request):
+        body = request.body or {}
+        return {"released": coordinator.lock_release(
+            str(body["name"]), str(body["owner"]))}
+
+    @app.post("/engine/coordination/semaphore/acquire")
+    def semaphore_acquire(request: Request):
+        body = request.body or {}
+        return {"acquired": coordinator.semaphore_acquire(
+            str(body["name"]), str(body["owner"]),
+            int(body["limit"]), float(body.get("ttl", 600.0)))}
+
+    @app.post("/engine/coordination/semaphore/release")
+    def semaphore_release(request: Request):
+        body = request.body or {}
+        return {"released": coordinator.semaphore_release(
+            str(body["name"]), str(body["owner"]))}
+
     return app
 
 
