@@ -231,14 +231,19 @@ class JaxHFTextModel(EmbeddingModel):
             # pad rows must still be valid: give them one real token so
             # mean-pool denominators never hit zero
             mask[size:, 0] = 1
-            emb = encode_tokens_jit(
-                self.params,
-                jax.device_put(jnp.asarray(ids), self._jdevice),
-                jax.device_put(jnp.asarray(mask), self._jdevice),
-                self.config, compute_dtype=self.compute_dtype)
+            emb = self._forward(ids, mask)
             outputs.append(np.asarray(emb)[:size])
             start += size
         return np.concatenate(outputs, axis=0)
+
+    def _forward(self, ids: np.ndarray, mask: np.ndarray):
+        """One padded device batch → pooled embeddings (overridden by
+        architectures with their own forward, e.g. stella)."""
+        return encode_tokens_jit(
+            self.params,
+            jax.device_put(jnp.asarray(ids), self._jdevice),
+            jax.device_put(jnp.asarray(mask), self._jdevice),
+            self.config, compute_dtype=self.compute_dtype)
 
     def _encode_packed(self, batch, seq_bucket: int) -> np.ndarray:
         """Sequence-packed encode (ops/packing.py): ~1/density fewer rows
@@ -290,6 +295,83 @@ class JaxHFTextModel(EmbeddingModel):
             np.asarray(out[:1, :1])  # force compile+execute
             count += 1
         return count
+
+
+class JaxStellaModel(JaxHFTextModel):
+    """Stella (GTE-v1.5 "NewModel" arch) text encoder — reference type
+    `hf_stella` (HuggingFaceStellaModel, trust_remote_code). The JAX arch
+    lives in models/stella.py; weights load from a local checkpoint dir
+    (`model_properties.localpath`, remote code can't be fetched offline)
+    or random-init for tests. Packing is disabled: RoPE + the projection
+    head use the plain padded path."""
+
+    PACKING_THRESHOLD = -1.0  # never pack
+
+    def load(self) -> None:
+        from marqo_tpu.models.stella import (StellaConfig, init_params,
+                                             params_from_torch_state_dict,
+                                             stella_400m_config)
+        max_len = int(self.properties.get("tokens", 512))
+        arch = self.properties.get("architecture", {})
+        proj = int(self.properties.get("dimensions", 1024))
+        if arch:
+            self.config = StellaConfig(
+                vocab_size=int(arch.get("vocab_size", 30528)),
+                hidden_size=int(arch.get("hidden_size", 1024)),
+                num_layers=int(arch.get("num_layers", 24)),
+                num_heads=int(arch.get("num_heads", 16)),
+                intermediate_size=int(arch.get("intermediate_size", 4096)),
+                rope_theta=float(arch.get("rope_theta", 160000.0)),
+                projection_dim=proj, normalize=False)
+        else:
+            from dataclasses import replace
+            self.config = replace(stella_400m_config(proj), normalize=False)
+        localpath = self.properties.get("localpath")
+        if localpath:
+            state_dict = _load_state_dict(localpath)
+            head = None
+            import os as _os
+            head_path = _os.path.join(localpath, f"2_Dense_{proj}")
+            if _os.path.isdir(head_path):
+                head_sd = _load_state_dict(head_path)
+                head = {"weight": head_sd.get("linear.weight",
+                                              head_sd.get("weight")),
+                        "bias": head_sd.get("linear.bias",
+                                            head_sd.get("bias"))}
+            self.params = jax.device_put(
+                params_from_torch_state_dict(state_dict, self.config,
+                                             dtype=self.compute_dtype,
+                                             vector_linear=head),
+                self._jdevice)
+            self.tokenizer = TextTokenizer.from_pretrained(
+                localpath, max_length=max_len)
+        elif self.properties.get("random_init"):
+            seed = int.from_bytes(
+                hashlib.sha256(self.model_name.encode()).digest()[:4],
+                "little")
+            self.params = jax.device_put(
+                init_params(self.config, jax.random.PRNGKey(seed),
+                            dtype=self.compute_dtype), self._jdevice)
+            self.tokenizer = TextTokenizer.build_test_wordpiece(
+                max_length=max_len)
+        else:
+            raise ModelLoadError(
+                f"Stella model `{self.model_name}` needs its checkpoint on "
+                "disk: the architecture ships as hub remote code, which "
+                "cannot be fetched in this offline environment. Provide "
+                "model_properties.localpath (HF checkpoint directory, "
+                "optionally with the 2_Dense_<dims> head).")
+        self.loaded = True
+        self._param_bytes = sum(
+            a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params))
+
+    def _forward(self, ids, mask):
+        from marqo_tpu.models.stella import encode_tokens_jit as stella_jit
+        return stella_jit(
+            self.params,
+            jax.device_put(jnp.asarray(ids), self._jdevice),
+            jax.device_put(jnp.asarray(mask), self._jdevice),
+            self.config, compute_dtype=self.compute_dtype)
 
 
 class TestModel(JaxHFTextModel):
@@ -405,7 +487,9 @@ def load_model(model_name: str, properties: dict, device: Device,
                model_auth=None) -> EmbeddingModel:
     """Loader dispatch (reference model_registry.py:2133-2145 _get_model_load_mappings)."""
     model_type = str(properties.get("type", "hf")).lower()
-    if model_type in ("hf", "sbert", "hf_stella"):
+    if model_type == "hf_stella":
+        cls = JaxStellaModel
+    elif model_type in ("hf", "sbert"):
         cls = JaxHFTextModel
     elif model_type in ("clip", "open_clip", "multilingual_clip", "fp16_clip"):
         from marqo_tpu.models.clip import JaxCLIPModel

@@ -104,6 +104,24 @@ def _hf_models() -> Dict[str, dict]:
             "flax-sentence-embeddings/all_datasets_v3_mpnet-base", 768),
         "hf/all_datasets_v4_mpnet-base": _hf(
             "flax-sentence-embeddings/all_datasets_v4_mpnet-base", 768),
+        "hf/all_datasets_v3_MiniLM-L12": _hf(
+            "flax-sentence-embeddings/all_datasets_v3_MiniLM-L12", 384),
+        "hf/all_datasets_v4_MiniLM-L12": _hf(
+            "flax-sentence-embeddings/all_datasets_v4_MiniLM-L12", 384),
+        "hf/all-MiniLM-L6-v1": _hf("sentence-transformers/all-MiniLM-L6-v1", 384),
+        "hf/all-MiniLM-L6-v2": _hf("sentence-transformers/all-MiniLM-L6-v2", 384),
+        "hf/all-mpnet-base-v1": _hf("sentence-transformers/all-mpnet-base-v1", 768),
+        "hf/all-mpnet-base-v2": _hf("sentence-transformers/all-mpnet-base-v2", 768),
+        "hf/ember-v1": _hf("llmrails/ember-v1", 1024, 512),
+        "hf/snowflake-arctic-embed-m-v1.5": _hf(
+            "Snowflake/snowflake-arctic-embed-m-v1.5", 768, 512, pooling="cls",
+            query_prefix="Represent this sentence for searching relevant passages: "),
+        # custom arch loaded with trust_remote_code in the reference
+        # (model_registry.py:898-904, type hf_stella); JAX arch in
+        # models/stella.py
+        "Marqo/dunzhang-stella_en_400M_v5": _hf(
+            "Marqo/dunzhang-stella_en_400M_v5", 1024, 512, pooling="mean",
+            model_type="hf_stella", trustRemoteCode=True),
     }
     return m
 
@@ -138,6 +156,10 @@ def _sbert_models() -> Dict[str, dict]:
         "sentence-transformers/distiluse-base-multilingual-cased-v2": 512,
         "flax-sentence-embeddings/all_datasets_v3_MiniLM-L12": 384,
         "flax-sentence-embeddings/all_datasets_v4_MiniLM-L12": 384,
+        "flax-sentence-embeddings/all_datasets_v3_MiniLM-L6": 384,
+        "flax-sentence-embeddings/all_datasets_v4_MiniLM-L6": 384,
+        "flax-sentence-embeddings/all_datasets_v3_mpnet-base": 768,
+        "flax-sentence-embeddings/all_datasets_v4_mpnet-base": 768,
     }
     out = {}
     for name, dims in names.items():
@@ -211,7 +233,34 @@ def _open_clip_models() -> Dict[str, dict]:
         ("ViT-SO400M-14-SigLIP", "webli", 1152, 224),
         ("ViT-SO400M-14-SigLIP-384", "webli", 1152, 384),
         ("ViT-B-16-SigLIP", "webli", 768, 224),
+        ("ViT-B-16-SigLIP-256", "webli", 768, 256),
+        ("ViT-B-16-SigLIP-384", "webli", 768, 384),
+        ("ViT-B-16-SigLIP-512", "webli", 768, 512),
         ("ViT-L-16-SigLIP-256", "webli", 1024, 256),
+        ("ViT-L-16-SigLIP-384", "webli", 1024, 384),
+        # remaining reference long tail (model_registry.py open_clip section)
+        ("ViT-B-32", "openai", 512, 224),
+        ("ViT-B-16", "openai", 512, 224),
+        ("ViT-B-32-256", "datacomp_s34b_b86k", 512, 256),
+        ("ViT-B-16-quickgelu", "metaclip_fullcc", 512, 224),
+        ("ViT-L-14-quickgelu", "dfn2b", 768, 224),
+        ("ViT-L-14-CLIPA-336", "datacomp1b", 768, 336),
+        ("ViT-H-14-quickgelu", "dfn5b", 1024, 224),
+        ("ViT-H-14-378-quickgelu", "dfn5b", 1024, 378),
+        ("RN50-quickgelu", "yfcc15m", 1024, 224),
+        ("RN50-quickgelu", "cc12m", 1024, 224),
+        ("RN101-quickgelu", "openai", 512, 224),
+        ("RN101-quickgelu", "yfcc15m", 512, 224),
+        ("coca_ViT-B-32", "mscoco_finetuned_laion2b_s13b_b90k", 512, 224),
+        ("coca_ViT-L-14", "mscoco_finetuned_laion2b_s13b_b90k", 768, 224),
+        ("convnext_base_w", "laion2b_s13b_b82k_augreg", 640, 256),
+        ("convnext_base_w", "laion_aesthetic_s13b_b82k", 640, 256),
+        ("convnext_base_w_320", "laion_aesthetic_s13b_b82k", 640, 320),
+        ("convnext_base_w_320", "laion_aesthetic_s13b_b82k_augreg", 640, 320),
+        ("convnext_large_d_320", "laion2b_s29b_b131k_ft", 768, 320),
+        ("convnext_large_d_320", "laion2b_s29b_b131k_ft_soup", 768, 320),
+        ("convnext_xxlarge", "laion2b_s34b_b82k_augreg_rewind", 1024, 256),
+        ("convnext_xxlarge", "laion2b_s34b_b82k_augreg_soup", 1024, 256),
     ]
     out = {}
     for arch, pretrained, dims, size in entries:
@@ -222,6 +271,16 @@ def _open_clip_models() -> Dict[str, dict]:
         "Marqo/marqo-fashionCLIP", 512, "marqo", 224)
     out["Marqo/marqo-fashionSigLIP"] = _open_clip(
         "Marqo/marqo-fashionSigLIP", 768, "marqo", 224)
+    # NLLB multilingual SigLIP family (reference model_registry.py:510-533;
+    # registered as open_clip hf-hub checkpoints)
+    for short, dims in [("nllb-clip-base-siglip", 768),
+                        ("nllb-siglip-mrl-base", 768),
+                        ("nllb-clip-large-siglip", 1152),
+                        ("nllb-siglip-mrl-large", 1152)]:
+        out[f"visheratin/{short}"] = {
+            "name": f"hf-hub:visheratin/{short}", "dimensions": dims,
+            "type": "open_clip", "image_size": 384,
+            "note": "A multilingual CLIP model"}
     return out
 
 
@@ -244,39 +303,53 @@ def _onnx_alias_models() -> Dict[str, dict]:
     same checkpoints. On TPU they resolve to the JAX implementations (the
     runtime IS the accelerator-native one)."""
     out = {}
-    openai_archs = [("ViT-B/32", 512, 224), ("ViT-B/16", 512, 224),
-                    ("ViT-L/14", 768, 224), ("ViT-L/14@336px", 768, 336),
-                    ("RN50", 1024, 224), ("RN101", 512, 224),
-                    ("RN50x4", 640, 288), ("RN50x16", 768, 384),
-                    ("RN50x64", 1024, 448)]
-    for name, dims, size in openai_archs:
-        for prefix in ("onnx16", "onnx32"):
-            out[f"{prefix}/openai/{name}"] = {
-                "name": name, "dimensions": dims, "type": "clip",
-                "image_size": size,
-                "notes": "ONNX-named alias; served by the JAX CLIP runtime"}
-    laion_archs = [
-        ("open_clip/ViT-B-32/laion400m_e31", 512, 224),
-        ("open_clip/ViT-B-32/laion400m_e32", 512, 224),
-        ("open_clip/ViT-B-32/laion2b_e16", 512, 224),
-        ("open_clip/ViT-B-32/laion2b_s34b_b79k", 512, 224),
-        ("open_clip/ViT-B-16/laion400m_e31", 512, 224),
-        ("open_clip/ViT-B-16/laion400m_e32", 512, 224),
-        ("open_clip/ViT-B-16-plus-240/laion400m_e31", 640, 240),
-        ("open_clip/ViT-B-16-plus-240/laion400m_e32", 640, 240),
-        ("open_clip/ViT-L-14/laion400m_e31", 768, 224),
-        ("open_clip/ViT-L-14/laion400m_e32", 768, 224),
-        ("open_clip/ViT-L-14/laion2b_s32b_b82k", 768, 224),
-        ("open_clip/ViT-H-14/laion2b_s32b_b79k", 1024, 224),
-        ("open_clip/ViT-g-14/laion2b_s12b_b42k", 1024, 224),
+    # exact reference onnx-CLIP name set (model_registry.py onnx sections):
+    # onnx{16,32}/open_clip/<arch>/<pretrained> for these 31 combos, plus
+    # onnx{16,32}/openai/ViT-L/14
+    combos = [
+        "RN101-quickgelu/openai", "RN101-quickgelu/yfcc15m",
+        "RN101/openai", "RN101/yfcc15m",
+        "RN50-quickgelu/cc12m", "RN50-quickgelu/openai",
+        "RN50-quickgelu/yfcc15m",
+        "RN50/cc12m", "RN50/openai", "RN50/yfcc15m",
+        "RN50x16/openai", "RN50x4/openai", "RN50x64/openai",
+        "ViT-B-16-plus-240/laion400m_e31", "ViT-B-16-plus-240/laion400m_e32",
+        "ViT-B-16/laion400m_e31", "ViT-B-16/laion400m_e32",
+        "ViT-B-16/openai",
+        "ViT-B-32-quickgelu/laion400m_e31",
+        "ViT-B-32-quickgelu/laion400m_e32", "ViT-B-32-quickgelu/openai",
+        "ViT-B-32/laion2b_e16", "ViT-B-32/laion400m_e31",
+        "ViT-B-32/laion400m_e32", "ViT-B-32/openai",
+        "ViT-H-14/laion2b_s32b_b79k",
+        "ViT-L-14-336/openai", "ViT-L-14/laion2b_s32b_b82k",
+        "ViT-L-14/laion400m_e32", "ViT-L-14/openai",
+        "ViT-g-14/laion2b_s12b_b42k",
     ]
-    for key, dims, size in laion_archs:
+    arch_dims = {
+        "RN50": (1024, 224), "RN50-quickgelu": (1024, 224),
+        "RN101": (512, 224), "RN101-quickgelu": (512, 224),
+        "RN50x4": (640, 288), "RN50x16": (768, 384),
+        "RN50x64": (1024, 448),
+        "ViT-B-32": (512, 224), "ViT-B-32-quickgelu": (512, 224),
+        "ViT-B-16": (512, 224), "ViT-B-16-plus-240": (640, 240),
+        "ViT-L-14": (768, 224), "ViT-L-14-336": (768, 336),
+        "ViT-H-14": (1024, 224), "ViT-g-14": (1024, 224),
+    }
+    for combo in combos:
+        arch = combo.split("/", 1)[0]
+        dims, size = arch_dims[arch]
         for prefix in ("onnx16", "onnx32"):
-            arch = key.split("/", 1)[1]
-            out[f"{prefix}/{arch.replace('/', '/')}"] = {
-                "name": key, "dimensions": dims, "type": "open_clip",
-                "image_size": size,
+            key = f"{prefix}/open_clip/{combo}"
+            out[key] = {
+                "name": f"open_clip/{combo}", "dimensions": dims,
+                "type": "open_clip", "image_size": size,
+                "pretrained": combo.split("/", 1)[1],
                 "notes": "ONNX-named alias; served by the JAX CLIP runtime"}
+    for prefix in ("onnx16", "onnx32"):
+        out[f"{prefix}/openai/ViT-L/14"] = {
+            "name": "ViT-L/14", "dimensions": 768, "type": "clip",
+            "image_size": 224,
+            "notes": "ONNX-named alias; served by the JAX CLIP runtime"}
     for name, dims in [("onnx/all-MiniLM-L6-v1", 384),
                        ("onnx/all-MiniLM-L6-v2", 384),
                        ("onnx/all-MiniLM-L12-v2", 384),
@@ -286,7 +359,11 @@ def _onnx_alias_models() -> Dict[str, dict]:
                        ("onnx/multi-qa-MiniLM-L6-cos-v1", 384),
                        ("onnx/multi-qa-mpnet-base-cos-v1", 768),
                        ("onnx/all_datasets_v3_MiniLM-L6", 384),
-                       ("onnx/all_datasets_v4_MiniLM-L6", 384)]:
+                       ("onnx/all_datasets_v4_MiniLM-L6", 384),
+                       ("onnx/all_datasets_v3_MiniLM-L12", 384),
+                       ("onnx/all_datasets_v4_MiniLM-L12", 384),
+                       ("onnx/all_datasets_v3_mpnet-base", 768),
+                       ("onnx/all_datasets_v4_mpnet-base", 768)]:
         base = name.split("/", 1)[1]
         prefix = ("flax-sentence-embeddings/" if base.startswith("all_datasets")
                   else "sentence-transformers/")
@@ -341,6 +418,15 @@ def _special_models() -> Dict[str, dict]:
                  "type": "test"},
         "test/tiny-bert": {"name": "test/tiny-bert", "dimensions": 16,
                            "tokens": 128, "type": "test"},
+        # reference test aliases (model_registry.py test section)
+        "sentence-transformers/test": {
+            "name": "sentence-transformers/all-MiniLM-L6-v1",
+            "dimensions": 16, "tokens": 128, "type": "test", "notes": ""},
+        "test_prefix": {
+            "name": "sentence-transformers/all-MiniLM-L6-v1",
+            "dimensions": 16, "tokens": 128, "type": "test",
+            "text_query_prefix": "test query: ",
+            "text_chunk_prefix": "test passage: ", "notes": ""},
         # no_model: storage-only indexes, custom vectors
         # (reference no_model_utils.py)
         "no_model": {"name": "no_model", "type": "no_model"},
