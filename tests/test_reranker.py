@@ -79,3 +79,74 @@ class TestRerankIntegration:
             reranker="test-reranker", reranker_properties=PROPS)
         assert len(res["hits"]) == 2
         inference.clear_loaded_models()
+
+
+class TestOwlImageReranker:
+    """OWL-ViT image reranking (reference rerank.py:32-44 +
+    cross_encoders.py:341-461) with a tiny random-init detector."""
+
+    OWL_PROPS = {"random_init": True,
+                 "architecture": {"vocab_size": 128, "hidden_size": 32,
+                                  "layers": 2, "heads": 2, "image_size": 32,
+                                  "patch_size": 8}}
+
+    def _image(self, tmp_path, name, seed):
+        from PIL import Image
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        path = str(tmp_path / name)
+        Image.fromarray(arr).save(path)
+        return path
+
+    def test_rerank_scores_and_box_highlights(self, tmp_path):
+        img_a = self._image(tmp_path, "a.png", 1)
+        img_b = self._image(tmp_path, "b.png", 2)
+        result = {"hits": [
+            {"_id": "a", "img": img_a, "_score": 0.1},
+            {"_id": "b", "img": img_b, "_score": 0.9},
+            {"_id": "c", "title": "no image field", "_score": 0.5},
+        ]}
+        rerank_search_results(result, "a red ball", "owl/ViT-B/32",
+                              device="cpu", searchable_attributes=["img"],
+                              properties=self.OWL_PROPS)
+        hits = {h["_id"]: h for h in result["hits"]}
+        # image hits got detector scores + box highlights in orig pixels
+        for hid, path in (("a", img_a), ("b", img_b)):
+            hit = hits[hid]
+            assert 0.0 <= hit["_score"] <= 1.0
+            box = hit["_highlights"][0]["img"]
+            assert len(box) == 4
+            x1, y1, x2, y2 = box
+            assert 0 <= x1 <= x2 <= 64 and 0 <= y1 <= y2 <= 48
+        # the no-image hit ranks last with score 0
+        assert hits["c"]["_score"] == 0.0
+        assert result["hits"][-1]["_id"] == "c"
+        scores = [h["_score"] for h in result["hits"]]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_requires_searchable_attributes(self):
+        with pytest.raises(InvalidArgumentError, match="searchable_attributes"):
+            rerank_search_results({"hits": [{"_id": "x"}]}, "q",
+                                  "owl/ViT-B/32", device="cpu",
+                                  searchable_attributes=[],
+                                  properties=self.OWL_PROPS)
+
+    def test_unreadable_image_scores_zero(self, tmp_path):
+        img = self._image(tmp_path, "ok.png", 3)
+        result = {"hits": [
+            {"_id": "good", "img": img, "_score": 0.2},
+            {"_id": "bad", "img": str(tmp_path / "missing.png"),
+             "_score": 0.9},
+        ]}
+        rerank_search_results(result, "thing", "owl/ViT-B/32",
+                              device="cpu", searchable_attributes=["img"],
+                              properties=self.OWL_PROPS)
+        hits = {h["_id"]: h for h in result["hits"]}
+        assert hits["bad"]["_score"] == 0.0
+        assert result["hits"][0]["_id"] == "good"
+
+    def test_unknown_owl_name_rejected(self):
+        from marqo_tpu.inference.rerank import JaxOwlReranker
+        with pytest.raises(InvalidArgumentError, match="mappings"):
+            JaxOwlReranker("howl/not-a-model", Device.CPU,
+                           {"random_init": True}).load()
