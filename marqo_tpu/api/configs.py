@@ -56,6 +56,9 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_ENGINE_CLUSTER": None,  # JSON [[shard0 replicas...],...]
         "MARQO_ENGINE_SHARDS": 1,
         "MARQO_ENGINE_REPLICAS": 0,
+        # --- detector patch models (inference/image_patching.py) ---
+        "MARQO_PATCH_MODELS_RANDOM_INIT": "FALSE",  # synthetic-weight mode
+        "MARQO_DINO_WEIGHTS_PATH": None,  # local dino_vits16 state dict
         # --- cross-replica coordination (role of reference ZK + Redis) ---
         "MARQO_COORDINATION_BACKEND": "in_process",  # in_process|file|engine
         "MARQO_COORDINATION_DIR": None,   # file backend; default derives
