@@ -48,6 +48,90 @@ def build_corpus(n_docs: int, seed: int = 0):
     return [rng.integers(1, 30522, size=int(L)).tolist() for L in lengths]
 
 
+WORD_POOL_SIZE = 2000
+
+
+def build_text_corpus(n_docs: int, seed: int = 1):
+    """Raw-text passages from a word pool sized so tokenized lengths match
+    the headline's log-normal distribution (1 pool word ≈ 1 wordpiece)."""
+    rng = np.random.default_rng(seed)
+    pool = [f"word{i:04d}" for i in range(WORD_POOL_SIZE)]
+    lengths = np.clip(rng.lognormal(mean=4.1, sigma=0.45, size=n_docs),
+                      16, 126).astype(np.int32)
+    return [" ".join(rng.choice(pool, size=int(L))) for L in lengths], pool
+
+
+def ingest_bench() -> None:
+    """True end-to-end ingest: raw text in → validate → chunk → tokenize
+    (host) → pack → encode (TPU) → engine feed, through the real
+    add_documents orchestration (VERDICT r1 item 9 — the headline below
+    measures the device encode stage only)."""
+    import datetime
+
+    os.environ.setdefault("MARQO_MAX_ADD_DOCS_COUNT", "512")
+    from marqo_tpu.api.models.index_settings import IndexSettings
+    from marqo_tpu.config import Config
+    from marqo_tpu.core.models.add_docs_params import AddDocsParams
+    from marqo_tpu.inference import vectorise as inference
+    from marqo_tpu.inference.loaders import load_model
+    from marqo_tpu.inference.types import Device
+    from marqo_tpu.models.tokenizer import TextTokenizer
+    from marqo_tpu.tensor_search import tensor_search
+
+    props = {
+        "name": "bench-e5-base", "dimensions": 768, "tokens": 128,
+        "type": "hf", "random_init": True, "pooling_method": "mean",
+        "architecture": {"vocab_size": 30522, "hidden_size": 768,
+                         "num_layers": 12, "num_heads": 12,
+                         "intermediate_size": 3072},
+    }
+    model = load_model("bench-e5-base", props, Device.TPU)
+    docs_text, pool = build_text_corpus(4096)
+    # word-level tokenizer (same Rust tokenizers runtime as production;
+    # the random-init default is char-level, which would distort lengths)
+    model.tokenizer = TextTokenizer.build_test_wordpiece(
+        extra_words=pool, max_length=128)
+    cache_key = inference._create_model_cache_key("bench-e5-base", "tpu",
+                                                  props)
+    inference._available_models[cache_key] = {
+        "model": model,
+        "most_recently_used_time": datetime.datetime.now(),
+        "model_size": 1.0,
+    }
+
+    cfg = Config()
+    cfg.index_management.bootstrap()
+    cfg.index_management.create_index(
+        IndexSettings(model="bench-e5-base",
+                      modelProperties=props).to_marqo_index("bench-ingest"))
+    cfg.index_meta_cache.populate()
+
+    docs = [{"_id": f"d{i}", "text": text}
+            for i, text in enumerate(docs_text)]
+    batch_size = 512
+
+    def add(batch):
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="bench-ingest", docs=batch, tensor_fields=["text"],
+            device="tpu"))
+        assert res["errors"] is False, res
+
+    add(docs[:batch_size])  # warm: compiles the encode buckets
+    start = time.perf_counter()
+    done = 0
+    for b in range(1, len(docs) // batch_size):
+        add(docs[b * batch_size:(b + 1) * batch_size])
+        done += batch_size
+    elapsed = time.perf_counter() - start
+    print(json.dumps({
+        "metric": "add_documents_e2e_ingest",
+        "value": round(done / elapsed, 1),
+        "unit": "docs/sec/chip",
+        "vs_baseline": round(done / elapsed / 10000.0, 3),
+    }))
+    cfg.index_meta_cache.stop_refresh_thread()
+
+
 def main():
     from marqo_tpu.models.bert import (TextEncoderConfig,
                                        encode_tokens_packed, init_params)
@@ -126,5 +210,10 @@ def main():
 if __name__ == "__main__":
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_SECONDS)
+    try:
+        ingest_bench()
+    except Exception as e:  # the headline must still print
+        print(f"ingest bench failed: {e}", file=sys.stderr)
+    signal.alarm(WATCHDOG_SECONDS)  # reset for the headline
     main()
     signal.alarm(0)

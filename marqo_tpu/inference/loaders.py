@@ -204,9 +204,24 @@ class JaxHFTextModel(EmbeddingModel):
         if not texts:
             return np.zeros((0, self.dimensions or self.config.hidden_size),
                             dtype=np.float32)
+        # tokenize ONCE: natural-width encode, then pad columns to the seq
+        # bucket (tokenization is the top host cost of ingest on small
+        # hosts; the old max_token_length() pre-pass tokenized everything a
+        # second time just to size the bucket)
+        batch = self.tokenizer.encode_batch(texts)
         seq_bucket = pick_seq_bucket(
-            min(self.tokenizer.max_token_length(texts), self.tokenizer.max_length))
-        batch = self.tokenizer.encode_batch(texts, pad_to=seq_bucket)
+            min(max(batch["lengths"]), self.tokenizer.max_length))
+        width = batch["input_ids"].shape[1]
+        if width < seq_bucket:
+            pad = seq_bucket - width
+            batch["input_ids"] = np.pad(
+                batch["input_ids"], ((0, 0), (0, pad)),
+                constant_values=self.tokenizer.pad_id)
+            batch["attention_mask"] = np.pad(
+                batch["attention_mask"], ((0, 0), (0, pad)))
+        elif width > seq_bucket:  # can't happen (bucket ≥ max length)
+            batch["input_ids"] = batch["input_ids"][:, :seq_bucket]
+            batch["attention_mask"] = batch["attention_mask"][:, :seq_bucket]
         n = len(texts)
         density = sum(batch["lengths"]) / (n * seq_bucket)
         if n > 1 and density < self.PACKING_THRESHOLD:
@@ -247,23 +262,33 @@ class JaxHFTextModel(EmbeddingModel):
 
     def _encode_packed(self, batch, seq_bucket: int) -> np.ndarray:
         """Sequence-packed encode (ops/packing.py): ~1/density fewer rows
-        through the MXU at identical numerics."""
+        through the MXU at identical numerics. Requests larger than the
+        biggest batch bucket are chunked — the sequence COUNT per packed
+        call must fit the segment-sum bucket (oversized requests previously
+        silently dropped embeddings past the largest bucket)."""
+        from marqo_tpu.inference.batching import batch_buckets
         from marqo_tpu.models.bert import encode_tokens_packed_jit
         from marqo_tpu.ops.packing import pack_sequences
 
         ids, lengths = batch["input_ids"], batch["lengths"]
         sequences = [ids[i, :lengths[i]].tolist() for i in range(len(lengths))]
-        packed = pack_sequences(sequences, seq_len=seq_bucket,
-                                pad_id=self.tokenizer.pad_id)
-        n_bucket = pick_batch_bucket(packed.n_sequences)
-        emb = encode_tokens_packed_jit(
-            self.params,
-            jax.device_put(jnp.asarray(packed.input_ids), self._jdevice),
-            jax.device_put(jnp.asarray(packed.segment_ids), self._jdevice),
-            jax.device_put(jnp.asarray(packed.positions), self._jdevice),
-            jax.device_put(jnp.asarray(packed.seq_index), self._jdevice),
-            n_bucket, self.config, compute_dtype=self.compute_dtype)
-        return np.asarray(emb)[:packed.n_sequences]
+        max_seqs = batch_buckets()[-1]
+        outputs = []
+        for start in range(0, len(sequences), max_seqs):
+            chunk = sequences[start:start + max_seqs]
+            packed = pack_sequences(chunk, seq_len=seq_bucket,
+                                    pad_id=self.tokenizer.pad_id,
+                                    row_bucket=16)
+            n_bucket = pick_batch_bucket(packed.n_sequences)
+            emb = encode_tokens_packed_jit(
+                self.params,
+                jax.device_put(jnp.asarray(packed.input_ids), self._jdevice),
+                jax.device_put(jnp.asarray(packed.segment_ids), self._jdevice),
+                jax.device_put(jnp.asarray(packed.positions), self._jdevice),
+                jax.device_put(jnp.asarray(packed.seq_index), self._jdevice),
+                n_bucket, self.config, compute_dtype=self.compute_dtype)
+            outputs.append(np.asarray(emb)[:packed.n_sequences])
+        return np.concatenate(outputs, axis=0)
 
     def memory_bytes(self) -> int:
         return self._param_bytes

@@ -122,3 +122,20 @@ class TestInferenceCache:
         cache.set("m", "c", [3.0])  # evicts "b" (lowest count)
         assert cache.get("m", "a") == [1.0]
         assert cache.get("m", "b") is None
+
+
+class TestOversizedBatch:
+    def test_vectorise_more_texts_than_largest_bucket(self):
+        """Requests beyond the largest batch bucket (256) previously
+        dropped embeddings past the bucket on the packed path (found by the
+        e2e ingest bench: 512-doc add_documents)."""
+        from marqo_tpu.inference import vectorise as v
+        v.clear_loaded_models()
+        texts = [f"document number {i} with several words" for i in range(300)]
+        out = v.vectorise("test", texts, device="cpu")
+        arr = np.asarray(out)
+        assert arr.shape[0] == 300
+        # identical text at positions 7 and 299 would differ if order broke
+        again = v.vectorise("test", [texts[299]], device="cpu")
+        np.testing.assert_allclose(arr[299], np.asarray(again)[0], atol=1e-4)
+        v.clear_loaded_models()
