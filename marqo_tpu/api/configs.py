@@ -59,6 +59,7 @@ def default_env_vars() -> Dict[str, Any]:
         # --- detector patch models (inference/image_patching.py) ---
         "MARQO_PATCH_MODELS_RANDOM_INIT": "FALSE",  # synthetic-weight mode
         "MARQO_DINO_WEIGHTS_PATH": None,  # local dino_vits16 state dict
+        "MARQO_FRCNN_WIDTH": 1.0,  # resnet-50 width multiplier (tests shrink it)
         # --- cross-replica coordination (role of reference ZK + Redis) ---
         "MARQO_COORDINATION_BACKEND": "in_process",  # in_process|file|engine
         "MARQO_COORDINATION_DIR": None,   # file backend; default derives

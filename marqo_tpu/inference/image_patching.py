@@ -296,6 +296,59 @@ class _YoloxPatcher:
             [float(s) for s in flat_scores]
 
 
+class _FrcnnPatcher:
+    """frcnn (reference PatchifyPytorch over torchvision
+    fasterrcnn_resnet50_fpn): class-agnostic region proposals from the
+    Faster R-CNN proposal stage (models/frcnn.py), ranked by RPN
+    objectness. Scale: tests use a width-reduced backbone
+    (MARQO_FRCNN_WIDTH) since resnet-50 at 384² is slow on a 1-core CPU."""
+
+    def __init__(self):
+        import jax
+
+        from marqo_tpu.api import configs
+        from marqo_tpu.models.frcnn import FrcnnConfig, init_params
+        width = float(configs.read_env_vars_and_defaults(
+            "MARQO_FRCNN_WIDTH") or 1.0)
+        self.config = FrcnnConfig(width=width)
+        if _random_init_enabled():
+            seed = int.from_bytes(hashlib.sha256(b"frcnn").digest()[:4],
+                                  "little")
+            self.params = init_params(self.config, jax.random.PRNGKey(seed))
+        else:
+            raise ModelLoadError(
+                "frcnn patching needs torchvision fasterrcnn_resnet50_fpn "
+                "weights, which cannot be downloaded in this deployment "
+                "(torchvision absent, no egress). Set "
+                "MARQO_PATCH_MODELS_RANDOM_INIT=TRUE for a synthetic-weight "
+                "smoke mode, or use marqo-yolo / dino-v1 / dino-v2.")
+
+    def boxes(self, image: np.ndarray) -> Tuple[List[Tuple], List[float]]:
+        import cv2
+        import jax.numpy as jnp
+
+        from marqo_tpu.models.frcnn import (IMAGENET_MEAN, IMAGENET_STD,
+                                            decode_proposals, forward_jit)
+        size = self.config.input_size
+        work = cv2.resize(image, WORK_SIZE, interpolation=cv2.INTER_LINEAR)
+        resized = cv2.resize(work, (size, size),
+                             interpolation=cv2.INTER_LINEAR)
+        pixels = (resized.astype(np.float32) / 255.0 -
+                  np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        outputs = forward_jit(self.params,
+                              jnp.asarray(pixels[None], jnp.float32),
+                              self.config)
+        boxes, scores = decode_proposals(outputs, self.config)
+        if scores.size > TOP_K_SCORES:
+            order = np.argsort(scores)[::-1][:TOP_K_SCORES]
+            boxes, scores = boxes[order], scores[order]
+        scale = (WORK_SIZE[0] / size, WORK_SIZE[1] / size)
+        out_boxes = [(float(b[0] * scale[0]), float(b[1] * scale[1]),
+                      float(b[2] * scale[0]), float(b[3] * scale[1]))
+                     for b in boxes]
+        return out_boxes, [float(s) for s in scores]
+
+
 def _get_patcher(method: str):
     key = method
     with _patchers_lock:
@@ -307,11 +360,7 @@ def _get_patcher(method: str):
             elif method in ("marqo-yolo", "yolox"):
                 _patchers[key] = _YoloxPatcher()
             elif method == "frcnn":
-                raise ModelLoadError(
-                    "frcnn patching requires torchvision Faster R-CNN "
-                    "weights, neither of which is available in this "
-                    "deployment. Use marqo-yolo (same role, TPU-native "
-                    "detector) or dino-v1/dino-v2/simple/overlap.")
+                _patchers[key] = _FrcnnPatcher()
         return _patchers.get(key)
 
 

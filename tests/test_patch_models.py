@@ -15,6 +15,8 @@ from marqo_tpu.inference.image_patching import (_filter_boxes, _nms,
 @pytest.fixture(autouse=True)
 def random_init_patchers(monkeypatch):
     monkeypatch.setenv("MARQO_PATCH_MODELS_RANDOM_INIT", "TRUE")
+    # full-width resnet-50 at 384^2 is too slow for a 1-core CPU test box
+    monkeypatch.setenv("MARQO_FRCNN_WIDTH", "0.125")
     clear_patchers()
     yield
     clear_patchers()
@@ -53,7 +55,7 @@ class TestBoxPipeline:
 
 class TestDetectorPatchers:
     @pytest.mark.parametrize("method", ["dino-v1", "dino-v2", "marqo-yolo",
-                                        "yolox"])
+                                        "yolox", "frcnn"])
     def test_method_produces_valid_patches(self, method):
         image = _image(1)
         patches, chunks = chunk_image(image, method)
@@ -75,8 +77,10 @@ class TestDetectorPatchers:
         second = chunk_image(image, "dino-v2")[1]
         assert first == second
 
-    def test_frcnn_gated_with_clear_error(self):
-        with pytest.raises(ModelLoadError, match="frcnn"):
+    def test_frcnn_weights_gated_without_random_init(self, monkeypatch):
+        monkeypatch.setenv("MARQO_PATCH_MODELS_RANDOM_INIT", "FALSE")
+        clear_patchers()
+        with pytest.raises(ModelLoadError, match="fasterrcnn_resnet50_fpn"):
             chunk_image(_image(), "frcnn")
 
     def test_unknown_method_rejected(self):
