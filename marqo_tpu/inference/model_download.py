@@ -3,8 +3,9 @@
 Parity: reference core/inference/model_download.py + tensor_search/models/
 private_models.py:13-38 — ModelAuth carries exactly one of {s3, hf}
 credentials; ModelLocation points at an s3 object or HF repo. Downloads are
-cached on disk (reference ModelCache paths / HF hub cache). boto3 is not
-baked into this image, so the s3 path is import-gated with a clear error.
+cached on disk (reference ModelCache paths / HF hub cache); archive
+checkpoints extract next to the download. S3 uses boto3 when installed and
+falls back to the stdlib SigV4 signer (s3_sigv4.py) otherwise.
 """
 
 import os
@@ -49,33 +50,82 @@ def download_model(model_location: Dict[str, Any],
 
 def _download_s3(location: Dict[str, Any],
                  auth: Optional[Dict[str, Any]]) -> str:
-    try:
-        import boto3  # optional: not baked into every image
-    except ImportError:
-        raise ModelDownloadError(
-            "s3 model downloads require boto3, which is not installed in "
-            "this deployment. Host the checkpoint on the HF hub or a local "
-            "path instead.")
+    """S3 object download. boto3 when present; otherwise the stdlib SigV4
+    signer (inference/s3_sigv4.py) — no extra dependency needed for the
+    reference's private-checkpoint flow."""
     bucket, key = location.get("Bucket"), location.get("Key")
     if not bucket or not key:
         raise InvalidArgumentError("s3 model_location needs Bucket and Key")
     target = os.path.join(CACHE_DIR, "s3", bucket, key.replace("/", "_"))
     if os.path.exists(target):
-        return target
+        return _maybe_extract(target)
     os.makedirs(os.path.dirname(target), exist_ok=True)
-    kwargs = {}
-    if auth:
-        kwargs = dict(
-            aws_access_key_id=auth.get("aws_access_key_id"),
-            aws_secret_access_key=auth.get("aws_secret_access_key"),
-            aws_session_token=auth.get("aws_session_token"))
+    auth = auth or {}
+    access_key = auth.get("aws_access_key_id") or \
+        os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = auth.get("aws_secret_access_key") or \
+        os.environ.get("AWS_SECRET_ACCESS_KEY")
+    session_token = auth.get("aws_session_token") or \
+        os.environ.get("AWS_SESSION_TOKEN")
+    region = auth.get("region") or os.environ.get("AWS_REGION") or \
+        "us-east-1"
     try:
+        import boto3  # preferred when available
+
+        kwargs = {}
+        if access_key:
+            kwargs = dict(aws_access_key_id=access_key,
+                          aws_secret_access_key=secret_key,
+                          aws_session_token=session_token)
         client = boto3.client("s3", **kwargs)
         client.download_file(bucket, key, target)
+        return _maybe_extract(target)
+    except ImportError:
+        pass
     except Exception as e:
         raise ModelDownloadError(
             f"Could not download s3://{bucket}/{key}: {e}") from e
-    return target
+    if not access_key or not secret_key:
+        raise ModelDownloadError(
+            f"s3://{bucket}/{key} needs credentials: provide model_auth.s3 "
+            "(aws_access_key_id/aws_secret_access_key) or AWS_* env vars")
+    from marqo_tpu.inference.s3_sigv4 import s3_get
+    try:
+        blob = s3_get(bucket, key, access_key, secret_key,
+                      session_token=session_token, region=region,
+                      endpoint=os.environ.get("MARQO_S3_ENDPOINT"))
+    except Exception as e:
+        raise ModelDownloadError(
+            f"Could not download s3://{bucket}/{key}: {e}") from e
+    tmp = target + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, target)
+    return _maybe_extract(target)
+
+
+def _maybe_extract(path: str) -> str:
+    """Checkpoint archives (the reference ships s3 models as zip/tar,
+    extracted by its ModelCache) unpack next to the download; loaders get
+    the directory."""
+    import tarfile
+    import zipfile
+    out_dir = path + ".extracted"
+    if os.path.isdir(out_dir):
+        return out_dir
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(out_dir)
+    elif tarfile.is_tarfile(path):
+        with tarfile.open(path) as tf:
+            tf.extractall(out_dir, filter="data")
+    else:
+        return path
+    # single top-level dir inside the archive → use it directly
+    entries = os.listdir(out_dir)
+    if len(entries) == 1 and os.path.isdir(os.path.join(out_dir, entries[0])):
+        return os.path.join(out_dir, entries[0])
+    return out_dir
 
 
 def _download_hf(location: Dict[str, Any],
