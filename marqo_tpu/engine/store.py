@@ -343,6 +343,16 @@ class StoreEngine:
         self._indexes: Dict[str, List[_Shard]] = {}
         self._descriptors: Dict[str, IndexDescriptor] = {}
         self._lock = threading.RLock()
+        # incremental snapshots: per-index mutation counter + the counter
+        # value captured by the last snapshot write (snapshot() skips
+        # indexes whose state is unchanged — the 60s daemon stops rewriting
+        # every index's full doc+tensor state on idle systems)
+        self._mutations: Dict[str, int] = defaultdict(int)
+        self._snapshotted: Dict[str, int] = {}
+
+    def _mutated(self, name: str) -> None:
+        with self._lock:
+            self._mutations[name] += 1
 
     # -- DDL --
 
@@ -353,6 +363,7 @@ class StoreEngine:
             self._indexes[descriptor.name] = [
                 _Shard(descriptor) for _ in range(self.n_shards)]
             self._descriptors[descriptor.name] = descriptor
+            self._mutations[descriptor.name] += 1
 
     def update_index(self, descriptor: IndexDescriptor) -> None:
         """Semi-structured schema growth: swap the descriptor in place."""
@@ -361,6 +372,7 @@ class StoreEngine:
             self._descriptors[descriptor.name] = descriptor
             for shard in shards:
                 shard.descriptor = descriptor
+            self._mutations[descriptor.name] += 1
 
     def delete_index(self, name: str) -> None:
         with self._lock:
@@ -368,6 +380,8 @@ class StoreEngine:
                 raise IndexNotFoundError(f"Index {name} not found")
             del self._indexes[name]
             del self._descriptors[name]
+            self._mutations.pop(name, None)
+            self._snapshotted.pop(name, None)
 
     def has_index(self, name: str) -> bool:
         return name in self._indexes
@@ -392,6 +406,7 @@ class StoreEngine:
     def feed(self, index_name: str, doc_id: str, fields: dict,
              tensors: Optional[dict] = None) -> None:
         self._shard_for(index_name, doc_id).feed(doc_id, fields, tensors or {})
+        self._mutated(index_name)
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:
         shard = self._shard_for(index_name, doc_id)
@@ -411,7 +426,10 @@ class StoreEngine:
             return result
 
     def delete(self, index_name: str, doc_id: str) -> bool:
-        return self._shard_for(index_name, doc_id).delete(doc_id)
+        existed = self._shard_for(index_name, doc_id).delete(doc_id)
+        if existed:
+            self._mutated(index_name)
+        return existed
 
     def delete_all(self, index_name: str) -> int:
         count = 0
@@ -421,6 +439,8 @@ class StoreEngine:
                 doc_ids = list(shard.docs)
             for doc_id in doc_ids:
                 shard.delete(doc_id)
+        if count:
+            self._mutated(index_name)
         return count
 
     def visit_all(self, index_name: str) -> Iterable[Tuple[str, dict]]:
@@ -448,6 +468,12 @@ class StoreEngine:
         os.makedirs(directory, exist_ok=True)
         total = 0
         for name in self.list_indexes():
+            # incremental: skip indexes unchanged since their last write
+            version = self._mutations.get(name, 0)
+            path = os.path.join(directory, f"{name}.engine.json")
+            if self._snapshotted.get(name) == version and \
+                    os.path.exists(path):
+                continue
             snapshot_id = uuid.uuid4().hex
             docs = []
             tensor_meta = {}
@@ -489,10 +515,10 @@ class StoreEngine:
             bin_path = os.path.join(directory, f"{name}.tensors.npz")
             np.savez(bin_path + ".tmp.npz", **binary)
             os.replace(bin_path + ".tmp.npz", bin_path)
-            path = os.path.join(directory, f"{name}.engine.json")
             with open(path + ".tmp", "w") as f:
                 _json.dump(payload, f)
             os.replace(path + ".tmp", path)
+            self._snapshotted[name] = version
         # drop snapshots of deleted indexes
         import glob
         live = set(self.list_indexes())

@@ -144,3 +144,51 @@ class TestBootRestore:
         assert out["hits"][0]["_id"] == "p1"
         cfg2.index_meta_cache.stop_refresh_thread()
         inference.clear_loaded_models()
+
+
+class TestIncrementalSnapshots:
+    def test_unchanged_index_not_rewritten(self, tmp_path):
+        import os
+        eng = StoreEngine()
+        eng.create_index(IndexDescriptor(name="inc", model_dimensions=4))
+        eng.feed("inc", "a", {"t": "x"}, {})
+        eng.snapshot(str(tmp_path))
+        path = tmp_path / "inc.engine.json"
+        first_mtime = os.path.getmtime(path)
+        # idle snapshot: no mutations → file untouched
+        import time
+        time.sleep(0.02)
+        eng.snapshot(str(tmp_path))
+        assert os.path.getmtime(path) == first_mtime
+        # mutation → rewritten
+        eng.feed("inc", "b", {"t": "y"}, {})
+        eng.snapshot(str(tmp_path))
+        assert os.path.getmtime(path) > first_mtime
+
+    def test_delete_counts_as_mutation(self, tmp_path):
+        import os, time
+        eng = StoreEngine()
+        eng.create_index(IndexDescriptor(name="inc2", model_dimensions=4))
+        eng.feed("inc2", "a", {"t": "x"}, {})
+        eng.snapshot(str(tmp_path))
+        path = tmp_path / "inc2.engine.json"
+        mtime = os.path.getmtime(path)
+        time.sleep(0.02)
+        eng.delete("inc2", "a")
+        eng.snapshot(str(tmp_path))
+        assert os.path.getmtime(path) > mtime
+        fresh = StoreEngine()
+        fresh.restore(str(tmp_path))
+        assert fresh.doc_count("inc2") == 0
+
+    def test_missing_file_forces_rewrite(self, tmp_path):
+        """A deleted/corrupted snapshot file must be rewritten even with no
+        new mutations (version match alone is not enough)."""
+        import os
+        eng = StoreEngine()
+        eng.create_index(IndexDescriptor(name="inc3", model_dimensions=4))
+        eng.feed("inc3", "a", {"t": "x"}, {})
+        eng.snapshot(str(tmp_path))
+        os.unlink(tmp_path / "inc3.engine.json")
+        eng.snapshot(str(tmp_path))
+        assert (tmp_path / "inc3.engine.json").exists()
