@@ -59,6 +59,10 @@ class RemoteStoreEngine:
         except httpx.HTTPError as e:
             raise BackendCommunicationError(
                 f"Engine request {method} {path} failed: {e}") from e
+        return self._handle_response(resp)
+
+    @staticmethod
+    def _handle_response(resp) -> dict:
         if resp.status_code == 404:
             body = resp.json()
             if body.get("code") == "index_not_found":
@@ -156,8 +160,28 @@ class RemoteStoreEngine:
     # -- queries --
 
     def _query(self, index_name: str, body: dict) -> QueryResult:
-        data = self._request("POST", f"/engine/indexes/{index_name}/query",
-                             body)
+        """Query with the search deadline enforced per request (reference
+        vespa_client.py:229 sets query['timeout']=VESPA_SEARCH_TIMEOUT_MS
+        on every Vespa search; here the read timeout plays that role — a
+        slow/hung shard fails the query with BackendTimeoutError instead
+        of hanging the API)."""
+        from marqo_tpu.api import configs
+        from marqo_tpu.core.exceptions import BackendTimeoutError
+        timeout_ms = configs.read_env_vars_and_defaults_ints(
+            "MARQO_SEARCH_TIMEOUT_MS") or 1000
+        try:
+            resp = self._client.request(
+                "POST", f"/engine/indexes/{index_name}/query", json=body,
+                timeout=httpx.Timeout(5.0, read=timeout_ms / 1000.0))
+        except httpx.TimeoutException as e:
+            raise BackendTimeoutError(
+                f"Engine query on `{index_name}` exceeded the "
+                f"{timeout_ms}ms search timeout "
+                f"(MARQO_SEARCH_TIMEOUT_MS)") from e
+        except httpx.HTTPError as e:
+            raise BackendCommunicationError(
+                f"Engine query on `{index_name}` failed: {e}") from e
+        data = self._handle_response(resp)
         hits = [Hit(h["id"], h["score"], h.get("fields", {}),
                     h.get("highlight"),
                     h.get("raw_tensor_score"), h.get("raw_lexical_score"))

@@ -58,14 +58,17 @@ class _ShardGroup:
         return ok
 
     def read_one(self, fn_name: str, *args, **kwargs):
-        """Round-robin read with failover across replicas."""
+        """Round-robin read with failover across replicas (a timed-out
+        replica fails over like an unreachable one — another replica may
+        answer within the deadline)."""
+        from marqo_tpu.core.exceptions import BackendTimeoutError
         with self._lock:
             order = [next(self._rr) for _ in range(len(self.replicas))]
         last_error = None
         for idx in order:
             try:
                 return getattr(self.replicas[idx], fn_name)(*args, **kwargs)
-            except BackendCommunicationError as e:
+            except (BackendCommunicationError, BackendTimeoutError) as e:
                 last_error = e
                 continue
         raise last_error

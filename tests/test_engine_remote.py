@@ -106,3 +106,40 @@ class TestFullStackOverRemoteEngine:
         out = tensor_search.search(cfg, "remote-full", text="hello world")
         assert out["hits"][0]["_id"] == "1"
         inference.clear_loaded_models()
+
+
+class TestSearchTimeout:
+    """MARQO_SEARCH_TIMEOUT_MS enforced per engine query (reference
+    vespa_client.py:229 sets query timeout on every Vespa search)."""
+
+    def test_slow_engine_query_times_out(self, monkeypatch):
+        import threading
+        import time as _time
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from marqo_tpu.core.exceptions import BackendTimeoutError
+        from marqo_tpu.engine.client import RemoteStoreEngine
+
+        class SlowEngine(BaseHTTPRequestHandler):
+            def do_POST(self):
+                if self.path.endswith("/query"):
+                    _time.sleep(1.0)  # exceeds the 200ms deadline below
+                self.send_response(200)
+                body = b'{"total": 0, "hits": []}'
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), SlowEngine)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        monkeypatch.setenv("MARQO_SEARCH_TIMEOUT_MS", "200")
+        engine = RemoteStoreEngine(
+            f"http://127.0.0.1:{server.server_address[1]}")
+        start = _time.monotonic()
+        with pytest.raises(BackendTimeoutError, match="200ms"):
+            engine.query_lexical("x", ["a"], [], limit=5)
+        assert _time.monotonic() - start < 0.9  # aborted before the 1s sleep
+        server.shutdown()
