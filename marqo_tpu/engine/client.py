@@ -218,6 +218,17 @@ class RemoteStoreEngine:
             "attributes_to_retrieve": attributes_to_retrieve,
             "expose_facets": expose_facets, "global_stats": global_stats})
 
+    def dump_index(self, index_name: str) -> dict:
+        return self._request("GET", f"/engine/indexes/{index_name}/dump")
+
+    def sync_from(self, source_url: str, index_name: str) -> dict:
+        return self._request("POST", "/engine/sync-from",
+                             {"source_url": source_url,
+                              "index_name": index_name})
+
+    def index_digest(self, index_name: str) -> dict:
+        return self._request("GET", f"/engine/indexes/{index_name}/digest")
+
     def lexical_stats(self, index_name: str, terms,
                       searchable_fields=None) -> dict:
         return self._request(

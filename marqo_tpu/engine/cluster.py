@@ -300,6 +300,59 @@ class ClusterEngine:
             expose_facets=expose_facets)
         return self._merge(results, limit, offset)
 
+    # -- replica anti-entropy --
+
+    def heal(self, index_name: str) -> dict:
+        """Re-sync diverged replicas within each shard group (role of
+        Vespa's internal replica redistribution when a content node missed
+        writes while down). Divergence is detected with an
+        order-independent content digest; the replica holding the most
+        documents is taken as the source of truth (best effort — with
+        write-all semantics the ahead replica is the one that accepted the
+        writes the lagging one missed)."""
+        healed = []
+        for shard_index, shard in enumerate(self.shards):
+            if len(shard.replicas) < 2:
+                continue
+            digests = []
+            for replica in shard.replicas:
+                try:
+                    digests.append(replica.index_digest(index_name))
+                except Exception as e:
+                    logger.warning(f"heal: digest failed on "
+                                   f"{replica.base_url}: {e}")
+                    digests.append(None)
+            known = [d for d in digests if d is not None]
+            if len({(d["doc_count"], d["checksum"]) for d in known}) <= 1:
+                continue  # replicas agree (or only one answered)
+            source_index = max(
+                (i for i, d in enumerate(digests) if d is not None),
+                key=lambda i: digests[i]["doc_count"])
+            source = shard.replicas[source_index]
+            for i, replica in enumerate(shard.replicas):
+                if i == source_index or digests[i] is None:
+                    continue
+                if (digests[i]["doc_count"], digests[i]["checksum"]) == \
+                        (digests[source_index]["doc_count"],
+                         digests[source_index]["checksum"]):
+                    continue
+                try:
+                    out = replica.sync_from(source.base_url, index_name)
+                    healed.append({"shard": shard_index,
+                                   "replica": replica.base_url,
+                                   "from": source.base_url,
+                                   "docs": out.get("synced_docs")})
+                except Exception as e:
+                    logger.warning(f"heal: sync failed on "
+                                   f"{replica.base_url}: {e}")
+        return {"healed": healed}
+
+    def heal_all(self) -> dict:
+        out = {}
+        for name in self.list_indexes():
+            out[name] = self.heal(name)
+        return out
+
     def close(self):
         for shard in self.shards:
             shard.close()

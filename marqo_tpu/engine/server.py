@@ -183,6 +183,32 @@ def build_engine_app(engine: StoreEngine):
             request.path_params["name"], body.get("terms", []),
             searchable_fields=body.get("searchable_fields"))
 
+    @app.get("/engine/indexes/{name}/dump")
+    def dump_index(request: Request):
+        """Full index state for replica anti-entropy (cluster heal)."""
+        return engine.dump_index(request.path_params["name"])
+
+    @app.get("/engine/indexes/{name}/digest")
+    def index_digest(request: Request):
+        return engine.index_digest(request.path_params["name"])
+
+    @app.post("/engine/sync-from")
+    def sync_from(request: Request):
+        """Pull one index's state from a healthy peer engine and replace
+        the local copy (reference role: Vespa's internal replica
+        redistribution when a content node rejoins)."""
+        body = request.body or {}
+        source_url = str(body["source_url"]).rstrip("/")
+        index_name = str(body["index_name"])
+        import httpx
+        response = httpx.get(
+            f"{source_url}/engine/indexes/{index_name}/dump", timeout=120.0)
+        response.raise_for_status()
+        loaded = engine.load_index_dump(response.json())
+        logger.info(f"Synced index {index_name} from {source_url}: "
+                    f"{loaded} docs")
+        return {"synced_docs": loaded}
+
     # -- coordination: cross-replica DDL lock + admission control --------
     # (role of the reference's Zookeeper lock + Redis throttle; see
     # engine/coordination.py)

@@ -443,6 +443,48 @@ class StoreEngine:
             self._mutated(index_name)
         return count
 
+    def index_digest(self, index_name: str) -> dict:
+        """Order-independent content digest for replica divergence checks:
+        identical doc sets yield identical digests regardless of feed
+        order. Cheap (one crc pass per doc), computed on demand by the
+        cluster heal operation."""
+        import json as _json
+        checksum = 0
+        count = 0
+        for doc_id, fields in self.visit_all(index_name):
+            payload = doc_id + "\x00" + _json.dumps(fields, sort_keys=True)
+            checksum = (checksum + zlib.crc32(payload.encode("utf-8"))) \
+                % (2 ** 63)
+            count += 1
+        return {"doc_count": count, "checksum": checksum}
+
+    def dump_index(self, index_name: str) -> dict:
+        """Full JSON-serializable state of one index (descriptor + docs +
+        tensors) — replica anti-entropy (engine/cluster.py heal: a replica
+        that missed writes while down re-syncs from a healthy peer; Vespa
+        content nodes redistribute replicas internally the same way)."""
+        docs = []
+        for doc_id, fields in self.visit_all(index_name):
+            docs.append({"id": doc_id, "fields": fields,
+                         "tensors": self.get_tensors(index_name, doc_id)})
+        return {"descriptor": self._descriptors[index_name].to_json(),
+                "docs": docs,
+                "version": self._mutations.get(index_name, 0)}
+
+    def load_index_dump(self, dump: dict) -> int:
+        """Replace this engine's copy of the index with a peer's dump."""
+        descriptor = IndexDescriptor.from_json(dump["descriptor"])
+        if self.has_index(descriptor.name):
+            self.delete_index(descriptor.name)
+        self.create_index(descriptor)
+        for doc in dump["docs"]:
+            tensors = {
+                field: {"chunks": [e["chunk"] for e in entries],
+                        "embeddings": [e["embedding"] for e in entries]}
+                for field, entries in (doc.get("tensors") or {}).items()}
+            self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
+        return len(dump["docs"])
+
     def visit_all(self, index_name: str) -> Iterable[Tuple[str, dict]]:
         for shard in self._shards(index_name):
             with shard.lock:

@@ -157,3 +157,68 @@ class TestGlobalRRF:
         tensor_ref = engine.query_tensor("c-idx", q.tolist(), limit=5)
         assert [h.doc_id for h in tensor_only.hits] == \
             [h.doc_id for h in tensor_ref.hits]
+
+
+class TestReplicaHealing:
+    """Replica anti-entropy (cluster.heal): a replica that missed writes
+    re-syncs from the replica holding the most documents."""
+
+    def test_stale_replica_resynced(self):
+        from marqo_tpu.engine.cluster import ClusterEngine
+        from marqo_tpu.engine.server import build_engine_app
+        from marqo_tpu.engine.store import StoreEngine
+        from marqo_tpu.api.http_framework import serve
+
+        backends = [StoreEngine() for _ in range(2)]
+        servers = [serve(build_engine_app(b), host="127.0.0.1",
+                         port=18600 + i, background=True)
+                   for i, b in enumerate(backends)]
+        try:
+            engine = ClusterEngine([["http://127.0.0.1:18600",
+                                     "http://127.0.0.1:18601"]])
+            engine.create_index(IndexDescriptor(name="heal-idx",
+                                                model_dimensions=4))
+            for i in range(10):
+                engine.feed("heal-idx", f"d{i}", {"n": i},
+                            {"t": {"chunks": [f"c{i}"],
+                                   "embeddings": [_unit([1, i + 1, 0, 0])]}})
+            # simulate replica 1 having been down for some writes
+            for i in range(4, 10):
+                backends[1].delete("heal-idx", f"d{i}")
+            assert backends[1].doc_count("heal-idx") == 4
+            report = engine.heal("heal-idx")
+            assert len(report["healed"]) == 1
+            assert report["healed"][0]["docs"] == 10
+            assert backends[1].doc_count("heal-idx") == 10
+            # healed replica serves tensors too
+            res = backends[1].query_tensor("heal-idx", _unit([1, 8, 0, 0]),
+                                           limit=1, approximate=False)
+            assert res.hits[0].doc_id == "d7"
+            # converged: heal again is a no-op
+            assert engine.heal("heal-idx")["healed"] == []
+            engine.close()
+        finally:
+            for server in servers:
+                server.shutdown()
+
+    def test_heal_skips_agreeing_replicas(self):
+        from marqo_tpu.engine.cluster import ClusterEngine
+        from marqo_tpu.engine.server import build_engine_app
+        from marqo_tpu.engine.store import StoreEngine
+        from marqo_tpu.api.http_framework import serve
+
+        backends = [StoreEngine() for _ in range(2)]
+        servers = [serve(build_engine_app(b), host="127.0.0.1",
+                         port=18610 + i, background=True)
+                   for i, b in enumerate(backends)]
+        try:
+            engine = ClusterEngine([["http://127.0.0.1:18610",
+                                     "http://127.0.0.1:18611"]])
+            engine.create_index(IndexDescriptor(name="ok-idx",
+                                                model_dimensions=4))
+            engine.feed("ok-idx", "a", {"n": 1}, {})
+            assert engine.heal("ok-idx")["healed"] == []
+            engine.close()
+        finally:
+            for server in servers:
+                server.shutdown()
