@@ -461,8 +461,51 @@ def on_start(config: Config) -> None:
 
 
 def main(host: str = "0.0.0.0", port: int = 8882,
-         background: bool = False, preload_models: bool = True):
+         background: bool = False, preload_models: bool = True,
+         workers: int = 1):
+    """Serve the API. ``workers > 1`` (or MARQO_API_WORKERS) forks N
+    processes sharing the port via SO_REUSEPORT — lifts the single-process
+    GIL bound on host-side work (tokenization, chunking, engine HTTP).
+    Multi-worker REQUIRES shared state: an external/cluster engine (each
+    worker cannot hold its own in-process document store) and a
+    cross-process coordination backend for DDL/throttling."""
     from marqo_tpu.api.http_framework import serve
+    workers = max(workers, int(
+        configs.read_env_vars_and_defaults("MARQO_API_WORKERS") or 1))
+    if workers > 1:
+        if not (configs.read_env_vars_and_defaults("MARQO_ENGINE_QUERY_URL")
+                or configs.read_env_vars_and_defaults("MARQO_ENGINE_CLUSTER")):
+            raise api_exceptions.StartupSanitationError(
+                "MARQO_API_WORKERS > 1 requires an external engine "
+                "(MARQO_ENGINE_QUERY_URL or MARQO_ENGINE_CLUSTER): "
+                "in-process stores cannot be shared across workers")
+        if (configs.read_env_vars_and_defaults("MARQO_COORDINATION_BACKEND")
+                or "in_process") == "in_process":
+            logger.warning(
+                "MARQO_API_WORKERS > 1 with in-process coordination: DDL "
+                "mutual exclusion and throttle caps will NOT span workers. "
+                "Set MARQO_COORDINATION_BACKEND=file (one host) or =engine.")
+        import multiprocessing
+
+        def _worker(worker_index: int):
+            worker_config = generate_config()
+            on_start(worker_config)
+            worker_app = build_app(worker_config)
+            logger.info(f"API worker {worker_index} serving on "
+                        f"{host}:{port}")
+            serve(worker_app, host=host, port=port, reuse_port=True)
+
+        processes = [multiprocessing.Process(target=_worker, args=(i,),
+                                             daemon=False)
+                     for i in range(1, workers)]
+        for process in processes:
+            process.start()
+        try:
+            _worker(0)
+        finally:
+            for process in processes:
+                process.terminate()
+        return None
     config = generate_config()
     if not preload_models:
         os.environ["MARQO_MODELS_TO_PRELOAD"] = "[]"

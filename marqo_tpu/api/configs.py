@@ -64,6 +64,8 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_COORDINATION_BACKEND": "in_process",  # in_process|file|engine
         "MARQO_COORDINATION_DIR": None,   # file backend; default derives
         "MARQO_COORDINATION_URL": None,   # engine backend: engine server URL
+        "MARQO_API_WORKERS": 1,  # >1 forks SO_REUSEPORT workers (needs
+        #     an external engine + non-in_process coordination backend)
         # --- ops / feature gates (reference utils.py feature decorators) ---
         "MARQO_ENABLE_BATCH_APIS": "FALSE",
         "MARQO_ENABLE_DEBUG_API": "FALSE",

@@ -136,6 +136,11 @@ class InternalError(MarqoWebError):
     status_code = int(HTTPStatus.INTERNAL_SERVER_ERROR)
 
 
+class StartupSanitationError(InternalError):
+    """Invalid deployment configuration detected at startup."""
+    code = "startup_sanitation_error"
+
+
 class BackendCommunicationError(InternalError):
     code = "backend_communication_error"
     status_code = int(HTTPStatus.INTERNAL_SERVER_ERROR)

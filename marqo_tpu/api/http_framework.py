@@ -232,10 +232,24 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(app: App, host: str = "0.0.0.0", port: int = 8882,
-          background: bool = False) -> ThreadingHTTPServer:
-    """Run the HTTP server (reference serves on :8882, run_marqo.sh)."""
+          background: bool = False,
+          reuse_port: bool = False) -> ThreadingHTTPServer:
+    """Run the HTTP server (reference serves on :8882, run_marqo.sh).
+    ``reuse_port`` binds with SO_REUSEPORT so multiple worker processes
+    share one port (kernel load-balances accepts)."""
     handler = type("BoundHandler", (_Handler,), {"app": app})
-    server = ThreadingHTTPServer((host, port), handler)
+    if reuse_port:
+        import socket
+
+        class _ReusePortServer(ThreadingHTTPServer):
+            def server_bind(self):
+                self.socket.setsockopt(socket.SOL_SOCKET,
+                                       socket.SO_REUSEPORT, 1)
+                super().server_bind()
+
+        server = _ReusePortServer((host, port), handler)
+    else:
+        server = ThreadingHTTPServer((host, port), handler)
     logger.info(f"{app.title} listening on {host}:{port}")
     if background:
         thread = threading.Thread(target=server.serve_forever, daemon=True)

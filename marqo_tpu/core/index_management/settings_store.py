@@ -24,15 +24,56 @@ _HISTORY_LIMIT = 3  # settings versions kept per index (reference keeps 3)
 
 
 class IndexSettingsStore:
+    # reads re-check the disk at most this often (multi-worker visibility)
+    RELOAD_INTERVAL_S = 1.0
+
     def __init__(self, data_dir: Optional[str] = None):
         self._data_dir = data_dir
         self._settings: Dict[str, dict] = {}
         self._history: Dict[str, List[dict]] = {}
         self._config: Optional[dict] = None
         self._lock = threading.RLock()
+        self._disk_fingerprint = None
+        self._last_reload_check = 0.0
         if data_dir:
             os.makedirs(os.path.join(data_dir, "index_settings"), exist_ok=True)
             self._load_from_disk()
+
+    def _fingerprint(self):
+        settings_dir = os.path.join(self._data_dir, "index_settings")
+        entries = []
+        try:
+            for fname in sorted(os.listdir(settings_dir)):
+                try:
+                    stat = os.stat(os.path.join(settings_dir, fname))
+                    # mtime_ns + size: same-second rewrites still differ
+                    entries.append((fname, stat.st_mtime_ns, stat.st_size))
+                except OSError:
+                    pass
+        except OSError:
+            pass
+        return tuple(entries)
+
+    def _maybe_reload(self) -> None:
+        """Pick up settings written by OTHER API worker processes sharing
+        the data dir (multi-worker serving: DDL lands on one worker; the
+        others must see the new index within ~1s, like the reference's
+        index-cache refresh against the shared Vespa store)."""
+        if not self._data_dir:
+            return
+        import time
+        now = time.monotonic()
+        if now - self._last_reload_check < self.RELOAD_INTERVAL_S:
+            return
+        with self._lock:
+            if now - self._last_reload_check < self.RELOAD_INTERVAL_S:
+                return
+            self._last_reload_check = now
+            fingerprint = self._fingerprint()
+            if fingerprint != self._disk_fingerprint:
+                self._settings.clear()
+                self._history.clear()
+                self._load_from_disk()
 
     # -- bootstrap / config -------------------------------------------------
 
@@ -69,17 +110,22 @@ class IndexSettingsStore:
                 del history[_HISTORY_LIMIT:]
             self._settings[name] = doc
             self._persist_index(name)
+            if self._data_dir:
+                self._disk_fingerprint = self._fingerprint()
 
     def get(self, name: str) -> MarqoIndex:
+        self._maybe_reload()
         with self._lock:
             if name not in self._settings:
                 raise IndexNotFoundError(f"Index {name} not found")
             return MarqoIndex.parse_obj(self._settings[name])
 
     def contains(self, name: str) -> bool:
+        self._maybe_reload()
         return name in self._settings
 
     def get_all(self) -> List[MarqoIndex]:
+        self._maybe_reload()
         with self._lock:
             return [MarqoIndex.parse_obj(doc)
                     for doc in self._settings.values()]
@@ -92,6 +138,8 @@ class IndexSettingsStore:
             history.insert(0, self._settings.pop(name))
             del history[_HISTORY_LIMIT:]
             self._persist_index(name)
+            if self._data_dir:
+                self._disk_fingerprint = self._fingerprint()
 
     def rollback(self, name: str) -> MarqoIndex:
         """Restore the previous settings version for an index."""
@@ -103,6 +151,8 @@ class IndexSettingsStore:
                     f"No settings history for index {name}")
             self._settings[name] = history.pop(0)
             self._persist_index(name)
+            if self._data_dir:
+                self._disk_fingerprint = self._fingerprint()
             return MarqoIndex.parse_obj(self._settings[name])
 
     def get_history(self, name: str) -> List[dict]:
@@ -150,5 +200,6 @@ class IndexSettingsStore:
             name = fname[:-len(".json")]
             self._settings[name] = payload["settings"]
             self._history[name] = payload.get("history", [])
+        self._disk_fingerprint = self._fingerprint()
         if self._settings:
             logger.info(f"Loaded {len(self._settings)} index settings from disk")

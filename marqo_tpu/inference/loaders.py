@@ -311,12 +311,9 @@ class JaxHFTextModel(EmbeddingModel):
         count = 0
         for batch, seq in shapes:
             seq = min(seq, self.tokenizer.max_length)
-            ids = jnp.zeros((batch, seq), dtype=jnp.int32)
-            mask = jnp.ones((batch, seq), dtype=jnp.int32)
-            out = encode_tokens_jit(
-                self.params, jax.device_put(ids, self._jdevice),
-                jax.device_put(mask, self._jdevice), self.config,
-                compute_dtype=self.compute_dtype)
+            ids = np.zeros((batch, seq), dtype=np.int32)
+            mask = np.ones((batch, seq), dtype=np.int32)
+            out = self._forward(ids, mask)  # subclass-correct graph
             np.asarray(out[:1, :1])  # force compile+execute
             count += 1
         return count
