@@ -123,8 +123,21 @@ class _FileBackend:
                         break  # concurrent writer; try next slot
                     if holder and self._pid_alive(holder):
                         break  # genuinely held; try next slot
-                    try:  # stale slot from a dead process: reclaim
-                        os.unlink(path)
+                    # Stale slot from a dead process. Reclaim via atomic
+                    # rename: exactly ONE contender wins the rename; a
+                    # plain unlink here could delete a slot another
+                    # process just re-acquired, over-admitting past the
+                    # cap. (Residual window — holder dies and the slot is
+                    # reclaimed AND re-acquired between our read and the
+                    # rename — can transiently over-admit by one, the same
+                    # fail-open posture as the reference's Redis throttle.)
+                    claim = f"{path}.reclaim.{os.getpid()}"
+                    try:
+                        os.rename(path, claim)
+                    except FileNotFoundError:
+                        continue  # lost the race; retry the O_EXCL create
+                    try:
+                        os.unlink(claim)
                     except FileNotFoundError:
                         pass
         return None
