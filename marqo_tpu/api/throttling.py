@@ -23,7 +23,6 @@ import threading
 import uuid
 from enum import Enum
 from functools import wraps
-from typing import Optional
 
 from marqo_tpu.api import configs
 from marqo_tpu.api.exceptions import TooManyRequestsError

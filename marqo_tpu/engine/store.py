@@ -22,7 +22,6 @@ from typing import Any, Dict, Iterable, List, Optional, Set, Tuple
 
 import numpy as np
 
-from marqo_tpu.core import constants
 from marqo_tpu.core.exceptions import (IndexExistsError, IndexNotFoundError,
                                        InvalidArgumentError)
 from marqo_tpu.core.models.score_modifier import (ScoreModifier,

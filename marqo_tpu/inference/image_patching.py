@@ -24,7 +24,7 @@ chunk+vector; the bounding-box string is the stored chunk.
 
 import hashlib
 import threading
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

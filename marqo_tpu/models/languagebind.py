@@ -498,7 +498,6 @@ class JaxLanguageBindModel:
                 converted.pop("pre_ln_bias", None)
                 params["audio"] = converted
             else:  # image (plain CLIP tower)
-                from dataclasses import replace
                 self.vision_config = CLIPVisionConfig(
                     image_size=vision_cfg.image_size,
                     patch_size=vision_cfg.patch_size,

@@ -19,7 +19,7 @@ tests; the patching pipeline is weight-agnostic.
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

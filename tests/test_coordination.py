@@ -3,11 +3,9 @@ API processes (reference: Zookeeper lock zookeeper_distributed_lock.py:15,
 Redis throttle redis_throttle.py:18-100). Two-process tests prove the
 guarantees actually cross process boundaries."""
 
-import json
 import os
 import subprocess
 import sys
-import threading
 import time
 
 import pytest

@@ -6,7 +6,6 @@ checkpoint converter (vendored HF-CLIP naming + temporal keys)."""
 import math
 
 import numpy as np
-import pytest
 import torch
 
 from marqo_tpu.models.languagebind import (VideoTowerConfig,

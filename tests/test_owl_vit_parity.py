@@ -4,7 +4,6 @@ google/owlvit checkpoints through transformers; our JAX arch must match
 that module's logits and boxes)."""
 
 import numpy as np
-import pytest
 import torch
 
 from marqo_tpu.models.owl_vit import (OwlViTConfig, compute_box_bias,

@@ -3,7 +3,6 @@
 no boto3, so inference/s3_sigv4.py implements the one needed operation)."""
 
 import datetime
-import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
