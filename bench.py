@@ -132,6 +132,46 @@ def ingest_bench() -> None:
     cfg.index_meta_cache.stop_refresh_thread()
 
 
+def clip_vit_l14_bench() -> None:
+    """BASELINE.md config 3: ViT-L/14 image embedding (bf16, uint8 in,
+    on-device normalize+patch-embed). Speed-of-light ≈ 883 imgs/s
+    (155 GFLOP/img at the chip's measured 137 TFLOP/s)."""
+    from marqo_tpu.models.clip import (CLIPTextConfig, CLIPVisionConfig,
+                                       encode_clip_image_jit,
+                                       init_clip_params)
+    vision = CLIPVisionConfig(image_size=224, patch_size=14,
+                              hidden_size=1024, num_layers=24, num_heads=16,
+                              intermediate_size=4096, projection_dim=768)
+    text = CLIPTextConfig(hidden_size=768, num_layers=12, num_heads=12,
+                          intermediate_size=3072, projection_dim=768)
+    params = jax.device_put(
+        init_clip_params(text, vision, jax.random.PRNGKey(0),
+                         dtype=jnp.bfloat16), jax.devices()[0])
+    batch = 64  # measured sweet spot (128 is slower per image)
+    pixels = jnp.zeros((batch, 224, 224, 3), dtype=jnp.uint8)
+    out = encode_clip_image_jit(params, pixels, vision)
+    float(out.sum())
+    dep = jnp.zeros((), jnp.uint8)
+    for _ in range(3):
+        out = encode_clip_image_jit(params, pixels + dep, vision)
+        dep = jnp.isnan(out[0, 0]).astype(jnp.uint8)
+    float(out.sum())
+    iters = 12
+    start = time.perf_counter()
+    dep = jnp.zeros((), jnp.uint8)
+    for _ in range(iters):
+        out = encode_clip_image_jit(params, pixels + dep, vision)
+        dep = jnp.isnan(out[0, 0]).astype(jnp.uint8)
+    float(out.sum())
+    rate = batch * iters / (time.perf_counter() - start)
+    print(json.dumps({
+        "metric": "clip_vit_l14_image_throughput",
+        "value": round(rate, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(rate / 883.0, 3),  # vs bf16 speed-of-light
+    }))
+
+
 def main():
     from marqo_tpu.models.bert import (TextEncoderConfig,
                                        encode_tokens_packed, init_params)
@@ -214,6 +254,11 @@ if __name__ == "__main__":
         ingest_bench()
     except Exception as e:  # the headline must still print
         print(f"ingest bench failed: {e}", file=sys.stderr)
+    signal.alarm(WATCHDOG_SECONDS)
+    try:
+        clip_vit_l14_bench()
+    except Exception as e:
+        print(f"clip bench failed: {e}", file=sys.stderr)
     signal.alarm(WATCHDOG_SECONDS)  # reset for the headline
     main()
     signal.alarm(0)
