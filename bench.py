@@ -147,7 +147,7 @@ def clip_vit_l14_bench() -> None:
     params = jax.device_put(
         init_clip_params(text, vision, jax.random.PRNGKey(0),
                          dtype=jnp.bfloat16), jax.devices()[0])
-    batch = 64  # measured sweet spot (128 is slower per image)
+    batch = 16  # measured sweet spot (64: 668, 128: 613 imgs/s)
     pixels = jnp.zeros((batch, 224, 224, 3), dtype=jnp.uint8)
     out = encode_clip_image_jit(params, pixels, vision)
     float(out.sum())
