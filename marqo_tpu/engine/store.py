@@ -462,6 +462,8 @@ class StoreEngine:
         tensors) — replica anti-entropy (engine/cluster.py heal: a replica
         that missed writes while down re-syncs from a healthy peer; Vespa
         content nodes redistribute replicas internally the same way)."""
+        if index_name not in self._descriptors:
+            raise IndexNotFoundError(f"Index {index_name} not found")
         docs = []
         for doc_id, fields in self.visit_all(index_name):
             docs.append({"id": doc_id, "fields": fields,
