@@ -386,6 +386,24 @@ def build_app(config: Config) -> App:
         return {"acknowledged": True, "message": "No migrations pending",
                 "version": __version__}
 
+    @app.post("/ops/heal")
+    def heal_replicas(request: Request):
+        """Replica anti-entropy for cluster deployments (engine/cluster.py
+        heal): re-sync replicas that missed writes. Gated like the other
+        ops APIs; no-op message on non-cluster engines (Vespa performs the
+        equivalent redistribution internally)."""
+        _feature_gate("MARQO_ENABLE_UPGRADE_API", "heal")
+        from marqo_tpu.engine.cluster import ClusterEngine
+        if not isinstance(config.engine, ClusterEngine):
+            return {"acknowledged": True,
+                    "message": "Engine is not a cluster; nothing to heal"}
+        body = request.body or {}
+        if body.get("index"):
+            return {"acknowledged": True,
+                    "report": {body["index"]:
+                               config.engine.heal(str(body["index"]))}}
+        return {"acknowledged": True, "report": config.engine.heal_all()}
+
     return app
 
 
