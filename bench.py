@@ -172,6 +172,44 @@ def clip_vit_l14_bench() -> None:
     }))
 
 
+def query_p50_bench() -> None:
+    """BASELINE.md target: batch-1 query embed p50 < 5 ms device-side.
+    Measured with an in-jit loop (BENCH_NOTES measurement rule #2 — the
+    dev tunnel adds ~6 ms per dispatch that locally-attached serving
+    doesn't pay). vs_baseline = target/value, so ≥1.0 meets the target."""
+    from marqo_tpu.models.bert import (TextEncoderConfig, encode_tokens,
+                                       init_params)
+    config = TextEncoderConfig(
+        vocab_size=30522, hidden_size=768, num_layers=12, num_heads=12,
+        intermediate_size=3072)
+    params = jax.device_put(
+        init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16),
+        jax.devices()[0])
+    seq, loops = 32, 32
+    ids = jnp.ones((1, seq), jnp.int32)
+    mask = jnp.ones((1, seq), jnp.int32)
+
+    @jax.jit
+    def run(dep):
+        def body(i, carry):
+            dep, acc = carry
+            out = encode_tokens(params, ids + dep, mask, config)
+            return jnp.isnan(out[0, 0]).astype(jnp.int32), acc + out[0, 0]
+        return jax.lax.fori_loop(0, loops, body,
+                                 (dep, jnp.zeros((), jnp.float32)))[1]
+
+    float(run(jnp.zeros((), jnp.int32)))  # compile
+    start = time.perf_counter()
+    float(run(jnp.zeros((), jnp.int32)))
+    per_query_ms = (time.perf_counter() - start) / loops * 1000
+    print(json.dumps({
+        "metric": "query_embed_device_p50_ms",
+        "value": round(per_query_ms, 3),
+        "unit": "ms (batch-1, seq 32, e5-base bf16; lower is better)",
+        "vs_baseline": round(5.0 / per_query_ms, 3),
+    }))
+
+
 def main():
     from marqo_tpu.models.bert import (TextEncoderConfig,
                                        encode_tokens_packed, init_params)
@@ -259,6 +297,11 @@ if __name__ == "__main__":
         clip_vit_l14_bench()
     except Exception as e:
         print(f"clip bench failed: {e}", file=sys.stderr)
+    signal.alarm(WATCHDOG_SECONDS)
+    try:
+        query_p50_bench()
+    except Exception as e:
+        print(f"p50 bench failed: {e}", file=sys.stderr)
     signal.alarm(WATCHDOG_SECONDS)  # reset for the headline
     main()
     signal.alarm(0)
