@@ -513,11 +513,23 @@ def main(host: str = "0.0.0.0", port: int = 8882,
                         f"{host}:{port}")
             serve(worker_app, host=host, port=port, reuse_port=True)
 
+        # daemon=True: workers die with the coordinator — a terminated
+        # parent must never leave orphan workers holding the port (they
+        # would keep serving stale state)
         processes = [multiprocessing.Process(target=_worker, args=(i,),
-                                             daemon=False)
+                                             daemon=True)
                      for i in range(1, workers)]
         for process in processes:
             process.start()
+
+        import signal as _signal
+
+        def _shutdown(signum, frame):
+            for process in processes:
+                process.terminate()
+            raise SystemExit(0)
+
+        _signal.signal(_signal.SIGTERM, _shutdown)
         try:
             _worker(0)
         finally:
