@@ -132,7 +132,9 @@ class App:
         if body_bytes:
             try:
                 body = json.loads(body_bytes)
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
+                # UnicodeDecodeError: non-UTF8 bytes (found by fuzzing) —
+                # must produce the same envelope as broken JSON
                 return Response(
                     400, api_exceptions.BadRequestError(
                         "Request body is not valid JSON").to_body())
