@@ -86,3 +86,61 @@ class TestEngineConcurrency:
             t.join()
         assert errors == [], errors
         v.clear_loaded_models()
+
+
+class TestSnapshotUnderLoad:
+    def test_snapshots_taken_during_mutation_always_restore(self, tmp_path):
+        """Feed/delete continuously while snapshotting in a loop: every
+        snapshot written must restore into a consistent engine (docs and
+        their tensors agree — the per-shard single-lock capture + paired
+        snapshot-id guarantee)."""
+        import threading
+        import numpy as np
+        from marqo_tpu.engine.descriptor import IndexDescriptor
+        from marqo_tpu.engine.store import StoreEngine
+
+        eng = StoreEngine(n_shards=2)
+        eng.create_index(IndexDescriptor(name="load", model_dimensions=4))
+        stop = threading.Event()
+        rng = np.random.default_rng(0)
+
+        def mutate():
+            i = 0
+            while not stop.is_set():
+                doc_id = f"d{i % 40}"
+                if i % 7 == 3:
+                    eng.delete("load", doc_id)
+                else:
+                    v = rng.standard_normal(4).astype(np.float32)
+                    v /= np.linalg.norm(v)
+                    eng.feed("load", doc_id, {"n": i},
+                             {"t": {"chunks": [f"c{i}"],
+                                    "embeddings": [v.tolist()]}})
+                i += 1
+
+        threads = [threading.Thread(target=mutate) for _ in range(3)]
+        for t in threads:
+            t.start()
+        try:
+            for round_i in range(8):
+                directory = tmp_path / f"snap{round_i}"
+                eng.snapshot(str(directory))
+                fresh = StoreEngine(n_shards=2)
+                restored = fresh.restore(str(directory))
+                assert restored == fresh.doc_count("load")
+                # consistency: every live doc's tensors are retrievable and
+                # belong to it; no tensors for absent docs
+                for doc_id, _fields in fresh.visit_all("load"):
+                    tensors = fresh.get_tensors("load", doc_id)
+                    assert isinstance(tensors, dict)
+                for shard in fresh._shards("load"):
+                    with shard.lock:
+                        live = set(shard.docs)
+                        for ts in shard.tensors.values():
+                            for d in ts._live_docs:
+                                assert d in live, \
+                                    f"tensor rows for absent doc {d}"
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=10)
