@@ -26,8 +26,10 @@ class Recommender:
     @staticmethod
     def _exclusion_filter(doc_ids: List[str],
                           existing: Optional[str]) -> str:
-        escaped = [i.replace("\\", "\\\\").replace(" ", "\\ ").replace(
-            "(", "\\(").replace(")", "\\)") for i in doc_ids]
+        escaped = [i.replace("\\", "\\\\").replace(" ", "\\ ")
+                   .replace("(", "\\(").replace(")", "\\)")
+                   .replace(",", "\\,")  # a comma would split the IN list
+                   for i in doc_ids]
         exclusion = f"NOT _id IN ({', '.join(escaped)})"
         if existing:
             return f"({existing}) AND {exclusion}"

@@ -213,3 +213,22 @@ class TestNoModelIndex:
         assert res["errors"] is True  # no_model cannot vectorise
         with pytest.raises(Exception):
             tensor_search.search(cfg, "nm2-index", text="query text")
+
+
+class TestRecommendHostileIds:
+    def test_comma_doc_ids_still_excluded(self, config):
+        """A doc id containing a comma must not split the exclusion
+        filter's IN list (found by review: the id would stay IN the
+        recommendations)."""
+        from marqo_tpu.core.models.add_docs_params import AddDocsParams
+        from marqo_tpu.tensor_search import tensor_search
+        docs = [{"_id": "a,b", "text": "apples and oranges"},
+                {"_id": "plain", "text": "apples and pears"},
+                {"_id": "other", "text": "apples and plums"}]
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name="scen-index", docs=docs, tensor_fields=["text"]))
+        assert res["errors"] is False
+        out = config.recommender.recommend("scen-index", ["a,b"], limit=5)
+        ids = [h["_id"] for h in out["hits"]]
+        assert "a,b" not in ids        # input doc excluded
+        assert "plain" in ids or "other" in ids
