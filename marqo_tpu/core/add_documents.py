@@ -281,6 +281,11 @@ class AddDocumentsHandler:
 
     def add_documents(self) -> dict:
         collector = AddDocumentsResponseCollector()
+        if self.params.tensor_fields and \
+                constants.MARQO_DOC_ID in self.params.tensor_fields:
+            # reference unstructured_validation.py:122-123 — request-level 400
+            raise InvalidArgumentError(
+                "`_id` field cannot be a tensor field.")
         max_bytes = configs.read_env_vars_and_defaults_ints("MARQO_MAX_DOC_BYTES")
         max_docs = configs.read_env_vars_and_defaults_ints("MARQO_MAX_ADD_DOCS_COUNT")
         if len(self.params.docs) > max_docs:

@@ -258,3 +258,14 @@ class TestItemOrdering:
         assert statuses == [200, 400, 200, 400, 200]
         assert [i["_id"] for i in res["items"] if i["status"] == 200] == \
             ["ok0", "ok1", "ok2"]
+
+
+class TestIdTensorFieldRejected:
+    def test_id_cannot_be_tensor_field(self, config):
+        """reference unstructured_validation.py:122-123 — request-level 400
+        (previously the _id string was silently vectorised)."""
+        from marqo_tpu.core.exceptions import InvalidArgumentError
+        with pytest.raises(InvalidArgumentError,
+                           match="`_id` field cannot be a tensor field"):
+            _add_docs(config, docs=[{"_id": "x", "title": "hi"}],
+                      tensor_fields=["_id", "title"])
