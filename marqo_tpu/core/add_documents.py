@@ -217,6 +217,12 @@ class AddDocumentsHandler:
                     "vectors": vec[None, :], "content_key": content}
 
         if mapping and mapping.get("type") == "multimodal_combination":
+            if field in doc:
+                # reference unstructured_validation.py:106-110 — a document
+                # may not carry a direct value for a multimodal field
+                raise DocError(
+                    f"Document and mappings object have conflicting fields: "
+                    f"{{'{field}'}}")
             weights: Dict[str, float] = mapping["weights"]
             sub_content = {}
             for child, _w in weights.items():

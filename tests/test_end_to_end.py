@@ -269,3 +269,21 @@ class TestIdTensorFieldRejected:
                            match="`_id` field cannot be a tensor field"):
             _add_docs(config, docs=[{"_id": "x", "title": "hi"}],
                       tensor_fields=["_id", "title"])
+
+
+class TestMultimodalConflicts:
+    def test_direct_value_for_multimodal_field_rejected(self, config):
+        """reference unstructured_validation.py:106-110: a doc may not carry
+        a direct value for a field declared multimodal in mappings."""
+        res = _add_docs(
+            config,
+            docs=[{"_id": "c1", "combo": "direct", "s1": "hello"},
+                  {"_id": "c2", "s1": "fine"}],
+            tensor_fields=["combo"],
+            mappings={"combo": {"type": "multimodal_combination",
+                                "weights": {"s1": 1.0}}})
+        assert res["errors"] is True
+        items = {i["_id"]: i for i in res["items"]}
+        assert items["c1"]["status"] == 400
+        assert "conflicting fields" in items["c1"]["error"]
+        assert items["c2"]["status"] == 200  # per-doc isolation
