@@ -42,6 +42,18 @@ def pick_batch_bucket(n: int) -> int:
     return pick_bucket(n, batch_buckets())
 
 
+def row_buckets() -> List[int]:
+    """Row-count grid for sequence-packed batches (ops/packing.py). Packed
+    row counts track the token mass of a request, which varies batch to
+    batch; padding rows to a coarse ladder (≤ ~15% waste) keeps the XLA
+    compile cache hot in steady state instead of recompiling per row count."""
+    return _buckets("MARQO_TPU_ROW_BUCKETS")
+
+
+def pick_row_bucket(n: int) -> int:
+    return pick_bucket(n, row_buckets())
+
+
 def iter_batches(n_items: int, max_batch: int) -> Iterator[Tuple[int, int]]:
     """Yield (start, size) chunks of at most max_batch items."""
     start = 0

@@ -266,7 +266,7 @@ class JaxHFTextModel(EmbeddingModel):
         biggest batch bucket are chunked — the sequence COUNT per packed
         call must fit the segment-sum bucket (oversized requests previously
         silently dropped embeddings past the largest bucket)."""
-        from marqo_tpu.inference.batching import batch_buckets
+        from marqo_tpu.inference.batching import batch_buckets, row_buckets
         from marqo_tpu.models.bert import encode_tokens_packed_jit
         from marqo_tpu.ops.packing import pack_sequences
 
@@ -278,7 +278,7 @@ class JaxHFTextModel(EmbeddingModel):
             chunk = sequences[start:start + max_seqs]
             packed = pack_sequences(chunk, seq_len=seq_bucket,
                                     pad_id=self.tokenizer.pad_id,
-                                    row_bucket=16)
+                                    row_buckets=row_buckets())
             n_bucket = pick_batch_bucket(packed.n_sequences)
             emb = encode_tokens_packed_jit(
                 self.params,

@@ -12,7 +12,7 @@ This is the main lever for the ≥10k docs/sec/chip target: effective
 throughput multiplies by (seq_bucket / mean_tokens).
 """
 
-from typing import List, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -41,11 +41,15 @@ MAX_SEGMENTS_PER_ROW = 15  # one-hot width cap for the fold-in mask trick
 
 def pack_sequences(sequences: List[List[int]], seq_len: int,
                    pad_id: int = 0,
-                   row_bucket: int = 8) -> PackedBatch:
+                   row_bucket: int = 8,
+                   row_buckets: Optional[Sequence[int]] = None) -> PackedBatch:
     """Greedy first-fit-decreasing packing of token id lists into rows of
     width ``seq_len``. Sequences longer than seq_len are truncated. The row
-    count is padded up to a multiple of ``row_bucket`` to bound the compile
-    cache. At most MAX_SEGMENTS_PER_ROW sequences share a row.
+    count is padded up to a multiple of ``row_bucket`` — or, when
+    ``row_buckets`` is given, to the smallest ladder entry ≥ the row count —
+    to bound the compile cache (serving traffic's token mass varies batch to
+    batch; without a coarse ladder every new row count is a fresh XLA
+    compile). At most MAX_SEGMENTS_PER_ROW sequences share a row.
     """
     n = len(sequences)
     order = sorted(range(n), key=lambda i: -len(sequences[i]))
@@ -65,8 +69,15 @@ def pack_sequences(sequences: List[List[int]], seq_len: int,
             space.append(seq_len - len(ids))
 
     n_rows = len(rows)
-    padded_rows = ((n_rows + row_bucket - 1) // row_bucket) * row_bucket
-    B = max(padded_rows, row_bucket)
+    if row_buckets:
+        ladder = sorted(row_buckets)
+        B = next((b for b in ladder if n_rows <= b), None)
+        if B is None:  # beyond the ladder: fall back to multiples of the top
+            top = ladder[-1]
+            B = ((n_rows + top - 1) // top) * top
+    else:
+        padded_rows = ((n_rows + row_bucket - 1) // row_bucket) * row_bucket
+        B = max(padded_rows, row_bucket)
     input_ids = np.full((B, seq_len), pad_id, dtype=np.int32)
     segment_ids = np.zeros((B, seq_len), dtype=np.int32)
     positions = np.zeros((B, seq_len), dtype=np.int32)

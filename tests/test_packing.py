@@ -48,6 +48,34 @@ class TestPacker:
         batch = pack_sequences([[5] * 100], seq_len=16)
         assert int((batch.segment_ids > 0).sum()) == 16
 
+    def test_row_bucket_ladder(self):
+        """Nearby row counts land on the SAME padded row count so steady-
+        state serving reuses one compiled shape instead of recompiling per
+        token-mass fluctuation (the e2e ingest bench was paying an XLA
+        compile in most timed batches before this)."""
+        ladder = [16, 32, 48, 64, 96, 128]
+        shapes = set()
+        for seed in range(4):
+            # ~40±4 rows of token mass
+            seqs = _ragged_sequences(80, 30, seed=seed)
+            batch = pack_sequences(seqs, seq_len=32, row_buckets=ladder)
+            shapes.add(batch.input_ids.shape[0])
+            assert batch.input_ids.shape[0] in ladder
+        assert len(shapes) == 1
+        # beyond the top of the ladder: multiples of the top, never truncated
+        seqs = [[1] * 32 for _ in range(300)]
+        batch = pack_sequences(seqs, seq_len=32, row_buckets=ladder)
+        assert batch.input_ids.shape[0] == 384  # 3 * 128
+        assert batch.n_sequences == 300
+
+    def test_row_bucket_ladder_default_wired(self):
+        """The ingest path (loaders._encode_packed) uses the config ladder."""
+        from marqo_tpu.inference.batching import pick_row_bucket, row_buckets
+        ladder = row_buckets()
+        assert ladder == sorted(ladder) and len(ladder) >= 6
+        assert pick_row_bucket(ladder[0]) == ladder[0]
+        assert pick_row_bucket(ladder[0] + 1) == ladder[1]
+
 
 class TestPackedForwardParity:
     @pytest.mark.parametrize("pooling", ["mean", "cls"])
