@@ -235,7 +235,10 @@ class JaxHFTextModel(EmbeddingModel):
 
     def _encode_padded(self, batch, seq_bucket: int, n: int) -> np.ndarray:
         batch_bucket = pick_batch_bucket(n)
-        outputs = []
+        pending = []  # dispatch every device batch before fetching any:
+        # fetches serialize on the host↔device link (slow through the dev
+        # tunnel), so draining them after all dispatches lets transfer of
+        # batch i overlap compute of batch i+1
         start = 0
         while start < n:
             size = min(batch_bucket, n - start)
@@ -246,10 +249,10 @@ class JaxHFTextModel(EmbeddingModel):
             # pad rows must still be valid: give them one real token so
             # mean-pool denominators never hit zero
             mask[size:, 0] = 1
-            emb = self._forward(ids, mask)
-            outputs.append(np.asarray(emb)[:size])
+            pending.append((self._forward(ids, mask), size))
             start += size
-        return np.concatenate(outputs, axis=0)
+        return np.concatenate(
+            [np.asarray(emb)[:size] for emb, size in pending], axis=0)
 
     def _forward(self, ids: np.ndarray, mask: np.ndarray):
         """One padded device batch → pooled embeddings (overridden by
@@ -273,7 +276,7 @@ class JaxHFTextModel(EmbeddingModel):
         ids, lengths = batch["input_ids"], batch["lengths"]
         sequences = [ids[i, :lengths[i]].tolist() for i in range(len(lengths))]
         max_seqs = batch_buckets()[-1]
-        outputs = []
+        pending = []  # dispatch all chunks, then fetch (see _encode_padded)
         for start in range(0, len(sequences), max_seqs):
             chunk = sequences[start:start + max_seqs]
             packed = pack_sequences(chunk, seq_len=seq_bucket,
@@ -287,8 +290,9 @@ class JaxHFTextModel(EmbeddingModel):
                 jax.device_put(jnp.asarray(packed.positions), self._jdevice),
                 jax.device_put(jnp.asarray(packed.seq_index), self._jdevice),
                 n_bucket, self.config, compute_dtype=self.compute_dtype)
-            outputs.append(np.asarray(emb)[:packed.n_sequences])
-        return np.concatenate(outputs, axis=0)
+            pending.append((emb, packed.n_sequences))
+        return np.concatenate(
+            [np.asarray(emb)[:n] for emb, n in pending], axis=0)
 
     def memory_bytes(self) -> int:
         return self._param_bytes
@@ -514,8 +518,15 @@ def load_model(model_name: str, properties: dict, device: Device,
     elif model_type in ("hf", "sbert"):
         cls = JaxHFTextModel
     elif model_type in ("clip", "open_clip", "multilingual_clip", "fp16_clip"):
-        from marqo_tpu.models.clip import JaxCLIPModel
-        cls = JaxCLIPModel
+        name = str(properties.get("name", model_name))
+        if "coca_" in name.lower():
+            # CoCa checkpoints carry a different text tower (appended CLS),
+            # an attentional pooler, and the caption decoder (models/coca.py)
+            from marqo_tpu.models.coca import JaxCoCaModel
+            cls = JaxCoCaModel
+        else:
+            from marqo_tpu.models.clip import JaxCLIPModel
+            cls = JaxCLIPModel
     elif model_type == "languagebind":
         from marqo_tpu.models.languagebind import JaxLanguageBindModel
         cls = JaxLanguageBindModel
