@@ -77,6 +77,7 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_TPU_BATCH_BUCKETS": [1, 8, 16, 32, 64, 128, 256],
         "MARQO_TPU_ROW_BUCKETS": [16, 32, 48, 64, 96, 128, 160, 192,
                                   256, 320, 384, 512],
+        "MARQO_HNSW_BUILD_THREADS": 0,  # 0 = all cores (parallel graph build)
         "MARQO_TPU_DEFAULT_DTYPE": "bfloat16",
         "MARQO_TELEMETRY_ENABLED": "TRUE",
         "MARQO_DYNAMIC_BATCHING": "FALSE",  # coalesce concurrent embeds

@@ -14,6 +14,7 @@
 // C ABI at the bottom; Python binds via ctypes (engine/native.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -22,6 +23,7 @@
 #include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <unordered_set>
 #include <vector>
 
@@ -76,50 +78,47 @@ class HnswIndex {
     }
   }
 
-  // Add a vector; returns the internal node id.
+  // Add a vector; returns the internal node id. (Serial path — lock-free.)
   int32_t add(const float* vec) {
-    int32_t id = capacity();
-    vectors_.insert(vectors_.end(), vec, vec + dim_);
-    deleted_.push_back(0);
-    int level = random_level();
-    levels_.push_back(level);
-    links_.emplace_back();
-    links_.back().resize(level + 1);
-    live_count_++;
-
-    if (entry_point_ < 0) {
-      entry_point_ = id;
-      max_level_ = level;
-      return id;
-    }
-
-    const float* q = node_vec(id);
-    int32_t cur = entry_point_;
-    // greedy descent through upper levels
-    for (int lc = max_level_; lc > level; --lc) {
-      cur = greedy_closest(q, cur, lc);
-    }
-    // insert with ef_construction search per level
-    for (int lc = std::min(level, max_level_); lc >= 0; --lc) {
-      auto candidates = search_layer(q, cur, ef_construction_, lc, nullptr);
-      int max_links = (lc == 0) ? M0_ : M_;
-      auto selected = select_neighbors(q, candidates, M_, /*backfill=*/true);
-      auto& my_links = links_[id][lc];
-      for (auto& sr : selected) {
-        my_links.push_back(sr.id);
-        auto& their = links_[sr.id][lc];
-        their.push_back(id);
-        if (int(their.size()) > max_links) {
-          shrink_links(sr.id, lc, max_links);
-        }
-      }
-      if (!candidates.empty()) cur = candidates.front().id;
-    }
-    if (level > max_level_) {
-      max_level_ = level;
-      entry_point_ = id;
-    }
+    int32_t id = alloc_node(vec);
+    link_node(id, /*locked=*/false);
     return id;
+  }
+
+  // Parallel batch insert (Vespa builds its HNSW on multiple feed threads;
+  // hnswlib-style design: per-node lock pool for link lists, one global
+  // mutex for the entry point). Phase 1 pre-allocates every node (vector
+  // storage is stable during phase 2 — no reallocation under readers),
+  // phase 2 links nodes from a work queue across n_threads. NOT safe
+  // against concurrent search on the same index — callers (engine/store.py)
+  // hold the shard lock for builds, as they do for single adds.
+  int32_t add_batch(const float* vecs, int32_t n, int n_threads) {
+    if (n <= 0) return capacity();
+    int32_t first = capacity();
+    vectors_.reserve(vectors_.size() + size_t(n) * dim_);
+    for (int32_t i = 0; i < n; ++i) alloc_node(vecs + size_t(i) * dim_);
+
+    int32_t start = 0;
+    if (entry_point_ < 0) {  // seed the graph serially so workers can route
+      link_node(first, /*locked=*/false);
+      start = 1;
+    }
+    n_threads = std::max(1, n_threads);
+    if (n_threads == 1 || n - start < 2) {
+      for (int32_t i = start; i < n; ++i) link_node(first + i, false);
+      return first;
+    }
+    std::atomic<int32_t> next(start);
+    auto worker = [&]() {
+      for (int32_t i; (i = next.fetch_add(1)) < n;) {
+        link_node(first + i, /*locked=*/true);
+      }
+    };
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+    return first;
   }
 
   void remove(int32_t id) {
@@ -238,20 +237,108 @@ class HnswIndex {
     return int(-std::log(r) * level_mult_);
   }
 
-  int32_t greedy_closest(const float* q, int32_t start, int level) const {
+  // Append a node's storage (vector, level, empty link lists). Serial-only:
+  // runs before any parallel linking so readers never see reallocation.
+  int32_t alloc_node(const float* vec) {
+    int32_t id = capacity();
+    vectors_.insert(vectors_.end(), vec, vec + dim_);
+    deleted_.push_back(0);
+    int level = random_level();
+    levels_.push_back(level);
+    links_.emplace_back();
+    links_.back().resize(level + 1);
+    live_count_++;
+    return id;
+  }
+
+  std::mutex& node_lock(int32_t id) const {
+    return link_locks_[size_t(id) & (kLockPool - 1)];
+  }
+
+  // Copy a node's neighbor list at one level (under the node lock when
+  // ``locked`` — concurrent inserts mutate link lists).
+  void copy_links(int32_t id, int level, bool locked,
+                  std::vector<int32_t>& out) const {
+    out.clear();
+    if (level >= int(links_[id].size())) return;
+    if (locked) {
+      std::lock_guard<std::mutex> g(node_lock(id));
+      out = links_[id][level];
+    } else {
+      out = links_[id][level];
+    }
+  }
+
+  // Wire a pre-allocated node into the graph. ``locked`` selects the
+  // thread-safe path used by add_batch workers.
+  void link_node(int32_t id, bool locked) {
+    int level = levels_[id];
+    int32_t cur;
+    int top;
+    {
+      std::unique_lock<std::mutex> g(entry_mutex_, std::defer_lock);
+      if (locked) g.lock();
+      if (entry_point_ < 0) {
+        entry_point_ = id;
+        max_level_ = level;
+        return;
+      }
+      cur = entry_point_;
+      top = max_level_;
+    }
+
+    const float* q = node_vec(id);
+    for (int lc = top; lc > level; --lc) {
+      cur = greedy_closest(q, cur, lc, locked);
+    }
+    for (int lc = std::min(level, top); lc >= 0; --lc) {
+      auto candidates = search_layer(q, cur, ef_construction_, lc, nullptr,
+                                     locked, id);
+      int max_links = (lc == 0) ? M0_ : M_;
+      auto selected = select_neighbors(q, candidates, M_, /*backfill=*/true);
+      {
+        std::unique_lock<std::mutex> g(node_lock(id), std::defer_lock);
+        if (locked) g.lock();
+        auto& my_links = links_[id][lc];
+        for (auto& sr : selected) my_links.push_back(sr.id);
+      }
+      for (auto& sr : selected) {
+        std::unique_lock<std::mutex> g(node_lock(sr.id), std::defer_lock);
+        if (locked) g.lock();
+        if (lc >= int(links_[sr.id].size())) continue;  // defensive
+        auto& their = links_[sr.id][lc];
+        their.push_back(id);
+        if (int(their.size()) > max_links) {
+          shrink_links(sr.id, lc, max_links);
+        }
+      }
+      if (!candidates.empty()) cur = candidates.front().id;
+    }
+    if (level > top) {
+      std::unique_lock<std::mutex> g(entry_mutex_, std::defer_lock);
+      if (locked) g.lock();
+      if (level > max_level_) {
+        max_level_ = level;
+        entry_point_ = id;
+      }
+    }
+  }
+
+  int32_t greedy_closest(const float* q, int32_t start, int level,
+                         bool locked = false) const {
     int32_t cur = start;
     float cur_dist = distance(q, node_vec(cur));
     bool improved = true;
+    std::vector<int32_t> nbs;
     while (improved) {
       improved = false;
-      if (level < int(links_[cur].size())) {
-        for (int32_t nb : links_[cur][level]) {
-          float d = distance(q, node_vec(nb));
-          if (d < cur_dist) {
-            cur_dist = d;
-            cur = nb;
-            improved = true;
-          }
+      copy_links(cur, level, locked, nbs);
+      for (int32_t nb : nbs) {
+        float d = distance(q, node_vec(nb));
+        if (d < cur_dist) {
+          cur_dist = d;
+          cur = nb;
+          improved = true;
         }
       }
     }
@@ -261,9 +348,14 @@ class HnswIndex {
   // Best-first search at one level; returns up to ef results sorted by
   // ascending distance. ``filter`` constrains RESULTS only — traversal
   // still routes through filtered-out nodes to keep the graph connected.
+  // ``locked`` snapshots link lists under node locks (parallel build);
+  // ``exclude`` drops a node from the results (a batch node must not pick
+  // itself as neighbor once a concurrent insert has linked to it).
   std::vector<SearchResult> search_layer(const float* q, int32_t entry,
                                          int ef, int level,
-                                         const uint8_t* filter) const {
+                                         const uint8_t* filter,
+                                         bool locked = false,
+                                         int32_t exclude = -1) const {
     // max-heap of results (worst on top), min-heap of candidates
     auto worse = [](const SearchResult& a, const SearchResult& b) {
       return a.dist < b.dist;
@@ -280,8 +372,9 @@ class HnswIndex {
     float d0 = distance(q, node_vec(entry));
     candidates.push({entry, d0});
     visited.insert(entry);
-    if (allowed(entry, filter)) results.push({entry, d0});
+    if (entry != exclude && allowed(entry, filter)) results.push({entry, d0});
 
+    std::vector<int32_t> nbs;
     while (!candidates.empty()) {
       SearchResult c = candidates.top();
       candidates.pop();
@@ -289,17 +382,16 @@ class HnswIndex {
           c.dist > results.top().dist) {
         break;
       }
-      if (level < int(links_[c.id].size())) {
-        for (int32_t nb : links_[c.id][level]) {
-          if (!visited.insert(nb).second) continue;
-          float d = distance(q, node_vec(nb));
-          if (int(results.size()) < ef ||
-              (!results.empty() && d < results.top().dist)) {
-            candidates.push({nb, d});
-            if (allowed(nb, filter)) {
-              results.push({nb, d});
-              if (int(results.size()) > ef) results.pop();
-            }
+      copy_links(c.id, level, locked, nbs);
+      for (int32_t nb : nbs) {
+        if (!visited.insert(nb).second) continue;
+        float d = distance(q, node_vec(nb));
+        if (int(results.size()) < ef ||
+            (!results.empty() && d < results.top().dist)) {
+          candidates.push({nb, d});
+          if (nb != exclude && allowed(nb, filter)) {
+            results.push({nb, d});
+            if (int(results.size()) > ef) results.pop();
           }
         }
       }
@@ -380,6 +472,10 @@ class HnswIndex {
   int32_t entry_point_ = -1;
   int max_level_ = 0;
   size_t live_count_ = 0;
+
+  static constexpr size_t kLockPool = 1024;  // per-node lock pool (by id)
+  mutable std::unique_ptr<std::mutex[]> link_locks_{new std::mutex[kLockPool]};
+  mutable std::mutex entry_mutex_;
 };
 
 }  // namespace
@@ -395,6 +491,11 @@ void hnsw_free(void* handle) { delete static_cast<HnswIndex*>(handle); }
 
 int32_t hnsw_add(void* handle, const float* vec) {
   return static_cast<HnswIndex*>(handle)->add(vec);
+}
+
+int32_t hnsw_add_batch(void* handle, const float* vecs, int32_t n,
+                       int32_t n_threads) {
+  return static_cast<HnswIndex*>(handle)->add_batch(vecs, n, n_threads);
 }
 
 void hnsw_remove(void* handle, int32_t id) {

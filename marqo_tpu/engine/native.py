@@ -67,6 +67,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hnsw_add.restype = ctypes.c_int32
         lib.hnsw_add.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_float)]
+        lib.hnsw_add_batch.restype = ctypes.c_int32
+        lib.hnsw_add_batch.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.c_int32, ctypes.c_int32]
         lib.hnsw_remove.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.hnsw_size.restype = ctypes.c_int32
         lib.hnsw_size.argtypes = [ctypes.c_void_p]
@@ -151,6 +155,21 @@ class NativeHnsw:
         vec = np.ascontiguousarray(vec, dtype=np.float32)
         return self._lib.hnsw_add(
             self._handle, vec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    def add_batch(self, vecs: np.ndarray, n_threads: int = 0) -> int:
+        """Parallel bulk insert of (n, dim) vectors (graph build fans out
+        across n_threads with per-node locks; role parity with Vespa's
+        multi-threaded feed into its HNSW). Returns the first node id;
+        ids are contiguous. Callers hold the shard lock (no concurrent
+        search on this graph during the build)."""
+        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) array")
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        return self._lib.hnsw_add_batch(
+            self._handle, vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vecs.shape[0], n_threads)
 
     def remove(self, node_id: int) -> None:
         self._lib.hnsw_remove(self._handle, node_id)

@@ -134,11 +134,19 @@ class _FieldTensors:
                     self._hnsw = NativeHnsw(self.dimensions, m=m,
                                             ef_construction=efc,
                                             metric=self.metric)
-                    for row, vec in enumerate(self._vectors):
-                        node = self._hnsw.add(self._hnsw_vec(vec))
-                        assert node == row
-                        if not self._valid[row]:
-                            self._hnsw.remove(row)
+                    if self._vectors:
+                        # bulk parallel build (callers hold the field lock;
+                        # MARQO_HNSW_BUILD_THREADS=0 → all cores)
+                        from marqo_tpu.api import configs
+                        n_threads = int(configs.read_env_vars_and_defaults(
+                            "MARQO_HNSW_BUILD_THREADS") or 0)
+                        vecs = np.stack(
+                            [self._hnsw_vec(v) for v in self._vectors])
+                        first = self._hnsw.add_batch(vecs, n_threads)
+                        assert first == 0
+                        for row, ok in enumerate(self._valid):
+                            if not ok:
+                                self._hnsw.remove(row)
             except Exception:
                 self._hnsw = None
         return self._hnsw
