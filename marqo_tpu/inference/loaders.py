@@ -204,41 +204,51 @@ class JaxHFTextModel(EmbeddingModel):
         if not texts:
             return np.zeros((0, self.dimensions or self.config.hidden_size),
                             dtype=np.float32)
-        # tokenize ONCE: natural-width encode, then pad columns to the seq
-        # bucket (tokenization is the top host cost of ingest on small
-        # hosts; the old max_token_length() pre-pass tokenized everything a
-        # second time just to size the bucket)
-        batch = self.tokenizer.encode_batch(texts)
-        seq_bucket = pick_seq_bucket(
-            min(max(batch["lengths"]), self.tokenizer.max_length))
-        width = batch["input_ids"].shape[1]
-        if width < seq_bucket:
-            pad = seq_bucket - width
-            batch["input_ids"] = np.pad(
-                batch["input_ids"], ((0, 0), (0, pad)),
-                constant_values=self.tokenizer.pad_id)
-            batch["attention_mask"] = np.pad(
-                batch["attention_mask"], ((0, 0), (0, pad)))
-        elif width > seq_bucket:  # can't happen (bucket ≥ max length)
-            batch["input_ids"] = batch["input_ids"][:, :seq_bucket]
-            batch["attention_mask"] = batch["attention_mask"][:, :seq_bucket]
-        n = len(texts)
-        density = sum(batch["lengths"]) / (n * seq_bucket)
-        if n > 1 and density < self.PACKING_THRESHOLD:
-            result = self._encode_packed(batch, seq_bucket)
-        else:
-            result = self._encode_padded(batch, seq_bucket, n)
+        # Chunk-first pipeline: tokenize chunk i+1 WHILE the device runs
+        # chunk i (dispatch is eager on this backend — measured: a fetch
+        # after host work returns in one roundtrip, the compute already
+        # done), then drain all fetches. Tokenization is the top host cost
+        # of ingest on 1-core hosts; this hides most of it.
+        from marqo_tpu.inference.batching import batch_buckets
+        max_seqs = batch_buckets()[-1]
+        pending = []  # (device_array, n_valid)
+        for start in range(0, len(texts), max_seqs):
+            chunk = texts[start:start + max_seqs]
+            batch = self.tokenizer.encode_batch(chunk)
+            seq_bucket = pick_seq_bucket(
+                min(max(batch["lengths"]), self.tokenizer.max_length))
+            width = batch["input_ids"].shape[1]
+            if width < seq_bucket:
+                pad = seq_bucket - width
+                batch["input_ids"] = np.pad(
+                    batch["input_ids"], ((0, 0), (0, pad)),
+                    constant_values=self.tokenizer.pad_id)
+                batch["attention_mask"] = np.pad(
+                    batch["attention_mask"], ((0, 0), (0, pad)))
+            elif width > seq_bucket:  # can't happen (bucket ≥ max length)
+                batch["input_ids"] = batch["input_ids"][:, :seq_bucket]
+                batch["attention_mask"] = \
+                    batch["attention_mask"][:, :seq_bucket]
+            n = len(chunk)
+            density = sum(batch["lengths"]) / (n * seq_bucket)
+            if n > 1 and density < self.PACKING_THRESHOLD:
+                pending.extend(self._dispatch_packed(batch, seq_bucket))
+            else:
+                pending.extend(self._dispatch_padded(batch, seq_bucket, n))
+        result = np.concatenate(
+            [np.asarray(emb)[:size] for emb, size in pending], axis=0)
         if normalize:
             norms = np.linalg.norm(result, axis=-1, keepdims=True)
             result = result / np.maximum(norms, 1e-12)
         return result.astype(np.float32)
 
-    def _encode_padded(self, batch, seq_bucket: int, n: int) -> np.ndarray:
+    def _dispatch_padded(self, batch, seq_bucket: int, n: int):
+        """Dispatch padded device batches WITHOUT fetching; encode() drains
+        all fetches after all dispatches (fetches serialize on the slow
+        host-device link, and dispatch is eager, so later host work —
+        tokenization of the next chunk — overlaps device compute)."""
         batch_bucket = pick_batch_bucket(n)
-        pending = []  # dispatch every device batch before fetching any:
-        # fetches serialize on the host↔device link (slow through the dev
-        # tunnel), so draining them after all dispatches lets transfer of
-        # batch i overlap compute of batch i+1
+        pending = []
         start = 0
         while start < n:
             size = min(batch_bucket, n - start)
@@ -251,8 +261,7 @@ class JaxHFTextModel(EmbeddingModel):
             mask[size:, 0] = 1
             pending.append((self._forward(ids, mask), size))
             start += size
-        return np.concatenate(
-            [np.asarray(emb)[:size] for emb, size in pending], axis=0)
+        return pending
 
     def _forward(self, ids: np.ndarray, mask: np.ndarray):
         """One padded device batch → pooled embeddings (overridden by
@@ -263,12 +272,13 @@ class JaxHFTextModel(EmbeddingModel):
             jax.device_put(jnp.asarray(mask), self._jdevice),
             self.config, compute_dtype=self.compute_dtype)
 
-    def _encode_packed(self, batch, seq_bucket: int) -> np.ndarray:
-        """Sequence-packed encode (ops/packing.py): ~1/density fewer rows
-        through the MXU at identical numerics. Requests larger than the
-        biggest batch bucket are chunked — the sequence COUNT per packed
-        call must fit the segment-sum bucket (oversized requests previously
-        silently dropped embeddings past the largest bucket)."""
+    def _dispatch_packed(self, batch, seq_bucket: int):
+        """Sequence-packed dispatch (ops/packing.py): ~1/density fewer rows
+        through the MXU at identical numerics. Returns (device_array,
+        n_sequences) pairs WITHOUT fetching — see _dispatch_padded. The
+        sequence COUNT per packed call must fit the segment-sum bucket, so
+        oversized inputs are chunked here too (defensive; encode() already
+        chunks to the top batch bucket)."""
         from marqo_tpu.inference.batching import batch_buckets, row_buckets
         from marqo_tpu.models.bert import encode_tokens_packed_jit
         from marqo_tpu.ops.packing import pack_sequences
@@ -276,7 +286,7 @@ class JaxHFTextModel(EmbeddingModel):
         ids, lengths = batch["input_ids"], batch["lengths"]
         sequences = [ids[i, :lengths[i]].tolist() for i in range(len(lengths))]
         max_seqs = batch_buckets()[-1]
-        pending = []  # dispatch all chunks, then fetch (see _encode_padded)
+        pending = []
         for start in range(0, len(sequences), max_seqs):
             chunk = sequences[start:start + max_seqs]
             packed = pack_sequences(chunk, seq_len=seq_bucket,
@@ -291,8 +301,7 @@ class JaxHFTextModel(EmbeddingModel):
                 jax.device_put(jnp.asarray(packed.seq_index), self._jdevice),
                 n_bucket, self.config, compute_dtype=self.compute_dtype)
             pending.append((emb, packed.n_sequences))
-        return np.concatenate(
-            [np.asarray(emb)[:n] for emb, n in pending], axis=0)
+        return pending
 
     def memory_bytes(self) -> int:
         return self._param_bytes

@@ -69,7 +69,7 @@ class TestPacker:
         assert batch.n_sequences == 300
 
     def test_row_bucket_ladder_default_wired(self):
-        """The ingest path (loaders._encode_packed) uses the config ladder."""
+        """The ingest path (loaders._dispatch_packed) uses the config ladder."""
         from marqo_tpu.inference.batching import pick_row_bucket, row_buckets
         ladder = row_buckets()
         assert ladder == sorted(ladder) and len(ladder) >= 6
