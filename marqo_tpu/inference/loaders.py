@@ -533,6 +533,11 @@ def load_model(model_name: str, properties: dict, device: Device,
             # an attentional pooler, and the caption decoder (models/coca.py)
             from marqo_tpu.models.coca import JaxCoCaModel
             cls = JaxCoCaModel
+        elif "siglip" in name.lower():
+            # SigLIP: timm vision trunk (no class token, latent attention
+            # pool) + non-causal last-token text tower (models/siglip.py)
+            from marqo_tpu.models.siglip import JaxSigLIPModel
+            cls = JaxSigLIPModel
         else:
             from marqo_tpu.models.clip import JaxCLIPModel
             cls = JaxCLIPModel
