@@ -538,6 +538,11 @@ def load_model(model_name: str, properties: dict, device: Device,
             # pool) + non-causal last-token text tower (models/siglip.py)
             from marqo_tpu.models.siglip import JaxSigLIPModel
             cls = JaxSigLIPModel
+        elif any(t in name for t in ("RN50", "RN101")):
+            # ResNet-CLIP: ModifiedResNet vision tower (attention-pool 2d
+            # head, avgpool downsampling) — models/resnet_clip.py
+            from marqo_tpu.models.resnet_clip import JaxResNetCLIPModel
+            cls = JaxResNetCLIPModel
         else:
             from marqo_tpu.models.clip import JaxCLIPModel
             cls = JaxCLIPModel
