@@ -543,6 +543,11 @@ def load_model(model_name: str, properties: dict, device: Device,
             # head, avgpool downsampling) — models/resnet_clip.py
             from marqo_tpu.models.resnet_clip import JaxResNetCLIPModel
             cls = JaxResNetCLIPModel
+        elif "convnext" in name.lower():
+            # ConvNeXt-CLIP: timm ConvNeXt trunk + avg-pool/linear head —
+            # models/convnext_clip.py
+            from marqo_tpu.models.convnext_clip import JaxConvNextCLIPModel
+            cls = JaxConvNextCLIPModel
         else:
             from marqo_tpu.models.clip import JaxCLIPModel
             cls = JaxCLIPModel
