@@ -548,6 +548,11 @@ def load_model(model_name: str, properties: dict, device: Device,
             # models/convnext_clip.py
             from marqo_tpu.models.convnext_clip import JaxConvNextCLIPModel
             cls = JaxConvNextCLIPModel
+        elif "roberta" in name.lower():
+            # roberta/xlm-roberta text tower + ViT composites
+            # (open_clip custom-text models) — models/hf_clip.py
+            from marqo_tpu.models.hf_clip import JaxHFCLIPModel
+            cls = JaxHFCLIPModel
         else:
             from marqo_tpu.models.clip import JaxCLIPModel
             cls = JaxCLIPModel

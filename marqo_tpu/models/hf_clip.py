@@ -1,0 +1,328 @@
+"""HF-text CLIP composites: roberta-ViT-B-32, xlm-roberta-base-ViT-B-32,
+xlm-roberta-large-ViT-H-14 (open_clip custom-text models; reference serves
+them via open_clip — registry model_registry.py open_clip section).
+
+open_clip pairs an HF RoBERTa/XLM-R encoder (HFTextEncoder with
+mean_pooler and a bias-free 2-layer MLP projection, hf_model.py) with a
+standard CLIP ViT vision tower. Both halves already exist here — the
+scan-stacked BERT-family encoder (models/bert.py, torch-parity-tested) and
+the ViT tower (models/clip.py) — so this wrapper is conversion + pooling +
+the MLP projection head.
+"""
+
+import hashlib
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
+from marqo_tpu.inference.batching import pick_batch_bucket
+from marqo_tpu.inference.types import Device, Modality
+from marqo_tpu.models.bert import (TextEncoderConfig, encode_tokens,
+                                   init_params as init_bert_params,
+                                   params_from_torch_state_dict)
+from marqo_tpu.models.clip import (CLIPVisionConfig, encode_clip_image_jit,
+                                   init_clip_params)
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("config", "compute_dtype"))
+def encode_hf_clip_text_jit(params, input_ids, attention_mask, config,
+                            compute_dtype=jnp.bfloat16):
+    """BERT-family encoder (mean pool) → bias-free MLP projection
+    (open_clip HFTextEncoder proj_type='mlp', proj_bias=False)."""
+    pooled = encode_tokens(params["text"], input_ids, attention_mask,
+                           config, compute_dtype=compute_dtype)
+    h = jax.nn.gelu(pooled @ params["proj_w1"].astype(jnp.float32),
+                    approximate=False)
+    return h @ params["proj_w2"].astype(jnp.float32)
+
+
+# vision tower configs per composite (open_clip model_configs)
+_VISION = {
+    "ViT-H-14": CLIPVisionConfig(image_size=224, patch_size=14,
+                                 hidden_size=1280, num_layers=32,
+                                 num_heads=16, intermediate_size=5120,
+                                 projection_dim=1024, hidden_act="gelu"),
+    "ViT-B-32": CLIPVisionConfig(image_size=224, patch_size=32,
+                                 hidden_size=768, num_layers=12,
+                                 num_heads=12, intermediate_size=3072,
+                                 projection_dim=512, hidden_act="gelu"),
+}
+
+
+class JaxHFCLIPModel:
+    """Composite wrapper: HF RoBERTa/XLM-R text + CLIP ViT vision."""
+
+    compute_dtype = jnp.bfloat16
+
+    def __init__(self, model_name: str, properties: dict, device: Device,
+                 model_auth=None):
+        self.model_name = model_name
+        self.properties = dict(properties or {})
+        self.device = device
+        self.model_auth = model_auth
+        self.loaded = False
+        self.params = None
+        self.text_config: Optional[TextEncoderConfig] = None
+        self.vision_config: Optional[CLIPVisionConfig] = None
+        self.tokenizer = None
+        self._param_bytes = 0
+        platform = "cpu" if device == Device.CPU else None
+        try:
+            self._jdevice = (jax.devices(platform)[0] if platform
+                             else jax.devices()[0])
+        except RuntimeError:
+            self._jdevice = jax.devices()[0]
+
+    @property
+    def dimensions(self) -> int:
+        return int(self.properties.get("dimensions", 0)) or \
+            (self.vision_config.projection_dim if self.vision_config else 0)
+
+    def _vision_token(self) -> str:
+        name = self.properties.get("name", self.model_name)
+        return "ViT-H-14" if "ViT-H-14" in name else "ViT-B-32"
+
+    def load(self) -> None:
+        if self.properties.get("localpath"):
+            self._load_from_checkpoint(self.properties["localpath"])
+        elif self.properties.get("random_init"):
+            self._load_random_init()
+        else:
+            raise ModelLoadError(
+                f"HF-text CLIP model `{self.model_name}` requires an "
+                "open_clip checkpoint: provide model_properties.localpath "
+                "or a model_location.")
+        self.loaded = True
+        self._param_bytes = sum(
+            a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params))
+
+    def _load_from_checkpoint(self, path: str) -> None:
+        import os
+
+        import torch
+        if os.path.isdir(path):
+            for fname in ("open_clip_pytorch_model.bin", "pytorch_model.bin",
+                          "model.pt"):
+                cand = os.path.join(path, fname)
+                if os.path.isfile(cand):
+                    path = cand
+                    break
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        state = {k[len("module."):] if k.startswith("module.") else k: v
+                 for k, v in state.items()}
+        sd_np = {k: np.asarray(v.detach().cpu().numpy()
+                               if hasattr(v, "detach") else v)
+                 for k, v in state.items()}
+
+        # text half: open_clip key layout text.transformer.<hf keys> +
+        # text.proj.{0,2}.weight
+        hf_sd = {k[len("text.transformer."):]: v for k, v in sd_np.items()
+                 if k.startswith("text.transformer.")}
+        arch = self.properties.get("architecture", {})
+        self.text_config = self._text_config_from_weights(hf_sd, arch)
+        text = params_from_torch_state_dict(hf_sd, self.text_config,
+                                            dtype=self.compute_dtype)
+        proj_w1 = jnp.asarray(sd_np["text.proj.0.weight"].T,
+                              self.compute_dtype)
+        proj_w2 = jnp.asarray(sd_np["text.proj.2.weight"].T,
+                              self.compute_dtype)
+
+        # vision half: standard open_clip ViT naming (visual.*)
+        self.vision_config = _VISION[self._vision_token()]
+        vision = self._convert_vision(sd_np, self.vision_config)
+
+        self.params = jax.device_put(
+            {"text": text, "proj_w1": proj_w1, "proj_w2": proj_w2,
+             "vision": vision}, self._jdevice)
+        self._init_tokenizer()
+
+    def _convert_vision(self, sd: dict, cfg: CLIPVisionConfig) -> dict:
+        """open_clip ViT vision half (visual.conv1/class_embedding/
+        positional_embedding/ln_pre/transformer.resblocks/ln_post/proj) —
+        same layout as params_from_open_clip's vision branch."""
+        dtype = self.compute_dtype
+        L = cfg.num_layers
+        out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
+                               "o_w", "o_b", "ln1_scale", "ln1_bias",
+                               "ln2_scale", "ln2_bias", "mlp_w1", "mlp_b1",
+                               "mlp_w2", "mlp_b2")}
+        for i in range(L):
+            base = f"visual.transformer.resblocks.{i}"
+            qw, kw, vw = np.split(sd[f"{base}.attn.in_proj_weight"], 3,
+                                  axis=0)
+            qb, kb, vb = np.split(sd[f"{base}.attn.in_proj_bias"], 3, axis=0)
+            out["q_w"].append(qw.T); out["q_b"].append(qb)
+            out["k_w"].append(kw.T); out["k_b"].append(kb)
+            out["v_w"].append(vw.T); out["v_b"].append(vb)
+            out["o_w"].append(sd[f"{base}.attn.out_proj.weight"].T)
+            out["o_b"].append(sd[f"{base}.attn.out_proj.bias"])
+            out["ln1_scale"].append(sd[f"{base}.ln_1.weight"])
+            out["ln1_bias"].append(sd[f"{base}.ln_1.bias"])
+            out["mlp_w1"].append(sd[f"{base}.mlp.c_fc.weight"].T)
+            out["mlp_b1"].append(sd[f"{base}.mlp.c_fc.bias"])
+            out["mlp_w2"].append(sd[f"{base}.mlp.c_proj.weight"].T)
+            out["mlp_b2"].append(sd[f"{base}.mlp.c_proj.bias"])
+            out["ln2_scale"].append(sd[f"{base}.ln_2.weight"])
+            out["ln2_bias"].append(sd[f"{base}.ln_2.bias"])
+        layers = {k: jnp.asarray(np.stack(v), dtype) for k, v in out.items()}
+        conv = sd["visual.conv1.weight"]
+        H = conv.shape[0]
+        return {
+            "patch_embedding": jnp.asarray(
+                conv.transpose(2, 3, 1, 0).reshape(-1, H), dtype),
+            "class_embedding": jnp.asarray(sd["visual.class_embedding"],
+                                           dtype),
+            "position_embedding": jnp.asarray(
+                sd["visual.positional_embedding"], dtype),
+            "pre_ln_scale": jnp.asarray(sd["visual.ln_pre.weight"], dtype),
+            "pre_ln_bias": jnp.asarray(sd["visual.ln_pre.bias"], dtype),
+            "layers": layers,
+            "post_ln_scale": jnp.asarray(sd["visual.ln_post.weight"], dtype),
+            "post_ln_bias": jnp.asarray(sd["visual.ln_post.bias"], dtype),
+            "visual_projection": jnp.asarray(sd["visual.proj"], dtype),
+        }
+
+    def _text_config_from_weights(self, hf_sd: dict,
+                                  arch: dict) -> TextEncoderConfig:
+        """Infer the RoBERTa/XLM-R shape from the converted weights."""
+        vocab, hidden = hf_sd["embeddings.word_embeddings.weight"].shape
+        n_layers = 0
+        while f"encoder.layer.{n_layers}.attention.self.query.weight" in \
+                hf_sd:
+            n_layers += 1
+        inter = hf_sd["encoder.layer.0.intermediate.dense.weight"].shape[0]
+        max_pos = hf_sd["embeddings.position_embeddings.weight"].shape[0]
+        return TextEncoderConfig(
+            vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
+            num_heads=int(arch.get("text_heads", max(1, hidden // 64))),
+            intermediate_size=inter, max_position_embeddings=max_pos,
+            type_vocab_size=1, hidden_act="gelu",
+            position_offset=2,  # RoBERTa/XLM-R: padding_idx(1) + 1
+            pooling="mean", normalize=False)
+
+    def _load_random_init(self) -> None:
+        arch = self.properties.get("architecture", {})
+        dims = int(self.properties.get("dimensions", 32))
+        self.text_config = TextEncoderConfig(
+            vocab_size=int(arch.get("vocab_size", 1024)),
+            hidden_size=int(arch.get("text_hidden_size", 32)),
+            num_layers=int(arch.get("text_layers", 2)),
+            num_heads=int(arch.get("text_heads", 2)),
+            intermediate_size=int(arch.get("text_intermediate", 64)),
+            position_offset=2, pooling="mean", normalize=False)
+        self.vision_config = CLIPVisionConfig(
+            image_size=int(self.properties.get("image_size", 32)),
+            patch_size=int(arch.get("patch_size", 16)),
+            hidden_size=int(arch.get("vision_hidden_size", 32)),
+            num_layers=int(arch.get("vision_layers", 2)),
+            num_heads=int(arch.get("vision_heads", 2)),
+            intermediate_size=int(arch.get("vision_intermediate", 64)),
+            projection_dim=dims, hidden_act="gelu")
+        seed = int.from_bytes(
+            hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
+        rng = jax.random.PRNGKey(seed)
+        text = init_bert_params(self.text_config, rng,
+                                dtype=self.compute_dtype)
+        H = self.text_config.hidden_size
+        mid = (H + dims) // 2
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, 3), 3)
+        from marqo_tpu.models.clip import CLIPTextConfig
+        vision = init_clip_params(
+            CLIPTextConfig(vocab_size=8, hidden_size=8, num_layers=1,
+                           num_heads=2, intermediate_size=16,
+                           projection_dim=dims),
+            self.vision_config, k3, dtype=self.compute_dtype)["vision"]
+        self.params = jax.device_put({
+            "text": text,
+            "proj_w1": (0.02 * jax.random.normal(k1, (H, mid))).astype(
+                self.compute_dtype),
+            "proj_w2": (0.02 * jax.random.normal(k2, (mid, dims))).astype(
+                self.compute_dtype),
+            "vision": vision,
+        }, self._jdevice)
+        self._init_tokenizer()
+
+    def _init_tokenizer(self) -> None:
+        from marqo_tpu.models.tokenizer import TextTokenizer
+        max_len = int(self.properties.get("tokens", 128))
+        tok_path = self.properties.get("tokenizer_localpath")
+        if tok_path:
+            self.tokenizer = TextTokenizer.from_file(tok_path,
+                                                     max_length=max_len)
+        else:
+            self.tokenizer = TextTokenizer.build_test_wordpiece(
+                max_length=max_len)
+
+    # -- encoding -------------------------------------------------------------
+
+    def encode(self, contents: List[Any], normalize: bool = True,
+               modality: Modality = Modality.TEXT) -> np.ndarray:
+        if modality == Modality.TEXT:
+            out = self._encode_text([str(c) for c in contents])
+        elif modality == Modality.IMAGE:
+            out = self._encode_images(contents)
+        else:
+            raise VectoriseError(
+                f"Model `{self.model_name}` does not support modality "
+                f"{modality.value}")
+        if normalize:
+            out = out / np.maximum(
+                np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out.astype(np.float32)
+
+    def _encode_text(self, texts: List[str]) -> np.ndarray:
+        batch = self.tokenizer.encode_batch(texts)
+        ids = (batch["input_ids"] % self.text_config.vocab_size).astype(
+            np.int32)
+        mask = batch["attention_mask"].astype(np.int32)
+        n = len(texts)
+        bucket = pick_batch_bucket(n)
+        pending = []
+        start = 0
+        while start < n:
+            size = min(bucket, n - start)
+            pid = np.zeros((bucket, ids.shape[1]), dtype=np.int32)
+            pmask = np.zeros((bucket, ids.shape[1]), dtype=np.int32)
+            pid[:size] = ids[start:start + size]
+            pmask[:size] = mask[start:start + size]
+            pmask[size:, 0] = 1  # mean-pool denominators stay non-zero
+            emb = encode_hf_clip_text_jit(
+                self.params,
+                jax.device_put(jnp.asarray(pid), self._jdevice),
+                jax.device_put(jnp.asarray(pmask), self._jdevice),
+                self.text_config, compute_dtype=self.compute_dtype)
+            pending.append((emb, size))
+            start += size
+        return np.concatenate(
+            [np.asarray(e)[:s] for e, s in pending], axis=0)
+
+    def _encode_images(self, contents: List[Any]) -> np.ndarray:
+        from marqo_tpu.models.clip import JaxCLIPModel
+        pixels = np.stack([
+            JaxCLIPModel._preprocess_host(self, c) for c in contents])
+        n = len(contents)
+        bucket = pick_batch_bucket(n)
+        pending = []
+        start = 0
+        while start < n:
+            size = min(bucket, n - start)
+            padded = np.zeros((bucket,) + pixels.shape[1:], dtype=np.uint8)
+            padded[:size] = pixels[start:start + size]
+            emb = encode_clip_image_jit(
+                {"vision": self.params["vision"]},
+                jax.device_put(jnp.asarray(padded), self._jdevice),
+                self.vision_config, compute_dtype=self.compute_dtype)
+            pending.append((emb, size))
+            start += size
+        return np.concatenate(
+            [np.asarray(e)[:s] for e, s in pending], axis=0)
+
+    def memory_bytes(self) -> int:
+        return self._param_bytes
