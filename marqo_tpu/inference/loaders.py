@@ -526,7 +526,12 @@ def load_model(model_name: str, properties: dict, device: Device,
         cls = JaxStellaModel
     elif model_type in ("hf", "sbert"):
         cls = JaxHFTextModel
-    elif model_type in ("clip", "open_clip", "multilingual_clip", "fp16_clip"):
+    elif model_type == "multilingual_clip":
+        # M-CLIP: XLM-R text tower + linear projection, paired with an
+        # openai CLIP image tower (models/hf_clip.py)
+        from marqo_tpu.models.hf_clip import JaxHFCLIPModel
+        cls = JaxHFCLIPModel
+    elif model_type in ("clip", "open_clip", "fp16_clip"):
         name = str(properties.get("name", model_name))
         if "coca_" in name.lower():
             # CoCa checkpoints carry a different text tower (appended CLS),

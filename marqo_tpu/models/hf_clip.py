@@ -32,16 +32,21 @@ from functools import partial
 @partial(jax.jit, static_argnames=("config", "compute_dtype"))
 def encode_hf_clip_text_jit(params, input_ids, attention_mask, config,
                             compute_dtype=jnp.bfloat16):
-    """BERT-family encoder (mean pool) → bias-free MLP projection
-    (open_clip HFTextEncoder proj_type='mlp', proj_bias=False)."""
+    """BERT-family encoder (mean pool) → projection head. Two layouts:
+    bias-free 2-layer MLP (open_clip HFTextEncoder proj_type='mlp') or a
+    single biased Linear (M-CLIP LinearTransformation)."""
     pooled = encode_tokens(params["text"], input_ids, attention_mask,
                            config, compute_dtype=compute_dtype)
-    h = jax.nn.gelu(pooled @ params["proj_w1"].astype(jnp.float32),
-                    approximate=False)
-    return h @ params["proj_w2"].astype(jnp.float32)
+    if "proj_w1" in params:
+        h = jax.nn.gelu(pooled @ params["proj_w1"].astype(jnp.float32),
+                        approximate=False)
+        return h @ params["proj_w2"].astype(jnp.float32)
+    return pooled @ params["proj_w"].astype(jnp.float32) + \
+        params["proj_b"].astype(jnp.float32)
 
 
-# vision tower configs per composite (open_clip model_configs)
+# vision tower configs per composite (open_clip model_configs; the M-CLIP
+# entries pair with openai towers → quick_gelu)
 _VISION = {
     "ViT-H-14": CLIPVisionConfig(image_size=224, patch_size=14,
                                  hidden_size=1280, num_layers=32,
@@ -51,6 +56,20 @@ _VISION = {
                                  hidden_size=768, num_layers=12,
                                  num_heads=12, intermediate_size=3072,
                                  projection_dim=512, hidden_act="gelu"),
+    "Vit-L-14": CLIPVisionConfig(image_size=224, patch_size=14,
+                                 hidden_size=1024, num_layers=24,
+                                 num_heads=16, intermediate_size=4096,
+                                 projection_dim=768,
+                                 hidden_act="quick_gelu"),
+    "Vit-B/32": CLIPVisionConfig(image_size=224, patch_size=32,
+                                 hidden_size=768, num_layers=12,
+                                 num_heads=12, intermediate_size=3072,
+                                 projection_dim=512,
+                                 hidden_act="quick_gelu"),
+    "Vit-B/16+": CLIPVisionConfig(image_size=240, patch_size=16,
+                                  hidden_size=896, num_layers=12,
+                                  num_heads=14, intermediate_size=3584,
+                                  projection_dim=640, hidden_act="gelu"),
 }
 
 
@@ -85,7 +104,10 @@ class JaxHFCLIPModel:
 
     def _vision_token(self) -> str:
         name = self.properties.get("name", self.model_name)
-        return "ViT-H-14" if "ViT-H-14" in name else "ViT-B-32"
+        for token in ("ViT-H-14", "Vit-L-14", "Vit-B/16+", "Vit-B/32"):
+            if token in name:
+                return token
+        return "ViT-B-32"
 
     def load(self) -> None:
         if self.properties.get("localpath"):
@@ -120,28 +142,84 @@ class JaxHFCLIPModel:
         sd_np = {k: np.asarray(v.detach().cpu().numpy()
                                if hasattr(v, "detach") else v)
                  for k, v in state.items()}
-
-        # text half: open_clip key layout text.transformer.<hf keys> +
-        # text.proj.{0,2}.weight
-        hf_sd = {k[len("text.transformer."):]: v for k, v in sd_np.items()
-                 if k.startswith("text.transformer.")}
         arch = self.properties.get("architecture", {})
-        self.text_config = self._text_config_from_weights(hf_sd, arch)
-        text = params_from_torch_state_dict(hf_sd, self.text_config,
-                                            dtype=self.compute_dtype)
-        proj_w1 = jnp.asarray(sd_np["text.proj.0.weight"].T,
-                              self.compute_dtype)
-        proj_w2 = jnp.asarray(sd_np["text.proj.2.weight"].T,
-                              self.compute_dtype)
-
-        # vision half: standard open_clip ViT naming (visual.*)
         self.vision_config = _VISION[self._vision_token()]
-        vision = self._convert_vision(sd_np, self.vision_config)
+
+        if "LinearTransformation.weight" in sd_np:
+            # M-CLIP layout (reference MULTILINGUAL_CLIP, clip_utils.py:521):
+            # transformer.<xlmr keys> + LinearTransformation Linear w/ bias.
+            # The image tower ships separately (an openai CLIP checkpoint) —
+            # model_properties.vision_localpath.
+            hf_sd = {k[len("transformer."):]: v for k, v in sd_np.items()
+                     if k.startswith("transformer.")}
+            self.text_config = self._text_config_from_weights(hf_sd, arch)
+            text = params_from_torch_state_dict(hf_sd, self.text_config,
+                                                dtype=self.compute_dtype)
+            proj = {"proj_w": jnp.asarray(
+                        sd_np["LinearTransformation.weight"].T,
+                        self.compute_dtype),
+                    "proj_b": jnp.asarray(
+                        sd_np["LinearTransformation.bias"],
+                        self.compute_dtype)}
+            vision = self._load_vision_checkpoint()
+        else:
+            # open_clip composite layout: text.transformer.<hf keys> +
+            # text.proj.{0,2}.weight + visual.* in one state dict
+            hf_sd = {k[len("text.transformer."):]: v
+                     for k, v in sd_np.items()
+                     if k.startswith("text.transformer.")}
+            self.text_config = self._text_config_from_weights(hf_sd, arch)
+            text = params_from_torch_state_dict(hf_sd, self.text_config,
+                                                dtype=self.compute_dtype)
+            proj = {"proj_w1": jnp.asarray(sd_np["text.proj.0.weight"].T,
+                                           self.compute_dtype),
+                    "proj_w2": jnp.asarray(sd_np["text.proj.2.weight"].T,
+                                           self.compute_dtype)}
+            vision = self._convert_vision(sd_np, self.vision_config)
 
         self.params = jax.device_put(
-            {"text": text, "proj_w1": proj_w1, "proj_w2": proj_w2,
-             "vision": vision}, self._jdevice)
+            dict({"text": text, "vision": vision}, **proj), self._jdevice)
         self._init_tokenizer()
+
+    def _load_vision_checkpoint(self) -> dict:
+        """Load the separate image-tower checkpoint for M-CLIP models:
+        an openai/open_clip state dict (visual.*) or an HF CLIPModel dir."""
+        import os
+
+        import torch
+        vpath = self.properties.get("vision_localpath")
+        if not vpath:
+            raise ModelLoadError(
+                f"M-CLIP model `{self.model_name}` pairs a separate CLIP "
+                "image tower: provide model_properties.vision_localpath "
+                "(openai/open_clip checkpoint or HF CLIPModel directory).")
+        if os.path.isdir(vpath):
+            from marqo_tpu.models.clip import (CLIPTextConfig,
+                                               params_from_hf_clip)
+            from transformers import CLIPConfig, CLIPModel
+            hf_config = CLIPConfig.from_pretrained(vpath)
+            torch_model = CLIPModel.from_pretrained(vpath)
+            dummy_text = CLIPTextConfig(
+                vocab_size=hf_config.text_config.vocab_size,
+                hidden_size=hf_config.text_config.hidden_size,
+                num_layers=hf_config.text_config.num_hidden_layers,
+                num_heads=hf_config.text_config.num_attention_heads,
+                intermediate_size=hf_config.text_config.intermediate_size,
+                projection_dim=hf_config.projection_dim)
+            vision = params_from_hf_clip(
+                torch_model.state_dict(), dummy_text, self.vision_config,
+                dtype=self.compute_dtype)["vision"]
+            del torch_model
+            return vision
+        state = torch.load(vpath, map_location="cpu", weights_only=False)
+        if hasattr(state, "state_dict"):
+            state = state.state_dict()
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        sd_np = {k: np.asarray(v.detach().cpu().numpy()
+                               if hasattr(v, "detach") else v)
+                 for k, v in state.items()}
+        return self._convert_vision(sd_np, self.vision_config)
 
     def _convert_vision(self, sd: dict, cfg: CLIPVisionConfig) -> dict:
         """open_clip ViT vision half (visual.conv1/class_embedding/

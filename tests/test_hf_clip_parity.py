@@ -147,3 +147,76 @@ class TestHFCLIPParity:
                            props, Device.CPU)
         assert isinstance(model, JaxHFCLIPModel)
         assert model.encode(["x"]).shape == (1, 24)
+
+
+class TestMCLIP:
+    def test_mclip_text_parity_and_separate_vision(self, tmp_path):
+        """M-CLIP layout: transformer.<xlmr> + LinearTransformation text
+        checkpoint, image tower from a separate open_clip-format file
+        (reference MULTILINGUAL_CLIP, clip_utils.py:521)."""
+        cfg, roberta = _tiny_roberta(seed=7)
+        torch.manual_seed(8)
+        lin = nn.Linear(32, 24).eval()
+        sd = {f"transformer.{k}": v for k, v in
+              roberta.state_dict().items()}
+        sd["LinearTransformation.weight"] = lin.weight.data
+        sd["LinearTransformation.bias"] = lin.bias.data
+        tpath = tmp_path / "mclip_text.pt"
+        torch.save(sd, str(tpath))
+        vpath = tmp_path / "clip_vision.pt"
+        torch.save(_tiny_vit_sd(seed=9), str(vpath))
+
+        import marqo_tpu.models.hf_clip as hc
+        from marqo_tpu.models.clip import CLIPVisionConfig
+        orig = dict(hc._VISION)
+        hc._VISION["Vit-B/32"] = CLIPVisionConfig(
+            image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64, projection_dim=24,
+            hidden_act="gelu")
+        model = JaxHFCLIPModel(
+            "multilingual-clip/XLM-R Large Vit-B/32",
+            {"name": "multilingual-clip/XLM-R Large Vit-B/32",
+             "localpath": str(tpath), "vision_localpath": str(vpath),
+             "dimensions": 24, "architecture": {"text_heads": 2}},
+            Device.CPU)
+        try:
+            model.compute_dtype = jnp.float32
+            model.load()
+        finally:
+            hc._VISION.clear()
+            hc._VISION.update(orig)
+
+        rng = np.random.default_rng(10)
+        ids = rng.integers(2, 120, size=(2, 9)).astype(np.int64)
+        mask = np.ones_like(ids)
+        mask[1, 5:] = 0
+        ids[1, 5:] = 1
+        with torch.no_grad():
+            hidden = roberta(input_ids=torch.from_numpy(ids),
+                             attention_mask=torch.from_numpy(mask)
+                             ).last_hidden_state
+            m = torch.from_numpy(mask).unsqueeze(-1).float()
+            ref = lin((hidden * m).sum(1) / m.sum(1))
+        from marqo_tpu.models.hf_clip import encode_hf_clip_text_jit
+        out = encode_hf_clip_text_jit(
+            model.params, jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(mask.astype(np.int32)), model.text_config,
+            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                                   atol=1e-4, rtol=1e-4)
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        assert model.encode([img], modality=Modality.IMAGE).shape == (1, 24)
+
+    def test_mclip_dispatch(self):
+        from marqo_tpu.inference.loaders import load_model
+        from marqo_tpu.inference.model_registry import (
+            get_model_properties_from_registry)
+        props = dict(get_model_properties_from_registry(
+            "multilingual-clip/XLM-R Large Vit-B/32"))
+        props.update({"random_init": True, "dimensions": 24,
+                      "image_size": 32,
+                      "architecture": {"patch_size": 16, "vocab_size": 64}})
+        model = load_model("multilingual-clip/XLM-R Large Vit-B/32",
+                           props, Device.CPU)
+        assert isinstance(model, JaxHFCLIPModel)
+        assert model.encode(["bonjour"]).shape == (1, 24)
