@@ -558,6 +558,15 @@ def load_model(model_name: str, properties: dict, device: Device,
             # (open_clip custom-text models) — models/hf_clip.py
             from marqo_tpu.models.hf_clip import JaxHFCLIPModel
             cls = JaxHFCLIPModel
+        elif "eva02" in name.lower():
+            # honest gate: EVA02's timm arch (2d-RoPE + SwiGLU variants)
+            # has no offline-verifiable conversion here; fail clearly
+            # instead of converting into the wrong (ViT-CLIP) layout
+            raise ModelLoadError(
+                f"EVA02 model `{model_name}` is not yet supported by the "
+                "TPU runtime (RoPE/SwiGLU vision trunk pending). Choose a "
+                "ViT/SigLIP/ConvNeXt/ResNet CLIP model, or provide a "
+                "custom model via model_properties.")
         else:
             from marqo_tpu.models.clip import JaxCLIPModel
             cls = JaxCLIPModel
