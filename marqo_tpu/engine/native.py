@@ -60,6 +60,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
             logger.warning(f"Could not load native engine: {e}")
             _build_failed = True
             return None
+        # a stale .so from an older build misses newer symbols: rebuild
+        # once and reload instead of raising AttributeError on every call
+        # (which would silently disable ANN/BM25 for the whole process)
+        if not hasattr(lib, "hnsw_add_batch"):
+            logger.warning("Native engine binary is stale (missing "
+                           "hnsw_add_batch); rebuilding")
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if not _build():
+                _build_failed = True
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "hnsw_add_batch"):
+                logger.warning("Rebuilt native engine still missing "
+                               "symbols; using Python fallback paths")
+                _build_failed = True
+                return None
         lib.hnsw_create.restype = ctypes.c_void_p
         lib.hnsw_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_uint64]

@@ -51,7 +51,14 @@ def row_buckets() -> List[int]:
 
 
 def pick_row_bucket(n: int) -> int:
-    return pick_bucket(n, row_buckets())
+    """Smallest ladder entry ≥ n; beyond the ladder, the next multiple of
+    the top entry (NEVER clamps — a packed batch sized by this must hold
+    every row, matching ops/packing.py's overflow rule)."""
+    ladder = row_buckets()
+    top = ladder[-1]
+    if n > top:
+        return ((n + top - 1) // top) * top
+    return pick_bucket(n, ladder)
 
 
 def iter_batches(n_items: int, max_batch: int) -> Iterator[Tuple[int, int]]:

@@ -538,6 +538,16 @@ def load_model(model_name: str, properties: dict, device: Device,
             # an attentional pooler, and the caption decoder (models/coca.py)
             from marqo_tpu.models.coca import JaxCoCaModel
             cls = JaxCoCaModel
+        elif "nllb" in name.lower():
+            # honest gate: NLLB-SigLIP pairs an M2M-100 text encoder with
+            # the SigLIP trunk — the text arch has no offline-verifiable
+            # conversion here; fail clearly instead of converting into the
+            # wrong layout
+            raise ModelLoadError(
+                f"NLLB-SigLIP model `{model_name}` is not yet supported by "
+                "the TPU runtime (M2M-100 text tower pending). Choose a "
+                "SigLIP/ViT/ConvNeXt CLIP model, or provide a custom model "
+                "via model_properties.")
         elif "siglip" in name.lower():
             # SigLIP: timm vision trunk (no class token, latent attention
             # pool) + non-causal last-token text tower (models/siglip.py)

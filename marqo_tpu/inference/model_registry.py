@@ -9,12 +9,21 @@ the reference (``name``, ``dimensions``, ``tokens``, ``type``, ``notes``,
 
 Loader ``type`` values map to JAX model classes in
 marqo_tpu.inference.loaders (vs. reference's torch/open_clip/onnx classes):
-  hf | sbert       → JaxHFTextModel    (BERT/RoBERTa-family, models/bert.py)
-  clip | open_clip → JaxCLIPModel      (models/clip.py)
-  multilingual_clip→ JaxCLIPModel (text tower = XLM-R)
-  random           → RandomModel (deterministic, tests)
-  test             → TestModel (tiny real JAX encoder + WordPiece)
-  no_model         → NoModel (raises on vectorise)
+  hf | sbert        → JaxHFTextModel   (BERT/RoBERTa-family, models/bert.py)
+  hf_stella         → JaxStellaModel   (models/stella.py)
+  clip | open_clip | fp16_clip → by arch in the name:
+      coca_*        → JaxCoCaModel        (models/coca.py)
+      *SigLIP*      → JaxSigLIPModel      (models/siglip.py; nllb-* gated)
+      RN50*/RN101*  → JaxResNetCLIPModel  (models/resnet_clip.py)
+      convnext_*    → JaxConvNextCLIPModel (models/convnext_clip.py)
+      *roberta*     → JaxHFCLIPModel      (models/hf_clip.py)
+      EVA02*        → gated (no offline-verifiable conversion)
+      otherwise     → JaxCLIPModel        (ViT towers, models/clip.py)
+  multilingual_clip → JaxHFCLIPModel (XLM-R + LinearTransformation)
+  languagebind      → JaxLanguageBindModel (models/languagebind.py)
+  random            → RandomModel (deterministic, tests)
+  test              → TestModel (tiny real JAX encoder + WordPiece)
+  no_model          → NoModel (raises on vectorise)
 """
 
 from typing import Dict, Optional

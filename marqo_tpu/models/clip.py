@@ -348,6 +348,38 @@ def params_from_hf_clip(state_dict, text_config: CLIPTextConfig,
     return params
 
 
+def convert_open_clip_resblocks(sd: dict, prefix: str, L: int,
+                                dtype=jnp.float32) -> dict:
+    """Stack L open_clip ResidualAttentionBlocks ({prefix}.{i}.attn with
+    fused in_proj, ln_1/ln_2, mlp.c_fc/c_proj) into the scan-layer pytree.
+    Shared by every open_clip-family converter (clip/coca/siglip/resnet/
+    hf composites) — the key mapping lives in exactly one place."""
+    out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
+                           "o_w", "o_b", "ln1_scale", "ln1_bias",
+                           "ln2_scale", "ln2_bias", "mlp_w1", "mlp_b1",
+                           "mlp_w2", "mlp_b2")}
+    for i in range(L):
+        base = f"{prefix}.{i}"
+        in_w = sd[f"{base}.attn.in_proj_weight"]  # (3H, H)
+        in_b = sd[f"{base}.attn.in_proj_bias"]
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        out["q_w"].append(qw.T); out["q_b"].append(qb)
+        out["k_w"].append(kw.T); out["k_b"].append(kb)
+        out["v_w"].append(vw.T); out["v_b"].append(vb)
+        out["o_w"].append(sd[f"{base}.attn.out_proj.weight"].T)
+        out["o_b"].append(sd[f"{base}.attn.out_proj.bias"])
+        out["ln1_scale"].append(sd[f"{base}.ln_1.weight"])
+        out["ln1_bias"].append(sd[f"{base}.ln_1.bias"])
+        out["mlp_w1"].append(sd[f"{base}.mlp.c_fc.weight"].T)
+        out["mlp_b1"].append(sd[f"{base}.mlp.c_fc.bias"])
+        out["mlp_w2"].append(sd[f"{base}.mlp.c_proj.weight"].T)
+        out["mlp_b2"].append(sd[f"{base}.mlp.c_proj.bias"])
+        out["ln2_scale"].append(sd[f"{base}.ln_2.weight"])
+        out["ln2_bias"].append(sd[f"{base}.ln_2.bias"])
+    return {k: jnp.asarray(np.stack(v), dtype) for k, v in out.items()}
+
+
 def params_from_open_clip(state_dict, text_config: CLIPTextConfig,
                           vision_config: CLIPVisionConfig,
                           dtype=jnp.float32) -> dict:
@@ -357,30 +389,7 @@ def params_from_open_clip(state_dict, text_config: CLIPTextConfig,
                         else v) for k, v in state_dict.items()}
 
     def blocks(prefix, L, H):
-        out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
-                               "o_w", "o_b", "ln1_scale", "ln1_bias",
-                               "ln2_scale", "ln2_bias", "mlp_w1", "mlp_b1",
-                               "mlp_w2", "mlp_b2")}
-        for i in range(L):
-            base = f"{prefix}.{i}"
-            in_w = sd[f"{base}.attn.in_proj_weight"]  # (3H, H)
-            in_b = sd[f"{base}.attn.in_proj_bias"]
-            qw, kw, vw = np.split(in_w, 3, axis=0)
-            qb, kb, vb = np.split(in_b, 3, axis=0)
-            out["q_w"].append(qw.T); out["q_b"].append(qb)
-            out["k_w"].append(kw.T); out["k_b"].append(kb)
-            out["v_w"].append(vw.T); out["v_b"].append(vb)
-            out["o_w"].append(sd[f"{base}.attn.out_proj.weight"].T)
-            out["o_b"].append(sd[f"{base}.attn.out_proj.bias"])
-            out["ln1_scale"].append(sd[f"{base}.ln_1.weight"])
-            out["ln1_bias"].append(sd[f"{base}.ln_1.bias"])
-            out["mlp_w1"].append(sd[f"{base}.mlp.c_fc.weight"].T)
-            out["mlp_b1"].append(sd[f"{base}.mlp.c_fc.bias"])
-            out["mlp_w2"].append(sd[f"{base}.mlp.c_proj.weight"].T)
-            out["mlp_b2"].append(sd[f"{base}.mlp.c_proj.bias"])
-            out["ln2_scale"].append(sd[f"{base}.ln_2.weight"])
-            out["ln2_bias"].append(sd[f"{base}.ln_2.bias"])
-        return {k: jnp.asarray(np.stack(v), dtype) for k, v in out.items()}
+        return convert_open_clip_resblocks(sd, prefix, L, dtype)
 
     conv = sd["visual.conv1.weight"]  # (H, 3, p, p)
     H = conv.shape[0]

@@ -411,30 +411,8 @@ def params_from_open_clip_coca(state_dict,
                         else v) for k, v in state_dict.items()}
 
     def self_blocks(prefix, L):
-        out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
-                               "o_w", "o_b", "ln1_scale", "ln1_bias",
-                               "ln2_scale", "ln2_bias", "mlp_w1", "mlp_b1",
-                               "mlp_w2", "mlp_b2")}
-        for i in range(L):
-            base = f"{prefix}.{i}"
-            in_w = sd[f"{base}.attn.in_proj_weight"]
-            in_b = sd[f"{base}.attn.in_proj_bias"]
-            qw, kw, vw = np.split(in_w, 3, axis=0)
-            qb, kb, vb = np.split(in_b, 3, axis=0)
-            out["q_w"].append(qw.T); out["q_b"].append(qb)
-            out["k_w"].append(kw.T); out["k_b"].append(kb)
-            out["v_w"].append(vw.T); out["v_b"].append(vb)
-            out["o_w"].append(sd[f"{base}.attn.out_proj.weight"].T)
-            out["o_b"].append(sd[f"{base}.attn.out_proj.bias"])
-            out["ln1_scale"].append(sd[f"{base}.ln_1.weight"])
-            out["ln1_bias"].append(sd[f"{base}.ln_1.bias"])
-            out["mlp_w1"].append(sd[f"{base}.mlp.c_fc.weight"].T)
-            out["mlp_b1"].append(sd[f"{base}.mlp.c_fc.bias"])
-            out["mlp_w2"].append(sd[f"{base}.mlp.c_proj.weight"].T)
-            out["mlp_b2"].append(sd[f"{base}.mlp.c_proj.bias"])
-            out["ln2_scale"].append(sd[f"{base}.ln_2.weight"])
-            out["ln2_bias"].append(sd[f"{base}.ln_2.bias"])
-        return {k: jnp.asarray(np.stack(v), dtype) for k, v in out.items()}
+        from marqo_tpu.models.clip import convert_open_clip_resblocks
+        return convert_open_clip_resblocks(sd, prefix, L, dtype)
 
     def cross_blocks(prefix, L):
         out = self_blocks(prefix, L)
@@ -614,7 +592,7 @@ class JaxCoCaModel:
                                        self.decoder_config,
                                        dtype=self.compute_dtype),
             self._jdevice)
-        self._init_tokenizer()
+        self._init_tokenizer(checkpoint=path)
 
     def _load_random_init(self) -> None:
         arch = self.properties.get("architecture", {})
@@ -655,15 +633,12 @@ class JaxCoCaModel:
             self._jdevice)
         self._init_tokenizer()
 
-    def _init_tokenizer(self) -> None:
-        from marqo_tpu.models.tokenizer import TextTokenizer
-        tok_path = self.properties.get("tokenizer_localpath")
-        if tok_path:
-            self.tokenizer = TextTokenizer.from_file(
-                tok_path, max_length=self.text_config.context_length)
-        else:
-            self.tokenizer = TextTokenizer.build_test_wordpiece(
-                max_length=self.text_config.context_length)
+    def _init_tokenizer(self, checkpoint: str = None) -> None:
+        from marqo_tpu.models.tokenizer import resolve_model_tokenizer
+        self.tokenizer = resolve_model_tokenizer(
+            self.properties, max_length=self.text_config.context_length,
+            checkpoint_path=checkpoint,
+            allow_test=bool(self.properties.get("random_init")))
 
     # -- encoding -------------------------------------------------------------
 

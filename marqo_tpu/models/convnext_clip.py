@@ -84,11 +84,18 @@ def encode_convnext_clip_image(params: dict, pixels_u8: jax.Array,
         for bp in stage["blocks"]:
             x = _block(x, bp, eps, compute_dtype)
 
-    # head: global average pool → LN → linear projection (open_clip
-    # TimmModel with timm_pool='avg', timm_proj='linear')
+    # head: global average pool → LN → projection. open_clip TimmModel
+    # timm_proj is 'linear' for convnext_base*, but 'mlp' (fc1-GELU-fc2)
+    # for convnext_large_d*/xxlarge — the param layout selects the branch.
     pooled = x.astype(jnp.float32).mean(axis=(1, 2))
     head = p["head"]
     pooled = layer_norm(pooled, head["norm_scale"], head["norm_bias"], eps)
+    if "mlp_w1" in head:
+        h = jax.nn.gelu(pooled @ head["mlp_w1"].astype(jnp.float32)
+                        + head["mlp_b1"].astype(jnp.float32),
+                        approximate=False)
+        return h @ head["mlp_w2"].astype(jnp.float32) + \
+            head["mlp_b2"].astype(jnp.float32)
     return pooled @ head["proj_w"].astype(jnp.float32) + \
         head["proj_b"].astype(jnp.float32)
 
@@ -193,10 +200,22 @@ def convnext_vision_params_from_torch(sd_np: dict,
               else "norm_pre.weight")
     head = {"norm_scale": jnp.asarray(sd_np[nk], dtype),
             "norm_bias": jnp.asarray(sd_np[nk.replace(".weight", ".bias")],
-                                     dtype),
-            "proj_w": jnp.asarray(sd_np[prefix + "head.proj.weight"].T,
-                                  dtype),
-            "proj_b": jnp.asarray(sd_np[prefix + "head.proj.bias"], dtype)}
+                                     dtype)}
+    if prefix + "head.mlp.fc1.weight" in sd_np:
+        # open_clip timm_proj='mlp' (convnext_large_d*/xxlarge configs)
+        head["mlp_w1"] = jnp.asarray(
+            sd_np[prefix + "head.mlp.fc1.weight"].T, dtype)
+        head["mlp_b1"] = jnp.asarray(
+            sd_np[prefix + "head.mlp.fc1.bias"], dtype)
+        head["mlp_w2"] = jnp.asarray(
+            sd_np[prefix + "head.mlp.fc2.weight"].T, dtype)
+        head["mlp_b2"] = jnp.asarray(
+            sd_np[prefix + "head.mlp.fc2.bias"], dtype)
+    else:
+        head["proj_w"] = jnp.asarray(
+            sd_np[prefix + "head.proj.weight"].T, dtype)
+        head["proj_b"] = jnp.asarray(
+            sd_np[prefix + "head.proj.bias"], dtype)
     return {"vision": {"stem": stem, "stages": stages, "head": head}}
 
 
@@ -312,7 +331,7 @@ class JaxConvNextCLIPModel:
             sd_np, self.vision_config, dtype=self.compute_dtype)["vision"]
         self.params = jax.device_put({"text": text, "vision": vision},
                                      self._jdevice)
-        self._init_tokenizer()
+        self._init_tokenizer(checkpoint=path)
 
     def _load_random_init(self) -> None:
         import hashlib
@@ -350,15 +369,12 @@ class JaxConvNextCLIPModel:
                                      self._jdevice)
         self._init_tokenizer()
 
-    def _init_tokenizer(self) -> None:
-        from marqo_tpu.models.tokenizer import TextTokenizer
-        tok_path = self.properties.get("tokenizer_localpath")
-        if tok_path:
-            self.tokenizer = TextTokenizer.from_file(
-                tok_path, max_length=self.text_config.max_positions)
-        else:
-            self.tokenizer = TextTokenizer.build_test_wordpiece(
-                max_length=self.text_config.max_positions)
+    def _init_tokenizer(self, checkpoint: str = None) -> None:
+        from marqo_tpu.models.tokenizer import resolve_model_tokenizer
+        self.tokenizer = resolve_model_tokenizer(
+            self.properties, max_length=self.text_config.max_positions,
+            checkpoint_path=checkpoint,
+            allow_test=bool(self.properties.get("random_init")))
 
     # -- encoding ------------------------------------------------------------
 

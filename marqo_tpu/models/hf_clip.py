@@ -179,7 +179,7 @@ class JaxHFCLIPModel:
 
         self.params = jax.device_put(
             dict({"text": text, "vision": vision}, **proj), self._jdevice)
-        self._init_tokenizer()
+        self._init_tokenizer(checkpoint=path)
 
     def _load_vision_checkpoint(self) -> dict:
         """Load the separate image-tower checkpoint for M-CLIP models:
@@ -226,30 +226,9 @@ class JaxHFCLIPModel:
         positional_embedding/ln_pre/transformer.resblocks/ln_post/proj) —
         same layout as params_from_open_clip's vision branch."""
         dtype = self.compute_dtype
-        L = cfg.num_layers
-        out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
-                               "o_w", "o_b", "ln1_scale", "ln1_bias",
-                               "ln2_scale", "ln2_bias", "mlp_w1", "mlp_b1",
-                               "mlp_w2", "mlp_b2")}
-        for i in range(L):
-            base = f"visual.transformer.resblocks.{i}"
-            qw, kw, vw = np.split(sd[f"{base}.attn.in_proj_weight"], 3,
-                                  axis=0)
-            qb, kb, vb = np.split(sd[f"{base}.attn.in_proj_bias"], 3, axis=0)
-            out["q_w"].append(qw.T); out["q_b"].append(qb)
-            out["k_w"].append(kw.T); out["k_b"].append(kb)
-            out["v_w"].append(vw.T); out["v_b"].append(vb)
-            out["o_w"].append(sd[f"{base}.attn.out_proj.weight"].T)
-            out["o_b"].append(sd[f"{base}.attn.out_proj.bias"])
-            out["ln1_scale"].append(sd[f"{base}.ln_1.weight"])
-            out["ln1_bias"].append(sd[f"{base}.ln_1.bias"])
-            out["mlp_w1"].append(sd[f"{base}.mlp.c_fc.weight"].T)
-            out["mlp_b1"].append(sd[f"{base}.mlp.c_fc.bias"])
-            out["mlp_w2"].append(sd[f"{base}.mlp.c_proj.weight"].T)
-            out["mlp_b2"].append(sd[f"{base}.mlp.c_proj.bias"])
-            out["ln2_scale"].append(sd[f"{base}.ln_2.weight"])
-            out["ln2_bias"].append(sd[f"{base}.ln_2.bias"])
-        layers = {k: jnp.asarray(np.stack(v), dtype) for k, v in out.items()}
+        from marqo_tpu.models.clip import convert_open_clip_resblocks
+        layers = convert_open_clip_resblocks(
+            sd, "visual.transformer.resblocks", cfg.num_layers, dtype)
         conv = sd["visual.conv1.weight"]
         H = conv.shape[0]
         return {
@@ -327,16 +306,13 @@ class JaxHFCLIPModel:
         }, self._jdevice)
         self._init_tokenizer()
 
-    def _init_tokenizer(self) -> None:
-        from marqo_tpu.models.tokenizer import TextTokenizer
-        max_len = int(self.properties.get("tokens", 128))
-        tok_path = self.properties.get("tokenizer_localpath")
-        if tok_path:
-            self.tokenizer = TextTokenizer.from_file(tok_path,
-                                                     max_length=max_len)
-        else:
-            self.tokenizer = TextTokenizer.build_test_wordpiece(
-                max_length=max_len)
+    def _init_tokenizer(self, checkpoint: str = None) -> None:
+        from marqo_tpu.models.tokenizer import resolve_model_tokenizer
+        self.tokenizer = resolve_model_tokenizer(
+            self.properties, max_length=int(self.properties.get("tokens",
+                                                                128)),
+            checkpoint_path=checkpoint,
+            allow_test=bool(self.properties.get("random_init")))
 
     # -- encoding -------------------------------------------------------------
 

@@ -130,6 +130,12 @@ def encode_siglip_image(params: dict, pixels_u8: jax.Array,
     n_side = size // patch
     x = pixels_u8.astype(jnp.float32) / 255.0
     x = (x - jnp.asarray(SIGLIP_MEAN)) / jnp.asarray(SIGLIP_STD)
+    # conv-stride semantics when size % patch != 0 (e.g. SO400M-14 at
+    # 384px → 27x27 grid over the first 378px): drop the remainder like
+    # the torch stride-14 conv does
+    used = n_side * patch
+    if used != size:
+        x = x[:, :used, :used, :]
     x = x.reshape(B, n_side, patch, n_side, patch, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, n_side * n_side,
                                               patch * patch * 3)
@@ -269,30 +275,8 @@ def params_from_open_clip_siglip(state_dict,
                         else v) for k, v in state_dict.items()}
 
     def text_blocks(prefix, L):
-        out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
-                               "o_w", "o_b", "ln1_scale", "ln1_bias",
-                               "ln2_scale", "ln2_bias", "mlp_w1", "mlp_b1",
-                               "mlp_w2", "mlp_b2")}
-        for i in range(L):
-            base = f"{prefix}.{i}"
-            in_w = sd[f"{base}.attn.in_proj_weight"]
-            in_b = sd[f"{base}.attn.in_proj_bias"]
-            qw, kw, vw = np.split(in_w, 3, axis=0)
-            qb, kb, vb = np.split(in_b, 3, axis=0)
-            out["q_w"].append(qw.T); out["q_b"].append(qb)
-            out["k_w"].append(kw.T); out["k_b"].append(kb)
-            out["v_w"].append(vw.T); out["v_b"].append(vb)
-            out["o_w"].append(sd[f"{base}.attn.out_proj.weight"].T)
-            out["o_b"].append(sd[f"{base}.attn.out_proj.bias"])
-            out["ln1_scale"].append(sd[f"{base}.ln_1.weight"])
-            out["ln1_bias"].append(sd[f"{base}.ln_1.bias"])
-            out["mlp_w1"].append(sd[f"{base}.mlp.c_fc.weight"].T)
-            out["mlp_b1"].append(sd[f"{base}.mlp.c_fc.bias"])
-            out["mlp_w2"].append(sd[f"{base}.mlp.c_proj.weight"].T)
-            out["mlp_b2"].append(sd[f"{base}.mlp.c_proj.bias"])
-            out["ln2_scale"].append(sd[f"{base}.ln_2.weight"])
-            out["ln2_bias"].append(sd[f"{base}.ln_2.bias"])
-        return {k: jnp.asarray(np.stack(v), dtype) for k, v in out.items()}
+        from marqo_tpu.models.clip import convert_open_clip_resblocks
+        return convert_open_clip_resblocks(sd, prefix, L, dtype)
 
     def timm_blocks(prefix, L, H):
         out = {k: [] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
@@ -383,10 +367,12 @@ def params_from_open_clip_siglip(state_dict,
 # --- wrapper ---------------------------------------------------------------------
 
 _SIGLIP_ARCHS = {
-    # arch token in the registry name → (width, layers, heads, mlp, patch)
-    "ViT-B-16-SigLIP": (768, 12, 12, 3072, 16),
-    "ViT-L-16-SigLIP": (1024, 24, 16, 4096, 16),
-    "ViT-SO400M-14-SigLIP": (1152, 27, 16, 4304, 14),
+    # registry arch token → (vision (w, L, heads, mlp, patch),
+    #                        text (w, L, heads, mlp))
+    "ViT-B-16-SigLIP": ((768, 12, 12, 3072, 16), (768, 12, 12, 3072)),
+    "ViT-L-16-SigLIP": ((1024, 24, 16, 4096, 16), (1024, 24, 16, 4096)),
+    "ViT-SO400M-14-SigLIP": ((1152, 27, 16, 4304, 14),
+                             (1152, 27, 16, 4304)),
 }
 
 
@@ -422,16 +408,13 @@ class JaxSigLIPModel:
     def _configs_for_name(self):
         name = self.properties.get("name", self.model_name)
         image_size = int(self.properties.get("image_size", 224))
-        for token, (w, L, h, mlp, patch) in _SIGLIP_ARCHS.items():
+        for token, (vis, txt) in _SIGLIP_ARCHS.items():
             if token in name:
-                text_w = 768 if w == 768 else (1024 if w == 1024 else 1152)
-                text_L = {768: 12, 1024: 24, 1152: 27}[w]
-                text_h = {768: 12, 1024: 16, 1152: 16}[w]
-                text_mlp = {768: 3072, 1024: 4096, 1152: 4304}[w]
-                return (SigLIPTextConfig(hidden_size=text_w,
-                                         num_layers=text_L,
-                                         num_heads=text_h,
-                                         intermediate_size=text_mlp,
+                w, L, h, mlp, patch = vis
+                tw, tL, th, tmlp = txt
+                return (SigLIPTextConfig(hidden_size=tw, num_layers=tL,
+                                         num_heads=th,
+                                         intermediate_size=tmlp,
                                          embed_dim=w),
                         SigLIPVisionConfig(image_size=image_size,
                                            patch_size=patch, hidden_size=w,
@@ -476,7 +459,7 @@ class JaxSigLIPModel:
                                          self.vision_config,
                                          dtype=self.compute_dtype),
             self._jdevice)
-        self._init_tokenizer()
+        self._init_tokenizer(checkpoint=path)
 
     def _load_random_init(self) -> None:
         arch = self.properties.get("architecture", {})
@@ -505,15 +488,12 @@ class JaxSigLIPModel:
             self._jdevice)
         self._init_tokenizer()
 
-    def _init_tokenizer(self) -> None:
-        from marqo_tpu.models.tokenizer import TextTokenizer
-        tok_path = self.properties.get("tokenizer_localpath")
-        if tok_path:
-            self.tokenizer = TextTokenizer.from_file(
-                tok_path, max_length=self.text_config.context_length)
-        else:
-            self.tokenizer = TextTokenizer.build_test_wordpiece(
-                max_length=self.text_config.context_length)
+    def _init_tokenizer(self, checkpoint: str = None) -> None:
+        from marqo_tpu.models.tokenizer import resolve_model_tokenizer
+        self.tokenizer = resolve_model_tokenizer(
+            self.properties, max_length=self.text_config.context_length,
+            checkpoint_path=checkpoint,
+            allow_test=bool(self.properties.get("random_init")))
 
     # -- encoding -----------------------------------------------------------
 

@@ -115,3 +115,32 @@ class TextTokenizer:
     def max_pair_length(self, texts_a: List[str], texts_b: List[str]) -> int:
         return max((min(len(self._tok.encode(a, b).ids), self.max_length)
                     for a, b in zip(texts_a, texts_b)), default=1)
+
+
+def resolve_model_tokenizer(properties: dict, max_length: int,
+                            checkpoint_path: Optional[str] = None,
+                            allow_test: bool = False) -> "TextTokenizer":
+    """Tokenizer for a model wrapper. Order: explicit
+    ``model_properties.tokenizer_localpath`` → a tokenizer.json next to the
+    checkpoint → (random-init/test mode only) the deterministic test
+    WordPiece. A REAL checkpoint without a resolvable tokenizer raises —
+    silently tokenizing with a dummy vocab would fill the index with
+    meaningless vectors and no error."""
+    from marqo_tpu.core.exceptions import ModelLoadError
+    tok_path = properties.get("tokenizer_localpath")
+    if tok_path:
+        return TextTokenizer.from_file(tok_path, max_length=max_length)
+    if checkpoint_path:
+        d = checkpoint_path if os.path.isdir(checkpoint_path) else \
+            os.path.dirname(checkpoint_path)
+        cand = os.path.join(d, "tokenizer.json")
+        if os.path.isfile(cand):
+            return TextTokenizer.from_file(cand, max_length=max_length)
+    if allow_test:
+        return TextTokenizer.build_test_wordpiece(max_length=max_length)
+    raise ModelLoadError(
+        "No tokenizer for this checkpoint: provide "
+        "model_properties.tokenizer_localpath (a tokenizers-format "
+        "tokenizer.json) or place tokenizer.json next to the checkpoint. "
+        "Refusing to fall back to the test vocabulary — embeddings would "
+        "be meaningless.")

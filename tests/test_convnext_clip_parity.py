@@ -80,16 +80,27 @@ class Trunk(nn.Module):
 
 
 class VisualMirror(nn.Module):
-    """open_clip TimmModel: trunk + head.proj linear."""
+    """open_clip TimmModel: trunk + head (linear proj, or fc1-GELU-fc2 MLP
+    as in the convnext_large_d*/xxlarge configs)."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, proj="linear"):
         super().__init__()
         self.trunk = Trunk(cfg)
         self.head = nn.Module()
-        self.head.proj = nn.Linear(cfg.dims[-1], cfg.output_dim)
+        self.proj_kind = proj
+        if proj == "mlp":
+            self.head.mlp = nn.Module()
+            self.head.mlp.fc1 = nn.Linear(cfg.dims[-1], 2 * cfg.output_dim)
+            self.head.mlp.fc2 = nn.Linear(2 * cfg.output_dim,
+                                          cfg.output_dim)
+        else:
+            self.head.proj = nn.Linear(cfg.dims[-1], cfg.output_dim)
 
     def forward(self, x):
-        return self.head.proj(self.trunk(x))
+        h = self.trunk(x)
+        if self.proj_kind == "mlp":
+            return self.head.mlp.fc2(F.gelu(self.head.mlp.fc1(h)))
+        return self.head.proj(h)
 
 
 @pytest.fixture(scope="module")
@@ -107,6 +118,27 @@ class TestConvNextParity:
     def test_vision_tower(self, mirror_and_params):
         mirror, params = mirror_and_params
         rng = np.random.default_rng(9)
+        u8 = rng.integers(0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+        x = u8.astype(np.float32) / 255.0
+        x = (x - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+        with torch.no_grad():
+            ref = mirror(torch.from_numpy(x.transpose(0, 3, 1, 2)).float())
+        out = encode_convnext_clip_image(params, jnp.asarray(u8), CFG,
+                                         compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestConvNextMlpHeadParity:
+    def test_mlp_head(self):
+        """convnext_large_d*/xxlarge use timm_proj='mlp'."""
+        torch.manual_seed(32)
+        mirror = VisualMirror(CFG, proj="mlp").eval()
+        sd_np = {"visual." + k: v.numpy() for k, v in
+                 mirror.state_dict().items()}
+        params = convnext_vision_params_from_torch(sd_np, CFG,
+                                                   dtype=jnp.float32)
+        rng = np.random.default_rng(10)
         u8 = rng.integers(0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
         x = u8.astype(np.float32) / 255.0
         x = (x - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)

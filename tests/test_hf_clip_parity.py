@@ -74,8 +74,12 @@ def composite(tmp_path_factory):
     sd["text.proj.0.weight"] = proj[0].weight.data
     sd["text.proj.2.weight"] = proj[2].weight.data
     sd.update(_tiny_vit_sd())
-    path = tmp_path_factory.mktemp("ck") / "xlmr_vit_tiny.pt"
+    ckdir = tmp_path_factory.mktemp("ck")
+    path = ckdir / "xlmr_vit_tiny.pt"
     torch.save(sd, str(path))
+    from marqo_tpu.models.tokenizer import TextTokenizer
+    TextTokenizer.build_test_wordpiece()._tok.save(
+        str(ckdir / "tokenizer.json"))
 
     model = JaxHFCLIPModel(
         "open_clip/xlm-roberta-base-ViT-B-32/laion5b_s13b_b90k",
@@ -163,6 +167,9 @@ class TestMCLIP:
         sd["LinearTransformation.bias"] = lin.bias.data
         tpath = tmp_path / "mclip_text.pt"
         torch.save(sd, str(tpath))
+        from marqo_tpu.models.tokenizer import TextTokenizer
+        TextTokenizer.build_test_wordpiece()._tok.save(
+            str(tmp_path / "tokenizer.json"))
         vpath = tmp_path / "clip_vision.pt"
         torch.save(_tiny_vit_sd(seed=9), str(vpath))
 

@@ -219,6 +219,9 @@ class TestResNetCLIPWrapper:
                    vision.state_dict().items()})
         path = tmp_path / "rn50_tiny.pt"
         _t.save(sd, str(path))
+        from marqo_tpu.models.tokenizer import TextTokenizer
+        TextTokenizer.build_test_wordpiece()._tok.save(
+            str(tmp_path / "tokenizer.json"))
 
         model = JaxResNetCLIPModel(
             "open_clip/RN50/openai",

@@ -222,3 +222,18 @@ class TestSigLIPWrapper:
         img = np.zeros((40, 24, 3), dtype=np.uint8)
         out = model.encode([img], modality=Modality.IMAGE)
         assert out.shape == (1, 32)
+
+    def test_image_size_not_divisible_by_patch(self):
+        """SO400M-14 at 384px: 384 % 14 != 0 — conv-stride semantics floor
+        to a 27x27 grid; the reshape path must crop, not crash."""
+        from marqo_tpu.inference.types import Device, Modality
+        from marqo_tpu.models.siglip import JaxSigLIPModel
+        model = JaxSigLIPModel(
+            "open_clip/ViT-SO400M-14-SigLIP-384/webli",
+            {"random_init": True, "dimensions": 16, "image_size": 36,
+             "architecture": {"patch_size": 16, "vocab_size": 64}},
+            Device.CPU)
+        model.load()
+        img = np.zeros((36, 36, 3), dtype=np.uint8)
+        out = model.encode([img], modality=Modality.IMAGE)
+        assert out.shape == (1, 16)
