@@ -418,6 +418,7 @@ def on_start(config: Config) -> None:
     #    skips indexes that already exist (role of Vespa's durable store)
     data_dir = configs.read_env_vars_and_defaults("MARQO_ENGINE_DATA_DIR")
     from marqo_tpu.engine.store import StoreEngine
+    wal = None
     if data_dir and isinstance(config.engine, StoreEngine):
         engine_dir = os.path.join(str(data_dir), "engine_data")
         try:
@@ -426,6 +427,23 @@ def on_start(config: Config) -> None:
                 logger.info(f"Restored {restored} documents from {engine_dir}")
         except Exception as e:
             logger.warning(f"Engine restore failed: {e}")
+        # write-ahead log: replay mutations acknowledged after the last
+        # snapshot, then start logging (Vespa transactionlog role)
+        if str(configs.read_env_vars_and_defaults("MARQO_ENGINE_WAL")
+               ).upper() != "FALSE":
+            from marqo_tpu.engine.wal import WriteAheadLog
+            try:
+                wal = WriteAheadLog(
+                    os.path.join(engine_dir, "wal.log"),
+                    fsync=str(configs.read_env_vars_and_defaults(
+                        "MARQO_ENGINE_WAL_FSYNC")).upper() == "TRUE")
+                replayed = config.engine.replay_wal(wal)
+                if replayed:
+                    logger.info(f"Replayed {replayed} WAL records")
+                config.engine.attach_wal(wal)
+            except Exception as e:
+                logger.warning(f"WAL unavailable ({e}); snapshots only")
+                wal = None
     # 2. bootstrap settings store + any engine indexes without snapshots
     config.index_management.bootstrap()
     if data_dir and isinstance(config.engine, StoreEngine):
@@ -438,7 +456,15 @@ def on_start(config: Config) -> None:
             while True:
                 _time.sleep(60)
                 try:
+                    # rotate first: the snapshot then covers every op in
+                    # the rotated-out log, so committing drops only
+                    # records the snapshot persists (crash anywhere in
+                    # between replays .old + current — idempotent)
+                    if wal is not None:
+                        wal.rotate_begin()
                     config.engine.snapshot(engine_dir)
+                    if wal is not None:
+                        wal.rotate_commit()
                 except Exception as e:
                     logger.warning(f"Engine snapshot failed: {e}")
 

@@ -78,6 +78,9 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_TPU_ROW_BUCKETS": [16, 32, 48, 64, 96, 128, 160, 192,
                                   256, 320, 384, 512],
         "MARQO_HNSW_BUILD_THREADS": 0,  # 0 = all cores (parallel graph build)
+        "MARQO_ENGINE_WAL": "TRUE",       # write-ahead log when data dir set
+        "MARQO_ENGINE_WAL_FSYNC": "FALSE",  # fsync each record (durability
+                                            # vs feed latency trade)
         "MARQO_TPU_DEFAULT_DTYPE": "bfloat16",
         "MARQO_TELEMETRY_ENABLED": "TRUE",
         "MARQO_DYNAMIC_BATCHING": "FALSE",  # coalesce concurrent embeds

@@ -356,10 +356,57 @@ class StoreEngine:
         # every index's full doc+tensor state on idle systems)
         self._mutations: Dict[str, int] = defaultdict(int)
         self._snapshotted: Dict[str, int] = {}
+        # optional write-ahead log (engine/wal.py): Vespa-transactionlog
+        # role — acknowledged mutations survive a crash between snapshots
+        self._wal = None
 
     def _mutated(self, name: str) -> None:
         with self._lock:
             self._mutations[name] += 1
+
+    # -- write-ahead log --
+
+    def attach_wal(self, wal) -> None:
+        """Start logging mutations (call AFTER restore + replay)."""
+        self._wal = wal
+
+    def _log(self, record: dict) -> None:
+        if self._wal is not None:
+            self._wal.append(record)
+
+    def replay_wal(self, wal) -> int:
+        """Apply logged mutations over restored snapshot state (idempotent:
+        feed is an upsert, deletes/DDL tolerate already-applied records)."""
+        applied = 0
+        for rec in wal.replay():
+            try:
+                op = rec["op"]
+                if op == "feed":
+                    self.feed(rec["index"], rec["doc_id"], rec["fields"],
+                              rec["tensors"])
+                elif op == "delete":
+                    self.delete(rec["index"], rec["doc_id"])
+                elif op == "delete_all":
+                    if self.has_index(rec["index"]):
+                        self.delete_all(rec["index"])
+                elif op == "create_index":
+                    if not self.has_index(rec["descriptor"]["name"]):
+                        self.create_index(
+                            IndexDescriptor.from_json(rec["descriptor"]))
+                elif op == "update_index":
+                    if self.has_index(rec["descriptor"]["name"]):
+                        self.update_index(
+                            IndexDescriptor.from_json(rec["descriptor"]))
+                elif op == "delete_index":
+                    if self.has_index(rec["index"]):
+                        self.delete_index(rec["index"])
+                applied += 1
+            except Exception as e:
+                # one bad record must not block the rest of the log
+                from marqo_tpu.logging import get_logger
+                get_logger(__name__).warning(f"WAL replay skipped a "
+                                             f"record: {e}")
+        return applied
 
     # -- DDL --
 
@@ -371,6 +418,8 @@ class StoreEngine:
                 _Shard(descriptor) for _ in range(self.n_shards)]
             self._descriptors[descriptor.name] = descriptor
             self._mutations[descriptor.name] += 1
+        self._log({"op": "create_index",
+                   "descriptor": descriptor.to_json()})
 
     def update_index(self, descriptor: IndexDescriptor) -> None:
         """Semi-structured schema growth: swap the descriptor in place."""
@@ -380,6 +429,8 @@ class StoreEngine:
             for shard in shards:
                 shard.descriptor = descriptor
             self._mutations[descriptor.name] += 1
+        self._log({"op": "update_index",
+                   "descriptor": descriptor.to_json()})
 
     def delete_index(self, name: str) -> None:
         with self._lock:
@@ -389,6 +440,7 @@ class StoreEngine:
             del self._descriptors[name]
             self._mutations.pop(name, None)
             self._snapshotted.pop(name, None)
+        self._log({"op": "delete_index", "index": name})
 
     def has_index(self, name: str) -> bool:
         return name in self._indexes
@@ -414,6 +466,8 @@ class StoreEngine:
              tensors: Optional[dict] = None) -> None:
         self._shard_for(index_name, doc_id).feed(doc_id, fields, tensors or {})
         self._mutated(index_name)
+        self._log({"op": "feed", "index": index_name, "doc_id": doc_id,
+                   "fields": fields, "tensors": tensors or {}})
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:
         shard = self._shard_for(index_name, doc_id)
@@ -436,6 +490,8 @@ class StoreEngine:
         existed = self._shard_for(index_name, doc_id).delete(doc_id)
         if existed:
             self._mutated(index_name)
+            self._log({"op": "delete", "index": index_name,
+                       "doc_id": doc_id})
         return existed
 
     def delete_all(self, index_name: str) -> int:
@@ -448,6 +504,7 @@ class StoreEngine:
                 shard.delete(doc_id)
         if count:
             self._mutated(index_name)
+            self._log({"op": "delete_all", "index": index_name})
         return count
 
     def index_digest(self, index_name: str) -> dict:
