@@ -418,60 +418,13 @@ def on_start(config: Config) -> None:
     #    skips indexes that already exist (role of Vespa's durable store)
     data_dir = configs.read_env_vars_and_defaults("MARQO_ENGINE_DATA_DIR")
     from marqo_tpu.engine.store import StoreEngine
-    wal = None
     if data_dir and isinstance(config.engine, StoreEngine):
-        engine_dir = os.path.join(str(data_dir), "engine_data")
-        try:
-            restored = config.engine.restore(engine_dir)
-            if restored:
-                logger.info(f"Restored {restored} documents from {engine_dir}")
-        except Exception as e:
-            logger.warning(f"Engine restore failed: {e}")
-        # write-ahead log: replay mutations acknowledged after the last
-        # snapshot, then start logging (Vespa transactionlog role)
-        if str(configs.read_env_vars_and_defaults("MARQO_ENGINE_WAL")
-               ).upper() != "FALSE":
-            from marqo_tpu.engine.wal import WriteAheadLog
-            try:
-                wal = WriteAheadLog(
-                    os.path.join(engine_dir, "wal.log"),
-                    fsync=str(configs.read_env_vars_and_defaults(
-                        "MARQO_ENGINE_WAL_FSYNC")).upper() == "TRUE")
-                replayed = config.engine.replay_wal(wal)
-                if replayed:
-                    logger.info(f"Replayed {replayed} WAL records")
-                config.engine.attach_wal(wal)
-            except Exception as e:
-                logger.warning(f"WAL unavailable ({e}); snapshots only")
-                wal = None
+        # restore snapshots, replay + attach the WAL, start the snapshot
+        # daemon (shared with the standalone engine server)
+        from marqo_tpu.engine.wal import setup_engine_durability
+        setup_engine_durability(config.engine, str(data_dir))
     # 2. bootstrap settings store + any engine indexes without snapshots
     config.index_management.bootstrap()
-    if data_dir and isinstance(config.engine, StoreEngine):
-        engine_dir = os.path.join(str(data_dir), "engine_data")
-
-        import threading
-
-        def snapshot_loop():
-            import time as _time
-            while True:
-                _time.sleep(60)
-                try:
-                    # rotate first: the snapshot then covers every op in
-                    # the rotated-out log, so committing drops only
-                    # records the snapshot persists (crash anywhere in
-                    # between replays .old + current — idempotent)
-                    if wal is not None:
-                        wal.rotate_begin()
-                    config.engine.snapshot(engine_dir)
-                    if wal is not None:
-                        wal.rotate_commit()
-                except Exception as e:
-                    logger.warning(f"Engine snapshot failed: {e}")
-
-        if not any(t.name == "engine-snapshot"
-                   for t in threading.enumerate()):
-            threading.Thread(target=snapshot_loop, daemon=True,
-                             name="engine-snapshot").start()
     # 3. populate + start the index-cache refresh daemon
     config.index_meta_cache.populate()
     config.index_meta_cache.start_refresh_thread()

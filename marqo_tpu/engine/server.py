@@ -244,11 +244,29 @@ def build_engine_app(engine: StoreEngine):
     return app
 
 
-def main(host: str = "0.0.0.0", port: int = 8080, n_shards: int = 1):
+def main(host: str = "0.0.0.0", port: int = 8080, n_shards: int = 1,
+         data_dir: str = None):
+    from marqo_tpu.api import configs
     from marqo_tpu.api.http_framework import serve
     engine = StoreEngine(n_shards=n_shards)
+    # shard/cluster durability: the reference's external Vespa persists its
+    # document store + transaction log; the standalone engine server does
+    # the same (snapshots + WAL) when a data dir is configured
+    data_dir = data_dir or configs.read_env_vars_and_defaults(
+        "MARQO_ENGINE_DATA_DIR")
+    if data_dir:
+        from marqo_tpu.engine.wal import setup_engine_durability
+        setup_engine_durability(engine, str(data_dir))
     serve(build_engine_app(engine), host=host, port=port)
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    parser = argparse.ArgumentParser(description="marqo-tpu engine server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--shards", type=int, default=1)
+    parser.add_argument("--data-dir", default=None,
+                        help="persistence root (snapshots + WAL)")
+    args = parser.parse_args()
+    main(args.host, args.port, args.shards, args.data_dir)

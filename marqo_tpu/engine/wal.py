@@ -120,3 +120,61 @@ class WriteAheadLog:
     def close(self) -> None:
         with self._lock:
             self._fh.close()
+
+
+def setup_engine_durability(engine, data_dir: str,
+                            snapshot_interval_s: int = 60) -> Optional[
+                                WriteAheadLog]:
+    """Shared durability bootstrap for any process hosting a StoreEngine
+    (the API's in-process mode AND the standalone engine server): restore
+    the latest snapshots, replay the WAL, attach it, and start the
+    rotate→snapshot→commit daemon. Returns the WAL (None when disabled)."""
+    import threading
+
+    from marqo_tpu.api import configs
+
+    engine_dir = os.path.join(str(data_dir), "engine_data")
+    try:
+        restored = engine.restore(engine_dir)
+        if restored:
+            logger.info(f"Restored {restored} documents from {engine_dir}")
+    except Exception as e:
+        logger.warning(f"Engine restore failed: {e}")
+
+    wal = None
+    if str(configs.read_env_vars_and_defaults("MARQO_ENGINE_WAL")
+           ).upper() != "FALSE":
+        try:
+            wal = WriteAheadLog(
+                os.path.join(engine_dir, "wal.log"),
+                fsync=str(configs.read_env_vars_and_defaults(
+                    "MARQO_ENGINE_WAL_FSYNC")).upper() == "TRUE")
+            replayed = engine.replay_wal(wal)
+            if replayed:
+                logger.info(f"Replayed {replayed} WAL records")
+            engine.attach_wal(wal)
+        except Exception as e:
+            logger.warning(f"WAL unavailable ({e}); snapshots only")
+            wal = None
+
+    def snapshot_loop():
+        import time as _time
+        while True:
+            _time.sleep(snapshot_interval_s)
+            try:
+                # rotate first: the snapshot covers every op in the
+                # rotated-out log, so committing drops only records the
+                # snapshot persists (a crash in between replays .old +
+                # current — idempotent)
+                if wal is not None:
+                    wal.rotate_begin()
+                engine.snapshot(engine_dir)
+                if wal is not None:
+                    wal.rotate_commit()
+            except Exception as e:
+                logger.warning(f"Engine snapshot failed: {e}")
+
+    if not any(t.name == "engine-snapshot" for t in threading.enumerate()):
+        threading.Thread(target=snapshot_loop, daemon=True,
+                         name="engine-snapshot").start()
+    return wal

@@ -210,3 +210,24 @@ class TestWalBootPath:
                              str(tmp_path)], capture_output=True,
                             text=True, timeout=180, cwd="/root/repo")
         assert "RECOVERED 12" in r2.stdout, r2.stderr[-1500:]
+
+
+class TestEngineServerDurability:
+    def test_setup_engine_durability_cycle(self, tmp_path):
+        """The standalone engine server persists like the in-process mode:
+        snapshots + WAL via the shared setup_engine_durability()."""
+        from marqo_tpu.engine.wal import setup_engine_durability
+        eng = StoreEngine(n_shards=2)
+        wal = setup_engine_durability(eng, str(tmp_path),
+                                      snapshot_interval_s=3600)
+        assert wal is not None
+        eng.create_index(IndexDescriptor(name="idx", model_dimensions=8))
+        for i in range(8):
+            _feed(eng, i)
+        wal.close()  # crash: the snapshot daemon never ticked
+
+        eng2 = StoreEngine(n_shards=2)
+        setup_engine_durability(eng2, str(tmp_path),
+                                snapshot_interval_s=3600)
+        assert eng2.doc_count("idx") == 8
+        assert eng2.get("idx", "d5")["text"] == "doc 5"
