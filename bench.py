@@ -86,9 +86,9 @@ def ingest_bench() -> None:
                          "intermediate_size": 3072},
     }
     model = load_model("bench-e5-base", props, Device.TPU)
-    # 15 timed batches: the chip shows ±15% run-to-run timing drift
+    # 11 timed batches: the chip shows ±15% run-to-run timing drift
     # (BENCH_NOTES round-2 continuation), so a short window is noisy
-    docs_text, pool = build_text_corpus(8192)
+    docs_text, pool = build_text_corpus(6144)
     # word-level tokenizer (same Rust tokenizers runtime as production;
     # the random-init default is char-level, which would distort lengths)
     model.tokenizer = TextTokenizer.build_test_wordpiece(
