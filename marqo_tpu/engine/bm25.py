@@ -124,7 +124,10 @@ class Bm25FieldIndex:
         positional adjacency is enforced by the native engine)."""
         tokens = tokenize(phrase)
         if not tokens:
-            return set(self.doc_lengths)
+            # a phrase that tokenizes to nothing (e.g. quoted "*" or pure
+            # punctuation) can never match — reference treats quoted
+            # wildcards as literals (test_search_combined.py:778 expects 0)
+            return set()
         result: Optional[Set[str]] = None
         for tok in tokens:
             docs = set(self.postings.get(tok, ()))
@@ -199,7 +202,7 @@ class NativeBm25FieldIndex:
     def docs_with_phrase(self, phrase: str) -> Set[str]:
         tokens = tokenize(phrase)
         if not tokens:
-            return set(self._handle_by_doc)
+            return set()  # see Bm25FieldIndex.docs_with_phrase
         handles = self._native.phrase_docs(" ".join(tokens))
         return {self._doc_by_handle[int(h)] for h in handles
                 if int(h) in self._doc_by_handle}

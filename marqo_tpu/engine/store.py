@@ -1006,6 +1006,20 @@ class StoreEngine:
         coordinator supplies cluster-wide stats; absent that, a multi-shard
         engine aggregates across its own shards, so ranking always equals a
         single-shard index."""
+        # wildcard match-all: a lone `*` optional term matches every live
+        # document, filters still apply; a quoted "*" stays literal
+        # (reference _get_lexical_search_term → YQL `true`,
+        # structured_vespa_index.py:811; bm25 of no terms = 0.0)
+        if or_phrases == ["*"] and not and_phrases:
+            out: Dict[str, Tuple[float, None]] = {}
+            for shard in self._shards(index_name):
+                with shard.lock:
+                    allowed = shard.allowed_docs(search_filter)
+                    for doc_id in shard.docs:
+                        if allowed is None or doc_id in allowed:
+                            out[doc_id] = (0.0, None)
+            return out
+
         terms = [t for phrase in or_phrases for t in tokenize(phrase)]
         if global_stats is None and len(self._shards(index_name)) > 1:
             all_terms = terms + [t for p in and_phrases for t in tokenize(p)]

@@ -232,3 +232,45 @@ class TestRecommendHostileIds:
         ids = [h["_id"] for h in out["hits"]]
         assert "a,b" not in ids        # input doc excluded
         assert "plain" in ids or "other" in ids
+
+
+class TestWildcardLexical:
+    """Reference test_wildcard_lexical_query (test_search_combined.py:778):
+    a lone `*` optional term matches ALL documents (filters still apply);
+    quoted "*" is literal; a required phrase still gates the wildcard."""
+
+    @pytest.mark.parametrize("query,expected", [
+        ("*", 3),            # match-all
+        ('"*"', 0),          # quoted: literal, matches nothing
+        ('"noodles" *', 0),  # required phrase gates; "noodles" is a term
+                             # inside fields but as an exact PHRASE of one
+                             # word it must match a token — see below
+    ])
+    def test_wildcard_variants(self, config, query, expected):
+        if query == '"noodles" *':
+            # phrase "noodles" DOES occur in both noodle docs; expected 2
+            expected = 2
+        res = tensor_search.search(config, index_name="scen-index",
+                                   text=query, search_method="LEXICAL",
+                                   limit=10)
+        assert len(res["hits"]) == expected, (query, res["hits"])
+
+    def test_wildcard_with_filter(self, config):
+        res = tensor_search.search(config, index_name="scen-index",
+                                   text="*", search_method="LEXICAL",
+                                   limit=10, filter="popularity:[10 TO *]")
+        assert [h["_id"] for h in res["hits"]] == ["a2"]
+
+    def test_empty_query_returns_nothing(self, config):
+        res = tensor_search.search(config, index_name="scen-index",
+                                   text="", search_method="LEXICAL",
+                                   limit=10)
+        assert res["hits"] == []
+
+    def test_wildcard_in_hybrid_lexical_leg(self, config):
+        res = tensor_search.search(
+            config, index_name="scen-index", text="*",
+            search_method="HYBRID",
+            hybrid_parameters={"retrievalMethod": "lexical",
+                               "rankingMethod": "lexical"}, limit=10)
+        assert len(res["hits"]) == 3
