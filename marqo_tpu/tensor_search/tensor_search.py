@@ -330,6 +330,18 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
                    show_highlights, text_query_prefix, hybrid_parameters,
                    model_auth, expose_facets) -> dict:
     params = HybridParameters(**(hybrid_parameters or {}))
+    if text is None:
+        # a None query is only a context-vector tensor search in disguise
+        # (reference hybrid_search.py:132-142)
+        if not (params.retrievalMethod == RetrievalMethod.Tensor
+                and params.rankingMethod == RankingMethod.Tensor):
+            raise InvalidArgumentError(
+                "Query cannot be 'None' for hybrid search unless "
+                "retrieval_method and ranking_method are both 'tensor'.")
+        if context is None:
+            raise InvalidArgumentError(
+                "Query cannot be 'None' for hybrid search unless "
+                "'context' is provided.")
     needs_tensor = (params.retrievalMethod in (RetrievalMethod.Disjunction,
                                                RetrievalMethod.Tensor)
                     or params.rankingMethod == RankingMethod.Tensor)

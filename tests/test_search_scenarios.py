@@ -274,3 +274,40 @@ class TestWildcardLexical:
             hybrid_parameters={"retrievalMethod": "lexical",
                                "rankingMethod": "lexical"}, limit=10)
         assert len(res["hits"]) == 3
+
+
+class TestHybridNoneQuery:
+    """Reference hybrid_search.py:132-142: text=None is only valid as a
+    context-vector tensor search (retrieval AND ranking both 'tensor')."""
+
+    def test_none_query_with_context_tensor_tensor_passes(self, config):
+        ctx = {"tensor": [{"vector": [0.1] * 16, "weight": 1.0}]}
+        res = tensor_search.search(
+            config, index_name="scen-index", text=None, context=ctx,
+            search_method="HYBRID",
+            hybrid_parameters={"retrievalMethod": "tensor",
+                               "rankingMethod": "tensor"})
+        assert len(res["hits"]) == 3
+
+    @pytest.mark.parametrize("retrieval,ranking", [
+        ("disjunction", "rrf"), ("tensor", "lexical"),
+        ("lexical", "tensor"), ("lexical", "lexical")])
+    def test_none_query_wrong_methods_fail(self, config, retrieval, ranking):
+        from marqo_tpu.core.exceptions import InvalidArgumentError
+        ctx = {"tensor": [{"vector": [0.1] * 16, "weight": 1.0}]}
+        with pytest.raises(InvalidArgumentError,
+                           match="both 'tensor'"):
+            tensor_search.search(
+                config, index_name="scen-index", text=None, context=ctx,
+                search_method="HYBRID",
+                hybrid_parameters={"retrievalMethod": retrieval,
+                                   "rankingMethod": ranking})
+
+    def test_none_query_without_context_fails(self, config):
+        from marqo_tpu.core.exceptions import InvalidArgumentError
+        with pytest.raises(InvalidArgumentError, match="context"):
+            tensor_search.search(
+                config, index_name="scen-index", text=None,
+                search_method="HYBRID",
+                hybrid_parameters={"retrievalMethod": "tensor",
+                                   "rankingMethod": "tensor"})
