@@ -393,6 +393,15 @@ def add_documents(config: Config, params: AddDocsParams) -> dict:
 
 def get_document_by_id(config: Config, index_name: str, document_id: str,
                        show_vectors: bool = False) -> dict:
+    # reference validation.validate_id: non-string / empty ids are a 400,
+    # not a 404 (test_get_document.py:80-96)
+    if not isinstance(document_id, str):
+        raise api_exceptions.InvalidDocumentIdError(
+            f"Document _id must be a string type! Received _id "
+            f"{document_id} of type `{type(document_id).__name__}`")
+    if not document_id:
+        raise api_exceptions.InvalidDocumentIdError(
+            "Document _id can't be empty")
     index = config.index_meta_cache.get_index(index_name)
     doc = config.engine.get(index.schema_name, document_id)
     if doc is None:
@@ -428,6 +437,11 @@ def get_documents_by_ids(config: Config, index_name: str,
             results.append({**doc, "_found": True})
         except api_exceptions.DocumentNotFoundError:
             results.append({constants.MARQO_DOC_ID: doc_id, "_found": False})
+        except api_exceptions.InvalidDocumentIdError as e:
+            # per-item 400 instead of failing the batch (reference
+            # test_get_documents_by_ids_InvalidIdsResponse)
+            results.append({constants.MARQO_DOC_ID: doc_id, "status": 400,
+                            "message": e.message})
     return {"results": results}
 
 

@@ -311,3 +311,24 @@ class TestHybridNoneQuery:
                 search_method="HYBRID",
                 hybrid_parameters={"retrievalMethod": "tensor",
                                    "rankingMethod": "tensor"})
+
+
+class TestGetDocumentValidation:
+    """Reference test_get_document.py:80-96 + InvalidIdsResponse: bad ids
+    are 400s — per-item in batch gets, raised for single gets."""
+
+    def test_single_get_bad_ids_raise(self, config):
+        from marqo_tpu.api import exceptions as api_exceptions
+        for bad in ["", 12.2, 1, [], {}, None]:
+            with pytest.raises(api_exceptions.InvalidDocumentIdError):
+                tensor_search.get_document_by_id(config, "scen-index", bad)
+
+    def test_batch_get_invalid_ids_per_item(self, config):
+        res = tensor_search.get_documents_by_ids(
+            config, "scen-index", ["a1", 2, "missing", None])
+        items = res["results"]
+        assert items[0]["_found"] is True
+        assert items[1]["status"] == 400
+        assert "must be a string" in items[1]["message"]
+        assert items[2]["_found"] is False
+        assert items[3]["status"] == 400
