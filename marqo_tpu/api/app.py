@@ -186,6 +186,12 @@ def build_app(config: Config) -> App:
         index_name = request.path_params["index_name"]
         query = bind_body(request, SearchQuery)
         device = _validate_device(request)
+        if query.boost is not None and query.boost != {}:
+            # parity: the reference accepts the legacy boost param but
+            # rejects it in 2.x (tensor_search.py:2211); an empty dict is
+            # a no-op (test_boost_field_scores.test_boost_empty_dict)
+            raise api_exceptions.InvalidArgError(
+                "Boosting is not currently supported")
         text = query.q
         context = (query.context.model_dump() if query.context else None)
         if isinstance(text, CustomVectorQuery):

@@ -142,3 +142,17 @@ class TestFuzzRoutes:
             assert status in (200, 400, 404, 405), (path, status, body)
         status, body = server("GET", "/health")
         assert status == 200
+
+
+def test_boost_param_rejected(server):
+    """Reference 2.x accepts the legacy boost param but rejects it
+    (tensor_search.py:2211); empty dict is a no-op."""
+    import json as _json
+    status, body = server(
+        "POST", "/indexes/fuzz-idx/search",
+        _json.dumps({"q": "x", "boost": {"text": [5, 1]}}).encode())
+    assert status == 400, body
+    status, body = server(
+        "POST", "/indexes/fuzz-idx/search",
+        _json.dumps({"q": "x", "boost": {}}).encode())
+    assert status == 200, body
