@@ -219,7 +219,9 @@ def build_app(config: Config) -> App:
             model_auth=(query.modelAuth.model_dump()
                         if query.modelAuth else None),
             expose_facets=query.exposeFacets,
-            reranker=query.reRanker)
+            reranker=query.reRanker,
+            media_download_headers=(query.mediaDownloadHeaders
+                                    or query.image_download_headers))
 
     @app.post("/indexes/{index_name}/recommend")
     @throttle(RequestType.SEARCH)

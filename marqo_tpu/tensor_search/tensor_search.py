@@ -67,7 +67,9 @@ def compute_query_vector(index: MarqoIndex,
                          context: Optional[dict],
                          device: Optional[str],
                          text_query_prefix: Optional[str] = None,
-                         model_auth: Optional[dict] = None) -> List[float]:
+                         model_auth: Optional[dict] = None,
+                         media_download_headers: Optional[dict] = None
+                         ) -> List[float]:
     """Vectorise a (possibly weighted multi-part) query with content dedup,
     merge with context vectors (reference run_vectorise_pipeline +
     get_query_vectors_from_jobs, tensor_search.py:1913-2058)."""
@@ -134,10 +136,12 @@ def compute_query_vector(index: MarqoIndex,
                 got_any = True
         for modality, items in by_modality.items():
             if modality == Modality.IMAGE:
-                contents = [host_decode(fetch_content(q)) for q, _ in items]
+                contents = [host_decode(fetch_content(
+                    q, media_download_headers)) for q, _ in items]
             elif modality == Modality.AUDIO:
                 from marqo_tpu.ops.audio_ops import load_wav
-                contents = [load_wav(fetch_content(q)) for q, _ in items]
+                contents = [load_wav(fetch_content(
+                    q, media_download_headers)) for q, _ in items]
             else:
                 raise InvalidArgumentError(
                     "Video queries require pre-decoded frames; query by "
@@ -194,7 +198,8 @@ def search(config: Config, index_name: str,
            model_auth: Optional[dict] = None,
            expose_facets: bool = False,
            reranker: Optional[str] = None,
-           reranker_properties: Optional[dict] = None) -> dict:
+           reranker_properties: Optional[dict] = None,
+           media_download_headers: Optional[dict] = None) -> dict:
     start = time.perf_counter()
     _validate_pagination(limit, offset)
     method = str(search_method).upper()
@@ -225,7 +230,8 @@ def search(config: Config, index_name: str,
                                 ef_search, approximate, searchable_attributes,
                                 search_filter, mods, attributes_to_retrieve,
                                 device, show_highlights, text_query_prefix,
-                                model_auth, expose_facets)
+                                model_auth, expose_facets,
+                                media_download_headers)
     elif method == SEARCH_METHOD_LEXICAL:
         result = _lexical_search(config, index, text, limit, offset,
                                  searchable_attributes, search_filter, mods,
@@ -235,7 +241,8 @@ def search(config: Config, index_name: str,
                                 ef_search, approximate, search_filter,
                                 attributes_to_retrieve, device,
                                 show_highlights, text_query_prefix,
-                                hybrid_parameters, model_auth, expose_facets)
+                                hybrid_parameters, model_auth, expose_facets,
+                                media_download_headers)
 
     if reranker is not None:
         # optional cross-encoder rerank (reference tensor_search.py:1619-1637)
@@ -284,12 +291,14 @@ def _default_ef_search(ef_search: Optional[int], limit: int,
 def _tensor_search(config, index, text, context, limit, offset, ef_search,
                    approximate, searchable_attributes, search_filter, mods,
                    attributes_to_retrieve, device, show_highlights,
-                   text_query_prefix, model_auth, expose_facets) -> dict:
+                   text_query_prefix, model_auth, expose_facets,
+                   media_download_headers=None) -> dict:
     from marqo_tpu.api.telemetry import RequestMetricsStore
     metrics = RequestMetricsStore.for_request()
     with metrics.time("search.vector.processing_before_engine"):
         vector = compute_query_vector(index, text, context, device,
-                                      text_query_prefix, model_auth)
+                                      text_query_prefix, model_auth,
+                                      media_download_headers)
     if approximate is None:
         approximate = configs.read_env_vars_and_defaults_bool(
             "MARQO_DEFAULT_APPROXIMATE_SEARCH")
@@ -328,7 +337,8 @@ def _lexical_search(config, index, text, limit, offset,
 def _hybrid_search(config, index, text, context, limit, offset, ef_search,
                    approximate, search_filter, attributes_to_retrieve, device,
                    show_highlights, text_query_prefix, hybrid_parameters,
-                   model_auth, expose_facets) -> dict:
+                   model_auth, expose_facets,
+                   media_download_headers=None) -> dict:
     params = HybridParameters(**(hybrid_parameters or {}))
     if text is None:
         # a None query is only a context-vector tensor search in disguise
@@ -348,7 +358,8 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
     vector: List[float] = []
     if needs_tensor:
         vector = compute_query_vector(index, text, context, device,
-                                      text_query_prefix, model_auth)
+                                      text_query_prefix, model_auth,
+                                      media_download_headers)
     if isinstance(text, str):
         and_phrases, or_terms = parse_lexical_query(text)
     else:

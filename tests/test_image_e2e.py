@@ -172,3 +172,57 @@ class TestStructuredImagePointer:
                                    searchable_attributes=["img"])
         assert out["hits"][0]["_id"] == "green"
         inference.clear_loaded_models()
+
+
+class TestMediaDownloadHeadersOnSearch:
+    def test_query_image_url_sent_with_headers(self, config):
+        """Search with an image-URL query passes mediaDownloadHeaders to
+        the fetch (reference test_image_download_headers.py:60
+        test_img_download_search) — a 401-unless-authorized server only
+        serves the query image when the header arrives."""
+        import io
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from PIL import Image as PILImage
+
+        buf = io.BytesIO()
+        PILImage.new("RGB", (32, 32), color=(200, 30, 30)).save(buf, "PNG")
+        png = buf.getvalue()
+        seen = {}
+
+        class AuthImage(BaseHTTPRequestHandler):
+            def do_GET(self):
+                seen["auth"] = self.headers.get("Authorization")
+                if self.headers.get("Authorization") != "token s3cret":
+                    self.send_response(401)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.end_headers()
+                self.wfile.write(png)
+
+            def log_message(self, *a):
+                pass
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), AuthImage)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}/q.png"
+            tensor_search.add_documents(config, AddDocsParams(
+                index_name="img-index",
+                docs=[{"_id": "d1", "caption": "a text doc"}],
+                tensor_fields=["caption"]))
+            res = tensor_search.search(
+                config, index_name="img-index", text=url, limit=1,
+                media_download_headers={"Authorization": "token s3cret"})
+            assert seen["auth"] == "token s3cret"
+            assert len(res["hits"]) == 1
+            # without the header the fetch must fail (401)
+            with pytest.raises(Exception):
+                tensor_search.search(config, index_name="img-index",
+                                     text=url, limit=1)
+        finally:
+            server.shutdown()
