@@ -252,7 +252,9 @@ def build_app(config: Config) -> App:
             index_name=index_name, content=body.content,
             content_type=body.content_type, device=device,
             model_auth=(body.modelAuth.model_dump()
-                        if body.modelAuth else None))
+                        if body.modelAuth else None),
+            media_download_headers=(body.mediaDownloadHeaders
+                                    or body.image_download_headers))
 
     # --- documents --------------------------------------------------------
 

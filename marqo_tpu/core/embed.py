@@ -28,7 +28,8 @@ class Embed:
                       content: Union[str, Dict[str, float], List],
                       content_type: Optional[str] = EmbedContentType.Query,
                       device: Optional[str] = None,
-                      model_auth: Optional[dict] = None) -> dict:
+                      model_auth: Optional[dict] = None,
+                      media_download_headers: Optional[dict] = None) -> dict:
         start = time.perf_counter()
         index = self.config.index_meta_cache.get_index(index_name)
 
@@ -52,8 +53,9 @@ class Embed:
         for item in items:
             if isinstance(item, str):
                 if self._is_image_pointer(index, item):
-                    embeddings.append(self._embed_image(index, item, device,
-                                                        model_auth))
+                    embeddings.append(self._embed_image(
+                        index, item, device, model_auth,
+                        media_download_headers))
                     continue
                 vectors = inference.vectorise(
                     model_name=index.model.name,
@@ -105,11 +107,12 @@ class Embed:
                 and infer_modality(item) == Modality.IMAGE)
 
     @staticmethod
-    def _embed_image(index, pointer: str, device, model_auth) -> List[float]:
+    def _embed_image(index, pointer: str, device, model_auth,
+                     media_download_headers=None) -> List[float]:
         from marqo_tpu.inference.types import Modality
         from marqo_tpu.ops.image_ops import host_decode
         from marqo_tpu.tensor_search.add_docs import fetch_content
-        image = host_decode(fetch_content(pointer))
+        image = host_decode(fetch_content(pointer, media_download_headers))
         vectors = inference.vectorise(
             model_name=index.model.name, content=[image],
             model_properties=(index.model.properties
