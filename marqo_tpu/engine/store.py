@@ -803,7 +803,7 @@ class StoreEngine:
         merged: Dict[str, dict] = {}
         for shard in self._shards(index_name):
             with shard.lock:
-                fields = (searchable_fields if searchable_fields
+                fields = (searchable_fields if searchable_fields is not None
                           else list(shard.lexical))
                 for field in fields:
                     idx = shard.lexical.get(field)
@@ -940,7 +940,9 @@ class StoreEngine:
         for shard in shards:
             with shard.lock:
                 allowed = shard.allowed_docs(search_filter)
-                fields = (searchable_fields if searchable_fields
+                # [] means "search zero fields" — only None means all
+                # (reference test_pagination_empty_searchable_attributes)
+                fields = (searchable_fields if searchable_fields is not None
                           else list(shard.tensors))
                 for field in fields:
                     ts = shard.tensors.get(field)
@@ -1029,7 +1031,7 @@ class StoreEngine:
         for shard in self._shards(index_name):
             with shard.lock:
                 allowed = shard.allowed_docs(search_filter)
-                fields = (searchable_fields if searchable_fields
+                fields = (searchable_fields if searchable_fields is not None
                           else list(shard.lexical))
                 # required phrases: doc must contain every phrase in at
                 # least one searched field

@@ -332,3 +332,20 @@ class TestGetDocumentValidation:
         assert "must be a string" in items[1]["message"]
         assert items[2]["_found"] is False
         assert items[3]["status"] == 400
+
+
+class TestEmptySearchableAttributes:
+    """Reference test_pagination_empty_searchable_attributes: [] means
+    search ZERO fields (no hits); only None/absent means all fields."""
+
+    @pytest.mark.parametrize("method", ["TENSOR", "LEXICAL"])
+    def test_empty_list_returns_nothing(self, config, method):
+        res = tensor_search.search(config, index_name="scen-index",
+                                   text="noodles", search_method=method,
+                                   searchable_attributes=[])
+        assert res["hits"] == []
+
+    def test_none_searches_all_fields(self, config):
+        res = tensor_search.search(config, index_name="scen-index",
+                                   text="noodles")
+        assert len(res["hits"]) > 0
