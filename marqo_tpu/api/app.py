@@ -186,11 +186,16 @@ def build_app(config: Config) -> App:
         index_name = request.path_params["index_name"]
         query = bind_body(request, SearchQuery)
         device = _validate_device(request)
-        if query.boost is not None and query.boost != {}:
-            # parity: the reference accepts the legacy boost param but
-            # rejects it in 2.x (tensor_search.py:2211); an empty dict is
-            # a no-op (test_boost_field_scores.test_boost_empty_dict)
-            raise api_exceptions.InvalidArgError(
+        if query.boost is not None:
+            # parity with the reference's exact status codes: non-TENSOR
+            # methods reject any boost at validation (400,
+            # validation.py:202-206); the TENSOR path raises its generic
+            # not-supported error (500, tensor_search.py:2211)
+            if str(query.searchMethod).upper() != "TENSOR":
+                raise api_exceptions.InvalidArgError(
+                    'Boosting is only supported for search_method="TENSOR".'
+                    f" Received search_method={query.searchMethod}")
+            raise api_exceptions.MarqoWebError(
                 "Boosting is not currently supported")
         text = query.q
         context = (query.context.model_dump() if query.context else None)

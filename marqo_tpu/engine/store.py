@@ -464,10 +464,15 @@ class StoreEngine:
 
     def feed(self, index_name: str, doc_id: str, fields: dict,
              tensors: Optional[dict] = None) -> None:
-        self._shard_for(index_name, doc_id).feed(doc_id, fields, tensors or {})
+        shard = self._shard_for(index_name, doc_id)
+        # log under the shard lock (RLock): WAL order must match apply
+        # order per document, else a crash replay can resurrect a deleted
+        # doc or revert an upsert (apply-then-log outside the lock races)
+        with shard.lock:
+            shard.feed(doc_id, fields, tensors or {})
+            self._log({"op": "feed", "index": index_name, "doc_id": doc_id,
+                       "fields": fields, "tensors": tensors or {}})
         self._mutated(index_name)
-        self._log({"op": "feed", "index": index_name, "doc_id": doc_id,
-                   "fields": fields, "tensors": tensors or {}})
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:
         shard = self._shard_for(index_name, doc_id)
@@ -487,11 +492,14 @@ class StoreEngine:
             return result
 
     def delete(self, index_name: str, doc_id: str) -> bool:
-        existed = self._shard_for(index_name, doc_id).delete(doc_id)
+        shard = self._shard_for(index_name, doc_id)
+        with shard.lock:  # see feed(): log order == apply order per doc
+            existed = shard.delete(doc_id)
+            if existed:
+                self._log({"op": "delete", "index": index_name,
+                           "doc_id": doc_id})
         if existed:
             self._mutated(index_name)
-            self._log({"op": "delete", "index": index_name,
-                       "doc_id": doc_id})
         return existed
 
     def delete_all(self, index_name: str) -> int:
@@ -504,6 +512,9 @@ class StoreEngine:
                 shard.delete(doc_id)
         if count:
             self._mutated(index_name)
+            # coarse ordering: a feed racing delete_all may replay in
+            # either order — the same nondeterminism the caller already
+            # has (per-doc ops above ARE strictly ordered via shard locks)
             self._log({"op": "delete_all", "index": index_name})
         return count
 

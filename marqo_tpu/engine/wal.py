@@ -92,9 +92,10 @@ class WriteAheadLog:
             # reflected in engine state (ops were applied) — fold it in by
             # concatenation so no acknowledged write is dropped
             if os.path.exists(self.old_path):
+                import shutil
                 with open(self.old_path, "ab") as dst, \
                         open(self.path, "rb") as src:
-                    dst.write(src.read())
+                    shutil.copyfileobj(src, dst)  # constant memory
                 os.remove(self.path)
             else:
                 os.replace(self.path, self.old_path)
@@ -122,6 +123,14 @@ class WriteAheadLog:
             self._fh.close()
 
 
+# engine_dir → (engine, wal): the snapshot daemon reads the CURRENT
+# registration each tick, so re-running setup (config rebuilds, tests)
+# swaps the engine the daemon persists instead of leaving a stale daemon
+# rotating the live WAL against a dead engine
+_ACTIVE: dict = {}
+_ACTIVE_LOCK = threading.Lock()
+
+
 def setup_engine_durability(engine, data_dir: str,
                             snapshot_interval_s: int = 60) -> Optional[
                                 WriteAheadLog]:
@@ -142,11 +151,12 @@ def setup_engine_durability(engine, data_dir: str,
         logger.warning(f"Engine restore failed: {e}")
 
     wal = None
+    wal_path = os.path.join(engine_dir, "wal.log")
     if str(configs.read_env_vars_and_defaults("MARQO_ENGINE_WAL")
            ).upper() != "FALSE":
         try:
             wal = WriteAheadLog(
-                os.path.join(engine_dir, "wal.log"),
+                wal_path,
                 fsync=str(configs.read_env_vars_and_defaults(
                     "MARQO_ENGINE_WAL_FSYNC")).upper() == "TRUE")
             replayed = engine.replay_wal(wal)
@@ -156,25 +166,43 @@ def setup_engine_durability(engine, data_dir: str,
         except Exception as e:
             logger.warning(f"WAL unavailable ({e}); snapshots only")
             wal = None
+    if wal is None:
+        # quarantine any leftover log: snapshots will keep advancing with
+        # no rotation, and replaying these records over a FUTURE snapshot
+        # (next WAL-enabled run) would resurrect deleted/overwritten docs
+        for leftover in (wal_path, wal_path + ".old"):
+            if os.path.exists(leftover):
+                os.replace(leftover, leftover + ".stale")
+                logger.warning(f"Quarantined stale WAL {leftover} "
+                               f"(WAL disabled this run)")
+
+    with _ACTIVE_LOCK:
+        start_daemon = engine_dir not in _ACTIVE
+        _ACTIVE[engine_dir] = (engine, wal)
 
     def snapshot_loop():
         import time as _time
         while True:
             _time.sleep(snapshot_interval_s)
+            with _ACTIVE_LOCK:
+                current = _ACTIVE.get(engine_dir)
+            if current is None:
+                return
+            cur_engine, cur_wal = current
             try:
                 # rotate first: the snapshot covers every op in the
                 # rotated-out log, so committing drops only records the
                 # snapshot persists (a crash in between replays .old +
                 # current — idempotent)
-                if wal is not None:
-                    wal.rotate_begin()
-                engine.snapshot(engine_dir)
-                if wal is not None:
-                    wal.rotate_commit()
+                if cur_wal is not None:
+                    cur_wal.rotate_begin()
+                cur_engine.snapshot(engine_dir)
+                if cur_wal is not None:
+                    cur_wal.rotate_commit()
             except Exception as e:
                 logger.warning(f"Engine snapshot failed: {e}")
 
-    if not any(t.name == "engine-snapshot" for t in threading.enumerate()):
+    if start_daemon:
         threading.Thread(target=snapshot_loop, daemon=True,
-                         name="engine-snapshot").start()
+                         name=f"engine-snapshot::{engine_dir}").start()
     return wal

@@ -406,13 +406,8 @@ def get_document_by_id(config: Config, index_name: str, document_id: str,
                        show_vectors: bool = False) -> dict:
     # reference validation.validate_id: non-string / empty ids are a 400,
     # not a 404 (test_get_document.py:80-96)
-    if not isinstance(document_id, str):
-        raise api_exceptions.InvalidDocumentIdError(
-            f"Document _id must be a string type! Received _id "
-            f"{document_id} of type `{type(document_id).__name__}`")
-    if not document_id:
-        raise api_exceptions.InvalidDocumentIdError(
-            "Document _id can't be empty")
+    from marqo_tpu.tensor_search.utils import validate_doc_id
+    validate_doc_id(document_id)
     index = config.index_meta_cache.get_index(index_name)
     doc = config.engine.get(index.schema_name, document_id)
     if doc is None:

@@ -32,3 +32,18 @@ def read_device(device) -> str:
     """Normalize a request device string; accepts reference-style cuda ids."""
     from marqo_tpu.inference.types import Device
     return Device.normalize(device).value
+
+
+def validate_doc_id(doc_id) -> None:
+    """Shared _id validation (reference validation.validate_id): raises the
+    API-level 400 for non-string or empty ids. Used by the document get
+    paths; the add-documents handler wraps the same condition into its
+    per-doc error envelope."""
+    from marqo_tpu.api import exceptions as api_exceptions
+    if not isinstance(doc_id, str):
+        raise api_exceptions.InvalidDocumentIdError(
+            f"Document _id must be a string type! Received _id {doc_id} "
+            f"of type `{type(doc_id).__name__}`")
+    if not doc_id:
+        raise api_exceptions.InvalidDocumentIdError(
+            "Document _id can't be empty")

@@ -145,14 +145,20 @@ class TestFuzzRoutes:
 
 
 def test_boost_param_rejected(server):
-    """Reference 2.x accepts the legacy boost param but rejects it
-    (tensor_search.py:2211); empty dict is a no-op."""
+    """Reference 2.x boost status codes: TENSOR + boost → 500 (generic
+    not-supported, tensor_search.py:2211); non-TENSOR + any boost → 400
+    (validation.py:202-206)."""
     import json as _json
     status, body = server(
         "POST", "/indexes/fuzz-idx/search",
         _json.dumps({"q": "x", "boost": {"text": [5, 1]}}).encode())
+    assert status == 500, body
+    status, body = server(
+        "POST", "/indexes/fuzz-idx/search",
+        _json.dumps({"q": "x", "searchMethod": "LEXICAL",
+                     "boost": {}}).encode())
     assert status == 400, body
     status, body = server(
         "POST", "/indexes/fuzz-idx/search",
-        _json.dumps({"q": "x", "boost": {}}).encode())
+        _json.dumps({"q": "x"}).encode())
     assert status == 200, body

@@ -231,3 +231,44 @@ class TestEngineServerDurability:
                                 snapshot_interval_s=3600)
         assert eng2.doc_count("idx") == 8
         assert eng2.get("idx", "d5")["text"] == "doc 5"
+
+
+class TestWalGenerationBinding:
+    def test_stale_wal_quarantined_when_disabled(self, tmp_path,
+                                                 monkeypatch):
+        """A WAL left by an earlier run must NOT be replayed over newer
+        snapshots after an intermediate WAL-disabled run (it would
+        resurrect deleted docs)."""
+        from marqo_tpu.engine.wal import setup_engine_durability
+
+        # run 1: WAL on; d1 makes it into a snapshot, d2 only into the
+        # WAL; crash
+        eng = StoreEngine()
+        wal = setup_engine_durability(eng, str(tmp_path),
+                                      snapshot_interval_s=3600)
+        eng.create_index(IndexDescriptor(name="idx", model_dimensions=8))
+        _feed(eng, 1)
+        eng.snapshot(str(tmp_path / "engine_data"))
+        _feed(eng, 2)
+        wal.close()
+
+        # run 2: WAL disabled — restores the snapshot, deletes d1,
+        # snapshots, exits. The leftover run-1 log is quarantined.
+        monkeypatch.setenv("MARQO_ENGINE_WAL", "FALSE")
+        eng2 = StoreEngine()
+        assert setup_engine_durability(eng2, str(tmp_path),
+                                       snapshot_interval_s=3600) is None
+        assert eng2.get("idx", "d1") is not None
+        eng2.delete("idx", "d1")
+        eng2.snapshot(str(tmp_path / "engine_data"))
+
+        # run 3: WAL on again — run-1's stale log must not resurrect d1
+        # (or d2, whose ack was forfeited by the WAL-disabled run)
+        monkeypatch.delenv("MARQO_ENGINE_WAL")
+        eng3 = StoreEngine()
+        setup_engine_durability(eng3, str(tmp_path),
+                                snapshot_interval_s=3600)
+        assert eng3.get("idx", "d1") is None
+        assert eng3.get("idx", "d2") is None
+        assert os.path.exists(
+            str(tmp_path / "engine_data" / "wal.log.stale"))
