@@ -721,5 +721,45 @@ class JaxCoCaModel:
             compute_dtype=self.compute_dtype)
         return np.asarray(logits)
 
+    def generate_caption_ids(self, images: List[Any], max_len: int = 16,
+                             sot_id: int = 1,
+                             eos_id: Optional[int] = None) -> List[List[int]]:
+        """Greedy caption decoding (open_clip CoCa.generate with
+        generation_type='top_k', k=1): start from <sot>, feed the growing
+        prefix through the text tower + multimodal decoder, take the
+        argmax next token, stop at <eos> or max_len. Host-side loop (one
+        compile per prefix length) — adequate for the captioning surface;
+        serving-scale generation would move the loop into lax.scan."""
+        from marqo_tpu.models.clip import JaxCLIPModel
+        pixels = np.stack([
+            JaxCLIPModel._preprocess_host(self, c) for c in images])
+        _, image_tokens = encode_coca_image(
+            self.params, jnp.asarray(pixels), self.vision_config,
+            compute_dtype=self.compute_dtype, return_tokens=True)
+        B = len(images)
+        seqs = [[sot_id] for _ in range(B)]
+        finished = [False] * B
+        for _ in range(max_len - 1):
+            ids = np.asarray(seqs, dtype=np.int32)
+            _, token_embs = encode_coca_text(
+                self.params, jnp.asarray(ids), self.text_config,
+                compute_dtype=self.compute_dtype, return_tokens=True)
+            logits = coca_decode_logits(
+                self.params, token_embs, image_tokens, self.decoder_config,
+                compute_dtype=self.compute_dtype)
+            next_ids = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
+            for b in range(B):
+                tok = int(next_ids[b])
+                if finished[b]:
+                    tok = eos_id if eos_id is not None else tok
+                seqs[b].append(tok)
+                if eos_id is not None and tok == eos_id:
+                    finished[b] = True
+            if eos_id is not None and all(finished):
+                break
+            if ids.shape[1] + 1 >= self.text_config.context_length:
+                break
+        return seqs
+
     def memory_bytes(self) -> int:
         return self._param_bytes

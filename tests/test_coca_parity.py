@@ -337,3 +337,30 @@ class TestCoCaModelWrapper:
         img = np.zeros((32, 32, 3), dtype=np.uint8)
         logits = model.caption_logits(["a cat"], [img])
         assert logits.shape == (1, 12, 64)
+
+
+class TestCoCaGeneration:
+    def test_greedy_caption_generation(self):
+        """Greedy decode: deterministic, grows from <sot>, respects
+        max_len and eos, one caption per image."""
+        from marqo_tpu.inference.types import Device
+        from marqo_tpu.models.coca import JaxCoCaModel
+        model = JaxCoCaModel(
+            "open_clip/coca_ViT-B-32/laion2b_s13b_b90k",
+            {"random_init": True, "dimensions": 16, "image_size": 32,
+             "architecture": {"patch_size": 16, "vocab_size": 64,
+                              "context_length": 12}},
+            Device.CPU)
+        model.load()
+        imgs = [np.zeros((32, 32, 3), dtype=np.uint8),
+                np.full((32, 32, 3), 255, dtype=np.uint8)]
+        caps = model.generate_caption_ids(imgs, max_len=6, sot_id=1)
+        assert len(caps) == 2
+        for cap in caps:
+            assert cap[0] == 1 and 2 <= len(cap) <= 6
+            assert all(0 <= t < 64 for t in cap)
+        # deterministic
+        caps2 = model.generate_caption_ids(imgs, max_len=6, sot_id=1)
+        assert caps == caps2
+        # different images ⇒ (random-init weights) different captions
+        assert caps[0] != caps[1] or len(set(caps[0])) == 1
