@@ -64,10 +64,15 @@ def _windowed(units: List[str], length: int, overlap: int,
 
 
 def chunk_text(text: str, config: TextPreProcessing) -> List[str]:
-    """Split ``text`` per index settings; returns chunk strings (≥1 unless
-    the text is empty)."""
+    """Split ``text`` per index settings; always returns ≥1 chunk.
+
+    Empty/whitespace text becomes the single chunk " " — the reference
+    coerces invalid/empty strings to " " and returns it unsplit
+    (processing/text.py:133-137 check_make_string_valid + len<=1 branch;
+    tests/processing/test_split_text.py:28 asserts [' ']), so a doc with
+    an empty tensor field still stores one vector."""
     if not text or not text.strip():
-        return []
+        return [" "]
     method = config.split_method
     length, overlap = config.split_length, config.split_overlap
     if method == TextSplitMethod.Character:

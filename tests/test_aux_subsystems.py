@@ -268,8 +268,9 @@ class TestTextChunker:
         assert chunks == ["Para one.", "Para two."]
 
     def test_empty_text(self):
+        # reference coerces empty → [" "] (see module-level test below)
         config = TextPreProcessing()
-        assert chunk_text("   ", config) == []
+        assert chunk_text("   ", config) == [" "]
 
 
 class TestEnvConfig:
@@ -333,3 +334,13 @@ class TestRequestLimits:
                           annParameters={"spaceType": "prenormalized-angular",
                                          "parameters": {"efConstruction": 5000,
                                                         "m": 16}})
+
+
+def test_chunk_text_empty_becomes_single_space_chunk():
+    """Reference split_text coerces empty/whitespace to [' ']
+    (tests/processing/test_split_text.py:28) — a doc with an empty tensor
+    field still stores one vector."""
+    from marqo_tpu.core.models.marqo_index import TextPreProcessing
+    config = TextPreProcessing()
+    for text in ("", "   ", "\r\t", None):
+        assert chunk_text(text or "", config) == [" "]
