@@ -127,20 +127,20 @@ def _process_boxes(boxes: List, scores: List, work_size: Tuple
 
 # --- grid methods --------------------------------------------------------------
 
-def _grid_boxes(width: int, height: int, splits: int = 3,
+def _grid_boxes(width: int, height: int, hn: int = 3, wn: int = 3,
                 overlap: bool = False) -> List[Tuple[int, int, int, int]]:
-    """splits×splits grid (reference simple method uses a 3×3 grid over the
-    image plus the full image); with ``overlap``, half-stride shifted boxes
-    are added."""
+    """hn×wn grid (reference PatchifySimple defaults 3×3, configurable via
+    the method url's hn/wn params) plus the full image; with ``overlap``,
+    half-stride shifted boxes are added."""
     boxes = [(0, 0, width, height)]
-    cell_w, cell_h = width / splits, height / splits
-    for i in range(splits):
-        for j in range(splits):
+    cell_w, cell_h = width / wn, height / hn
+    for i in range(hn):
+        for j in range(wn):
             boxes.append((int(j * cell_w), int(i * cell_h),
                           int((j + 1) * cell_w), int((i + 1) * cell_h)))
     if overlap:
-        for i in range(splits - 1):
-            for j in range(splits - 1):
+        for i in range(hn - 1):
+            for j in range(wn - 1):
                 boxes.append((int((j + 0.5) * cell_w), int((i + 0.5) * cell_h),
                               int((j + 1.5) * cell_w), int((i + 1.5) * cell_h)))
     seen = set()
@@ -369,16 +369,34 @@ def clear_patchers() -> None:
         _patchers.clear()
 
 
+def _parse_patch_method(method: str) -> Tuple[str, dict]:
+    """Split a method 'url' like ``simple?hn=2&wn=3`` into (base, params)
+    (reference _process_patch_method, image_utils.py:281-301; options hn/
+    wn for the grid methods, nms/filter_bb for the detector methods)."""
+    from urllib.parse import parse_qsl, urlparse
+    parsed = urlparse(str(method))
+    params = dict(parse_qsl(parsed.query))
+    return parsed.path, params
+
+
+def _str2bool(value: str) -> bool:
+    return str(value).lower() in ("1", "true", "yes")
+
+
 def chunk_image(image: np.ndarray, method: str
                 ) -> Tuple[List[np.ndarray], List[str]]:
     """image: uint8 (H, W, 3) → (patches, bbox-string chunks). The first
     patch is always the full image (reference keeps the original in the
-    index); bbox strings are in original-image coordinates."""
+    index); bbox strings are in original-image coordinates. ``method``
+    accepts reference-style option urls, e.g. ``simple?hn=2&wn=3``."""
     if image.ndim != 3 or image.shape[2] != 3:
         raise InvalidArgumentError("chunk_image expects an (H, W, 3) image")
     height, width = image.shape[0], image.shape[1]
+    method, params = _parse_patch_method(method)
     if method in ("simple", "overlap"):
-        boxes = _grid_boxes(width, height, splits=3,
+        hn = int(params.get("hn", 3))
+        wn = int(params.get("wn", 3))
+        boxes = _grid_boxes(width, height, hn=hn, wn=wn,
                             overlap=(method == "overlap"))
     elif method in ("frcnn", "dino-v1", "dino-v2", "marqo-yolo", "yolox"):
         patcher = _get_patcher(method)

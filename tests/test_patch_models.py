@@ -246,3 +246,25 @@ class TestDinoAttention:
             params, jnp.asarray(pixels), config,
             compute_dtype=jnp.float32))[0]
         np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestMethodUrlOptions:
+    """Reference method 'urls': simple?hn=2&wn=3 selects the grid shape
+    (image_utils.py:281 _process_patch_method; test_chunk_image_simple
+    asserts (2*3)+1 patches)."""
+
+    def test_simple_with_grid_params(self):
+        img = np.random.default_rng(0).integers(
+            0, 255, size=(120, 90, 3)).astype(np.uint8)
+        patches, chunks = chunk_image(img, "simple?hn=2&wn=3")
+        assert len(patches) == 2 * 3 + 1
+        assert patches[0].shape == img.shape
+        patches, _ = chunk_image(img, "simple")
+        assert len(patches) == 3 * 3 + 1
+
+    def test_overlap_with_grid_params(self):
+        img = np.random.default_rng(1).integers(
+            0, 255, size=(120, 120, 3)).astype(np.uint8)
+        patches, _ = chunk_image(img, "overlap?hn=2&wn=2")
+        # full + 2x2 grid + 1x1 shifted
+        assert len(patches) == 1 + 4 + 1
