@@ -518,9 +518,13 @@ def _load_state_dict(path: str) -> dict:
     raise ModelLoadError(f"No model weights found under `{path}`")
 
 
-def load_model(model_name: str, properties: dict, device: Device,
-               model_auth=None) -> EmbeddingModel:
-    """Loader dispatch (reference model_registry.py:2133-2145 _get_model_load_mappings)."""
+def resolve_model_class(model_name: str, properties: dict):
+    """Dispatch a registry entry to its model class WITHOUT loading
+    weights (reference model_registry.py:2133-2145
+    _get_model_load_mappings). Raises ModelLoadError for honestly-gated
+    architectures (EVA02, NLLB-SigLIP) and InvalidArgumentError for
+    unknown types — every registry entry must resolve to exactly one of
+    these three outcomes (tested over the full registry)."""
     model_type = str(properties.get("type", "hf")).lower()
     if model_type == "hf_stella":
         cls = JaxStellaModel
@@ -592,6 +596,13 @@ def load_model(model_name: str, properties: dict, device: Device,
     else:
         raise InvalidArgumentError(
             f"Unknown model type `{model_type}` for model `{model_name}`")
+    return cls
+
+
+def load_model(model_name: str, properties: dict, device: Device,
+               model_auth=None) -> EmbeddingModel:
+    """Resolve + construct + load (weights on device)."""
+    cls = resolve_model_class(model_name, properties)
     model = cls(model_name, properties, device, model_auth)
     model.load()
     return model
