@@ -61,6 +61,28 @@ def pick_row_bucket(n: int) -> int:
     return pick_bucket(n, ladder)
 
 
+def batched_device_encode(array, forward, pad_value=0):
+    """Pad ``array`` rows to batch buckets, dispatch EVERY device batch
+    through ``forward``, then drain the fetches (dispatch is eager on the
+    TPU backend, so transfer of batch i overlaps compute of batch i+1 —
+    the ingest-path pattern from loaders._dispatch_padded, shared by every
+    CLIP-family wrapper). Returns the concatenated fetched rows."""
+    import numpy as np
+    n = array.shape[0]
+    bucket = pick_batch_bucket(n)
+    pending = []
+    start = 0
+    while start < n:
+        size = min(bucket, n - start)
+        padded = np.full((bucket,) + array.shape[1:], pad_value,
+                         dtype=array.dtype)
+        padded[:size] = array[start:start + size]
+        pending.append((forward(padded), size))
+        start += size
+    return np.concatenate(
+        [np.asarray(emb)[:size] for emb, size in pending], axis=0)
+
+
 def iter_batches(n_items: int, max_batch: int) -> Iterator[Tuple[int, int]]:
     """Yield (start, size) chunks of at most max_batch items."""
     start = 0

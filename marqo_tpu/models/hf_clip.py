@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
-from marqo_tpu.inference.batching import pick_batch_bucket
+
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.models.bert import (TextEncoderConfig, encode_tokens,
                                    init_params as init_bert_params,
@@ -336,47 +336,34 @@ class JaxHFCLIPModel:
         ids = (batch["input_ids"] % self.text_config.vocab_size).astype(
             np.int32)
         mask = batch["attention_mask"].astype(np.int32)
-        n = len(texts)
-        bucket = pick_batch_bucket(n)
-        pending = []
-        start = 0
-        while start < n:
-            size = min(bucket, n - start)
-            pid = np.zeros((bucket, ids.shape[1]), dtype=np.int32)
-            pmask = np.zeros((bucket, ids.shape[1]), dtype=np.int32)
-            pid[:size] = ids[start:start + size]
-            pmask[:size] = mask[start:start + size]
-            pmask[size:, 0] = 1  # mean-pool denominators stay non-zero
-            emb = encode_hf_clip_text_jit(
+        # ids and mask travel together: stack along a new axis so the
+        # shared batched dispatcher pads them as one array
+        both = np.stack([ids, mask], axis=1)  # (n, 2, S)
+
+        def forward(padded):
+            pid, pmask = padded[:, 0], padded[:, 1].copy()
+            # bucket-padding rows have an all-zero mask: give them one
+            # real position so mean-pool denominators never hit zero
+            pmask[pmask.sum(axis=1) == 0, 0] = 1
+            return encode_hf_clip_text_jit(
                 self.params,
                 jax.device_put(jnp.asarray(pid), self._jdevice),
                 jax.device_put(jnp.asarray(pmask), self._jdevice),
                 self.text_config, compute_dtype=self.compute_dtype)
-            pending.append((emb, size))
-            start += size
-        return np.concatenate(
-            [np.asarray(e)[:s] for e, s in pending], axis=0)
+
+        from marqo_tpu.inference.batching import batched_device_encode
+        return batched_device_encode(both, forward)
 
     def _encode_images(self, contents: List[Any]) -> np.ndarray:
         from marqo_tpu.models.clip import JaxCLIPModel
         pixels = np.stack([
             JaxCLIPModel._preprocess_host(self, c) for c in contents])
-        n = len(contents)
-        bucket = pick_batch_bucket(n)
-        pending = []
-        start = 0
-        while start < n:
-            size = min(bucket, n - start)
-            padded = np.zeros((bucket,) + pixels.shape[1:], dtype=np.uint8)
-            padded[:size] = pixels[start:start + size]
-            emb = encode_clip_image_jit(
+        from marqo_tpu.inference.batching import batched_device_encode
+        return batched_device_encode(
+            pixels, lambda padded: encode_clip_image_jit(
                 {"vision": self.params["vision"]},
                 jax.device_put(jnp.asarray(padded), self._jdevice),
-                self.vision_config, compute_dtype=self.compute_dtype)
-            pending.append((emb, size))
-            start += size
-        return np.concatenate(
-            [np.asarray(e)[:s] for e, s in pending], axis=0)
+                self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:
         return self._param_bytes

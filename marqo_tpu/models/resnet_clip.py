@@ -467,26 +467,15 @@ class JaxResNetCLIPModel:
         return JaxCLIPModel._tokenize(self, texts)
 
     def _encode_images(self, contents) -> np.ndarray:
-        from marqo_tpu.inference.batching import pick_batch_bucket
+        from marqo_tpu.inference.batching import batched_device_encode
         from marqo_tpu.models.clip import JaxCLIPModel
         pixels = np.stack([
             JaxCLIPModel._preprocess_host(self, c) for c in contents])
-        n = len(contents)
-        bucket = pick_batch_bucket(n)
-        pending = []
-        start = 0
-        while start < n:
-            size = min(bucket, n - start)
-            padded = np.zeros((bucket,) + pixels.shape[1:], dtype=np.uint8)
-            padded[:size] = pixels[start:start + size]
-            emb = encode_resnet_clip_image_jit(
+        return batched_device_encode(
+            pixels, lambda padded: encode_resnet_clip_image_jit(
                 self.params,
                 jax.device_put(jnp.asarray(padded), self._jdevice),
-                self.vision_config, compute_dtype=self.compute_dtype)
-            pending.append((emb, size))
-            start += size
-        return np.concatenate(
-            [np.asarray(e)[:s] for e, s in pending], axis=0)
+                self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:
         return self._param_bytes

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
-from marqo_tpu.inference.batching import pick_batch_bucket
+
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.ops.common import ACTIVATIONS, layer_norm
 
@@ -518,22 +518,12 @@ class JaxSigLIPModel:
             texts, pad_to=self.text_config.context_length)
         ids = (batch["input_ids"] % self.text_config.vocab_size).astype(
             np.int32)
-        n = len(texts)
-        bucket = pick_batch_bucket(n)
-        pending = []
-        start = 0
-        while start < n:
-            size = min(bucket, n - start)
-            padded = np.zeros((bucket, ids.shape[1]), dtype=np.int32)
-            padded[:size] = ids[start:start + size]
-            emb = encode_siglip_text_jit(
+        from marqo_tpu.inference.batching import batched_device_encode
+        return batched_device_encode(
+            ids, lambda padded: encode_siglip_text_jit(
                 self.params,
                 jax.device_put(jnp.asarray(padded), self._jdevice),
-                self.text_config, compute_dtype=self.compute_dtype)
-            pending.append((emb, size))
-            start += size
-        return np.concatenate(
-            [np.asarray(e)[:s] for e, s in pending], axis=0)
+                self.text_config, compute_dtype=self.compute_dtype))
 
     def _preprocess_host(self, content) -> np.ndarray:
         """SigLIP preprocessing: square resize (no crop), mean/std 0.5."""
@@ -547,22 +537,12 @@ class JaxSigLIPModel:
 
     def _encode_images(self, contents: List[Any]) -> np.ndarray:
         pixels = np.stack([self._preprocess_host(c) for c in contents])
-        n = len(contents)
-        bucket = pick_batch_bucket(n)
-        pending = []
-        start = 0
-        while start < n:
-            size = min(bucket, n - start)
-            padded = np.zeros((bucket,) + pixels.shape[1:], dtype=np.uint8)
-            padded[:size] = pixels[start:start + size]
-            emb = encode_siglip_image_jit(
+        from marqo_tpu.inference.batching import batched_device_encode
+        return batched_device_encode(
+            pixels, lambda padded: encode_siglip_image_jit(
                 self.params,
                 jax.device_put(jnp.asarray(padded), self._jdevice),
-                self.vision_config, compute_dtype=self.compute_dtype)
-            pending.append((emb, size))
-            start += size
-        return np.concatenate(
-            [np.asarray(e)[:s] for e, s in pending], axis=0)
+                self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:
         return self._param_bytes
