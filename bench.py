@@ -130,6 +130,7 @@ def ingest_bench() -> None:
         "value": round(done / elapsed, 1),
         "unit": "docs/sec/chip",
         "vs_baseline": round(done / elapsed / 10000.0, 3),
+        "baseline": "fraction of the reference's 10k docs/s headline",
     }))
     cfg.index_meta_cache.stop_refresh_thread()
 
@@ -170,7 +171,9 @@ def clip_vit_l14_bench() -> None:
         "metric": "clip_vit_l14_image_throughput",
         "value": round(rate, 1),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(rate / 883.0, 3),  # vs bf16 speed-of-light
+        "vs_baseline": round(rate / 883.0, 3),
+        "baseline": "fraction of 883 imgs/s = bf16 MXU speed-of-light for "
+                    "ViT-L/14 on this chip (NOT fraction of a 10k target)",
     }))
 
 
@@ -209,6 +212,7 @@ def query_p50_bench() -> None:
         "value": round(per_query_ms, 3),
         "unit": "ms (batch-1, seq 32, e5-base bf16; lower is better)",
         "vs_baseline": round(5.0 / per_query_ms, 3),
+        "baseline": "5ms target / measured; >=1.0 meets the target",
     }))
 
 
@@ -284,6 +288,7 @@ def main():
         "value": round(docs_per_sec, 1),
         "unit": "docs/sec/chip",
         "vs_baseline": round(docs_per_sec / 10000.0, 3),
+        "baseline": "fraction of the reference's 10k docs/s headline",
     }))
 
 

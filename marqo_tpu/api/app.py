@@ -397,9 +397,28 @@ def build_app(config: Config) -> App:
 
     @app.post("/upgrade")
     def upgrade(request: Request):
+        """Run pending settings migrations (reference api.py:493-497 runs
+        UpgradeRunner over the Vespa app; ours runs it over the settings
+        store, core/upgrades.py)."""
         _feature_gate("MARQO_ENABLE_UPGRADE_API", "upgrade")
-        return {"acknowledged": True, "message": "No migrations pending",
-                "version": __version__}
+        from marqo_tpu.core.upgrades import UpgradeRunner
+        result = UpgradeRunner(config.index_management).upgrade()
+        if result["migrated"] == 0 and result["from"] == result["to"]:
+            message = "No migrations pending"
+        else:
+            message = (f"Upgraded {result['from']} -> {result['to']} "
+                       f"({result['migrated']} indexes migrated)")
+        return {"acknowledged": True, "message": message,
+                "version": __version__, **result}
+
+    @app.post("/rollback-vespa")
+    def rollback_application(request: Request):
+        """Restore the pre-upgrade application backup (reference
+        api.py:509-515 rollback_vespa; route name kept for drop-in
+        client parity)."""
+        version = config.index_management.rollback_application()
+        config.index_meta_cache.populate()
+        return {"version": version}
 
     @app.post("/ops/heal")
     def heal_replicas(request: Request):

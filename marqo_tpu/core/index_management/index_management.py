@@ -120,6 +120,16 @@ class IndexManagement:
             self._engine.update_index(descriptor_from_marqo_index(index))
             return index
 
+    def rollback_application(self) -> str:
+        """Restore the whole settings store from the pre-upgrade backup
+        and refresh engine descriptors (reference rollback_vespa,
+        tensor_search/api.py:509 + index_management rollback_vespa)."""
+        with self._ddl_lock():
+            self._store.restore_application_backup()
+            for index in self._store.get_all():
+                self._engine.update_index(descriptor_from_marqo_index(index))
+            return self._store.get_marqo_version()
+
     def get_index(self, name: str) -> MarqoIndex:
         return self._store.get(name)
 

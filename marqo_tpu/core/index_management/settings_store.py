@@ -96,6 +96,11 @@ class IndexSettingsStore:
                 "Settings store has not been bootstrapped")
         return self._config["version"]
 
+    def set_marqo_version(self, version: str) -> None:
+        with self._lock:
+            self._config = {"version": version}
+            self._persist_config()
+
     # -- CRUD ---------------------------------------------------------------
 
     def save(self, index: MarqoIndex, allow_existing: bool = False) -> None:
@@ -157,6 +162,55 @@ class IndexSettingsStore:
 
     def get_history(self, name: str) -> List[dict]:
         return list(self._history.get(name, []))
+
+    # -- application-wide backup / restore ----------------------------------
+    # Reference: vespa_application_package.py VespaAppBackup (:259-335) — a
+    # full app-package snapshot taken before an upgrade mutates it, restored
+    # by POST /rollback-vespa (api.py:509). Our app package is the settings
+    # store, so the backup is config + every settings doc + history.
+
+    def backup_application(self) -> None:
+        """Snapshot the whole store (config + settings + history)."""
+        with self._lock:
+            self._backup = {
+                "config": dict(self._config) if self._config else None,
+                "settings": {k: json.loads(json.dumps(v))
+                             for k, v in self._settings.items()},
+                "history": {k: json.loads(json.dumps(v))
+                            for k, v in self._history.items()},
+            }
+            if self._data_dir:
+                path = os.path.join(self._data_dir, "marqo_backup.json")
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self._backup, f)
+                os.replace(tmp, path)
+
+    def restore_application_backup(self) -> None:
+        """Restore the last backup_application() snapshot
+        (reference rollback_vespa, index_management.py + api.py:509)."""
+        with self._lock:
+            backup = getattr(self, "_backup", None)
+            if backup is None and self._data_dir:
+                path = os.path.join(self._data_dir, "marqo_backup.json")
+                if os.path.exists(path):
+                    with open(path) as f:
+                        backup = json.load(f)
+            if backup is None:
+                from marqo_tpu.core.exceptions import ApplicationRollbackError
+                raise ApplicationRollbackError(
+                    "No application backup exists to roll back to")
+            old_names = set(self._settings)
+            self._config = backup["config"]
+            self._settings = {k: dict(v)
+                              for k, v in backup["settings"].items()}
+            self._history = {k: list(v)
+                             for k, v in backup["history"].items()}
+            self._persist_config()
+            for name in old_names | set(self._settings):
+                self._persist_index(name)
+            if self._data_dir:
+                self._disk_fingerprint = self._fingerprint()
 
     # -- persistence ---------------------------------------------------------
 

@@ -38,11 +38,15 @@ def _minor(version: str) -> str:
 
 @register_migration("2.12", "2.13")
 def _migrate_2_12_to_2_13(settings: dict) -> dict:
-    """Example shape migration: 2.13 introduced video/audio preprocessing
-    blocks (reference index settings evolution); default them when absent."""
+    """2.13 settings migration: default the video/audio preprocessing
+    blocks introduced in 2.13 (reference index-settings evolution) and
+    re-stamp the per-index marqo_version marker, as the reference's
+    upgrade rewrites index settings under the new app-package version."""
     settings = dict(settings)
     settings.setdefault("video_preprocessing", None)
     settings.setdefault("audio_preprocessing", None)
+    if _minor(settings.get("marqo_version") or "") == "2.12":
+        settings["marqo_version"] = __version__
     return settings
 
 
@@ -64,6 +68,11 @@ class UpgradeRunner:
             raise InternalError(
                 f"No upgrade path registered from {from_version} to "
                 f"{to_version}")
+        # snapshot the whole application before mutating, so
+        # /rollback-vespa's equivalent can undo a bad upgrade (reference
+        # backs up the Vespa app package before deploying the new one,
+        # vespa_application_package.py:259-335)
+        store.backup_application()
         count = 0
         for index in self.index_management.get_all_indexes():
             import json
@@ -74,8 +83,7 @@ class UpgradeRunner:
                 store.save(MarqoIndex.parse_obj(migrated),
                            allow_existing=True)
                 count += 1
-        store._config = {"version": __version__}
-        store._persist_config()
+        store.set_marqo_version(__version__)
         logger.info(f"Upgraded settings {from_version} -> {to_version} "
                     f"({count} indexes migrated)")
         return {"from": from_version, "to": to_version, "migrated": count}

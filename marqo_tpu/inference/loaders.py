@@ -89,6 +89,35 @@ class JaxHFTextModel(EmbeddingModel):
         self.tokenizer: Optional[TextTokenizer] = None
         self._jdevice = _jax_device(device)
         self._param_bytes = 0
+        # multi-chip serving (parallel/serving.py): when the process mesh
+        # spans this model's device, params shard over it and encode
+        # batches split across dp — vectorise()/add_documents/search get
+        # the whole slice transparently (VERDICT r2 item 2)
+        from marqo_tpu.parallel.serving import serving_mesh
+        mesh = serving_mesh()
+        self._mesh = (mesh if mesh is not None and
+                      any(d == self._jdevice for d in mesh.devices.flat)
+                      else None)
+
+    def _place_params(self, params):
+        """Param placement: sharded over the serving mesh, else one device."""
+        if self._mesh is not None:
+            from marqo_tpu.parallel.serving import place_params
+            return place_params(params, self._mesh)
+        return jax.device_put(params, self._jdevice)
+
+    def _put(self, arr):
+        """Input placement: batch-sharded across dp when the leading dim
+        divides the mesh; replicated otherwise (odd warmup shapes)."""
+        arr = jnp.asarray(arr)
+        if self._mesh is not None:
+            from marqo_tpu.parallel.serving import data_sharding, dp_size
+            from jax.sharding import NamedSharding, PartitionSpec
+            if arr.ndim >= 1 and arr.shape[0] % dp_size(self._mesh) == 0:
+                return jax.device_put(arr, data_sharding(self._mesh))
+            return jax.device_put(
+                arr, NamedSharding(self._mesh, PartitionSpec()))
+        return jax.device_put(arr, self._jdevice)
 
     # --- loading ---------------------------------------------------------
 
@@ -128,10 +157,9 @@ class JaxHFTextModel(EmbeddingModel):
         hf_cfg = AutoConfig.from_pretrained(path)
         self.config = self._finalize_config(config_from_hf(hf_cfg))
         state_dict = _load_state_dict(path)
-        self.params = jax.device_put(self._maybe_quantize(
+        self.params = self._place_params(self._maybe_quantize(
             params_from_torch_state_dict(state_dict, self.config,
-                                         dtype=self.compute_dtype)),
-            self._jdevice)
+                                         dtype=self.compute_dtype)))
         self.tokenizer = TextTokenizer.from_pretrained(path, max_length=max_len)
 
     def _load_from_hub(self, repo: str, max_len: int) -> None:
@@ -148,8 +176,7 @@ class JaxHFTextModel(EmbeddingModel):
                 dtype=self.compute_dtype)
             del torch_model
             _save_param_cache(repo, self.config, params)
-        self.params = jax.device_put(self._maybe_quantize(params),
-                                     self._jdevice)
+        self.params = self._place_params(self._maybe_quantize(params))
         self.tokenizer = TextTokenizer.from_pretrained(repo, max_length=max_len)
 
     def _load_random_init(self, max_len: int) -> None:
@@ -167,7 +194,7 @@ class JaxHFTextModel(EmbeddingModel):
         params = self._maybe_quantize(
             init_params(self.config, jax.random.PRNGKey(seed),
                         dtype=self.compute_dtype))
-        self.params = jax.device_put(params, self._jdevice)
+        self.params = self._place_params(params)
         self.tokenizer = TextTokenizer.build_test_wordpiece(max_length=max_len)
 
     def _finalize_config(self, config: TextEncoderConfig) -> TextEncoderConfig:
@@ -247,7 +274,8 @@ class JaxHFTextModel(EmbeddingModel):
         all fetches after all dispatches (fetches serialize on the slow
         host-device link, and dispatch is eager, so later host work —
         tokenization of the next chunk — overlaps device compute)."""
-        batch_bucket = pick_batch_bucket(n)
+        from marqo_tpu.parallel.serving import round_up_to_dp
+        batch_bucket = round_up_to_dp(pick_batch_bucket(n), self._mesh)
         pending = []
         start = 0
         while start < n:
@@ -267,9 +295,7 @@ class JaxHFTextModel(EmbeddingModel):
         """One padded device batch → pooled embeddings (overridden by
         architectures with their own forward, e.g. stella)."""
         return encode_tokens_jit(
-            self.params,
-            jax.device_put(jnp.asarray(ids), self._jdevice),
-            jax.device_put(jnp.asarray(mask), self._jdevice),
+            self.params, self._put(ids), self._put(mask),
             self.config, compute_dtype=self.compute_dtype)
 
     def _dispatch_packed(self, batch, seq_bucket: int):
@@ -289,16 +315,21 @@ class JaxHFTextModel(EmbeddingModel):
         pending = []
         for start in range(0, len(sequences), max_seqs):
             chunk = sequences[start:start + max_seqs]
+            from marqo_tpu.parallel.serving import round_up_to_dp
+            # under a serving mesh, packed rows + pooled outputs must split
+            # across dp, so both ladders round up to dp multiples
+            ladder = [round_up_to_dp(b, self._mesh) for b in row_buckets()]
             packed = pack_sequences(chunk, seq_len=seq_bucket,
                                     pad_id=self.tokenizer.pad_id,
-                                    row_buckets=row_buckets())
-            n_bucket = pick_batch_bucket(packed.n_sequences)
+                                    row_buckets=ladder)
+            n_bucket = round_up_to_dp(pick_batch_bucket(packed.n_sequences),
+                                      self._mesh)
             emb = encode_tokens_packed_jit(
                 self.params,
-                jax.device_put(jnp.asarray(packed.input_ids), self._jdevice),
-                jax.device_put(jnp.asarray(packed.segment_ids), self._jdevice),
-                jax.device_put(jnp.asarray(packed.positions), self._jdevice),
-                jax.device_put(jnp.asarray(packed.seq_index), self._jdevice),
+                self._put(packed.input_ids),
+                self._put(packed.segment_ids),
+                self._put(packed.positions),
+                self._put(packed.seq_index),
                 n_bucket, self.config, compute_dtype=self.compute_dtype)
             pending.append((emb, packed.n_sequences))
         return pending
@@ -373,20 +404,19 @@ class JaxStellaModel(JaxHFTextModel):
                                               head_sd.get("weight")),
                         "bias": head_sd.get("linear.bias",
                                             head_sd.get("bias"))}
-            self.params = jax.device_put(
+            self.params = self._place_params(
                 params_from_torch_state_dict(state_dict, self.config,
                                              dtype=self.compute_dtype,
-                                             vector_linear=head),
-                self._jdevice)
+                                             vector_linear=head))
             self.tokenizer = TextTokenizer.from_pretrained(
                 localpath, max_length=max_len)
         elif self.properties.get("random_init"):
             seed = int.from_bytes(
                 hashlib.sha256(self.model_name.encode()).digest()[:4],
                 "little")
-            self.params = jax.device_put(
+            self.params = self._place_params(
                 init_params(self.config, jax.random.PRNGKey(seed),
-                            dtype=self.compute_dtype), self._jdevice)
+                            dtype=self.compute_dtype))
             self.tokenizer = TextTokenizer.build_test_wordpiece(
                 max_length=max_len)
         else:
@@ -403,9 +433,7 @@ class JaxStellaModel(JaxHFTextModel):
     def _forward(self, ids, mask):
         from marqo_tpu.models.stella import encode_tokens_jit as stella_jit
         return stella_jit(
-            self.params,
-            jax.device_put(jnp.asarray(ids), self._jdevice),
-            jax.device_put(jnp.asarray(mask), self._jdevice),
+            self.params, self._put(ids), self._put(mask),
             self.config, compute_dtype=self.compute_dtype)
 
 

@@ -459,6 +459,27 @@ class JaxCLIPModel:
                              else jax.devices()[0])
         except RuntimeError:
             self._jdevice = jax.devices()[0]
+        # multi-chip serving: params replicate over the mesh, encode
+        # batches shard across dp (parallel/serving.py; VERDICT r2 item 2)
+        from marqo_tpu.parallel.serving import serving_mesh
+        mesh = serving_mesh()
+        self._mesh = (mesh if mesh is not None and
+                      any(d == self._jdevice for d in mesh.devices.flat)
+                      else None)
+
+    def _place_params(self, params):
+        if self._mesh is not None:
+            from marqo_tpu.parallel.serving import place_params
+            return place_params(params, self._mesh)
+        return jax.device_put(params, self._jdevice)
+
+    def _put(self, arr):
+        arr = jnp.asarray(arr)
+        if self._mesh is not None:
+            from marqo_tpu.parallel.serving import data_sharding, dp_size
+            if arr.ndim >= 1 and arr.shape[0] % dp_size(self._mesh) == 0:
+                return jax.device_put(arr, data_sharding(self._mesh))
+        return jax.device_put(arr, self._jdevice)
 
     @property
     def dimensions(self) -> int:
@@ -509,10 +530,9 @@ class JaxCLIPModel:
             hidden_act=hf_config.vision_config.hidden_act,
         )
         torch_model = CLIPModel.from_pretrained(repo_or_path)
-        self.params = jax.device_put(
+        self.params = self._place_params(
             params_from_hf_clip(torch_model.state_dict(), self.text_config,
-                                self.vision_config, dtype=self.compute_dtype),
-            self._jdevice)
+                                self.vision_config, dtype=self.compute_dtype))
         del torch_model
         self.tokenizer = CLIPTokenizerFast.from_pretrained(repo_or_path)
 
@@ -539,11 +559,10 @@ class JaxCLIPModel:
         )
         seed = int.from_bytes(
             hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
-        self.params = jax.device_put(
+        self.params = self._place_params(
             init_clip_params(self.text_config, self.vision_config,
                              jax.random.PRNGKey(seed),
-                             dtype=self.compute_dtype),
-            self._jdevice)
+                             dtype=self.compute_dtype))
         from marqo_tpu.models.tokenizer import TextTokenizer
         self.tokenizer = TextTokenizer.build_test_wordpiece(
             max_length=self.text_config.max_positions)
@@ -580,9 +599,10 @@ class JaxCLIPModel:
         return out.astype(np.float32)
 
     def _encode_text(self, texts: List[str]) -> np.ndarray:
+        from marqo_tpu.parallel.serving import round_up_to_dp
         ids = self._tokenize(texts)
         n = len(texts)
-        bucket = pick_batch_bucket(n)
+        bucket = round_up_to_dp(pick_batch_bucket(n), self._mesh)
         outs = []
         start = 0
         while start < n:
@@ -591,7 +611,7 @@ class JaxCLIPModel:
             padded[:size] = ids[start:start + size]
             padded[size:, -1] = self.text_config.eos_token_id
             emb = encode_clip_text_jit(
-                self.params, jax.device_put(jnp.asarray(padded), self._jdevice),
+                self.params, self._put(padded),
                 self.text_config, compute_dtype=self.compute_dtype)
             outs.append(np.asarray(emb)[:size])
             start += size
@@ -617,9 +637,10 @@ class JaxCLIPModel:
         return np.asarray(img, dtype=np.uint8)
 
     def _encode_images(self, contents: List[Any]) -> np.ndarray:
+        from marqo_tpu.parallel.serving import round_up_to_dp
         pixels = np.stack([self._preprocess_host(c) for c in contents])
         n = len(contents)
-        bucket = pick_batch_bucket(n)
+        bucket = round_up_to_dp(pick_batch_bucket(n), self._mesh)
         outs = []
         start = 0
         while start < n:
@@ -627,7 +648,7 @@ class JaxCLIPModel:
             padded = np.zeros((bucket,) + pixels.shape[1:], dtype=np.uint8)
             padded[:size] = pixels[start:start + size]
             emb = encode_clip_image_jit(
-                self.params, jax.device_put(jnp.asarray(padded), self._jdevice),
+                self.params, self._put(padded),
                 self.vision_config, compute_dtype=self.compute_dtype)
             outs.append(np.asarray(emb)[:size])
             start += size

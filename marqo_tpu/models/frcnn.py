@@ -195,5 +195,8 @@ def decode_proposals(outputs, config: FrcnnConfig
             level_boxes = np.stack([pcx - pw / 2, pcy - ph / 2,
                                     pcx + pw / 2, pcy + ph / 2], axis=-1)
             boxes.append(level_boxes.reshape(-1, 4))
-            scores.append(1.0 / (1.0 + np.exp(-obj[:, :, a].reshape(-1))))
+            # clamp logits before sigmoid: raw RPN objectness can be very
+            # negative and np.exp(-x) would overflow (harmless but noisy)
+            logit = np.clip(obj[:, :, a].reshape(-1), -30.0, 30.0)
+            scores.append(1.0 / (1.0 + np.exp(-logit)))
     return np.concatenate(boxes, axis=0), np.concatenate(scores, axis=0)

@@ -371,6 +371,51 @@ class TestOpsRoutes:
         status, body = client.post("/rollback", {"indexName": "test-index"})
         assert status in (200, 500)
 
+    def test_upgrade_route_runs_migration(self, monkeypatch):
+        """Route-driven migration: a persisted 2.12-shape settings doc is
+        upgraded by POST /upgrade, and POST /rollback-vespa restores the
+        pre-upgrade application backup (reference api.py:493-515)."""
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.version import __version__
+        monkeypatch.setenv("MARQO_ENABLE_UPGRADE_API", "TRUE")
+        monkeypatch.setenv("MARQO_MODELS_TO_PRELOAD", "[]")
+        cfg = Config()
+        on_start(cfg)
+        cfg.index_management.create_index(
+            IndexSettings(model="random").to_marqo_index("old-index"))
+        store = cfg.index_management.settings_store
+        # age the persisted state back to 2.12
+        doc = json.loads(store.get("old-index").model_dump_json())
+        doc["marqo_version"] = "2.12.0"
+        doc.pop("video_preprocessing", None)
+        doc.pop("audio_preprocessing", None)
+        store._settings["old-index"] = doc
+        store.set_marqo_version("2.12.0")
+        c = Client(build_app(cfg))
+        try:
+            status, body = c.post("/upgrade")
+            assert status == 200
+            assert body["migrated"] == 1
+            assert body["from"] == "2.12" and body["to"] == "2.13"
+            assert store.get_marqo_version() == __version__
+            assert store.get("old-index").marqo_version == __version__
+            # idempotent: a second call reports no pending migrations
+            status, body = c.post("/upgrade")
+            assert status == 200
+            assert body["migrated"] == 0
+            assert body["message"] == "No migrations pending"
+            # rollback-vespa restores the pre-upgrade snapshot
+            status, body = c.post("/rollback-vespa")
+            assert status == 200
+            assert body["version"] == "2.12.0"
+            assert store.get("old-index").marqo_version == "2.12.0"
+        finally:
+            cfg.index_meta_cache.stop_refresh_thread()
+
+    def test_rollback_vespa_without_backup_errors(self, client):
+        status, body = client.post("/rollback-vespa")
+        assert status == 500
+
     def test_batch_create_indexes(self, client, monkeypatch):
         monkeypatch.setenv("MARQO_ENABLE_BATCH_APIS", "TRUE")
         status, body = client.post("/batch/indexes/create", [
