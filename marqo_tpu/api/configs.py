@@ -91,9 +91,15 @@ _DEFAULTS = default_env_vars()
 
 
 def read_env_vars_and_defaults(var: str) -> Optional[Any]:
-    """Read ``var`` from the environment, falling back to the defaults table."""
+    """Read ``var`` from the environment, falling back to the defaults table.
+    An env var explicitly set to the empty string reads as None — NOT the
+    default — matching reference utils.read_env_vars_and_defaults:148-160
+    (e.g. MARQO_MAX_RETRIEVABLE_DOCS='' disables the limit)."""
     if var in os.environ:
-        return os.environ[var]
+        value = os.environ[var]
+        if isinstance(value, str) and len(value) == 0:
+            return None
+        return value
     return _DEFAULTS.get(var)
 
 

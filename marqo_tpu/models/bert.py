@@ -49,7 +49,7 @@ class TextEncoderConfig:
     normalize: bool = True
     # XLM-R/RoBERTa offset position ids by pad_token_id+1 (padding_idx=1)
     position_offset: int = 0
-    attention_impl: str = "xla"  # "xla" | "pallas"
+    attention_impl: str = "xla"  # "xla" | "pallas" | "flash"
     # W8A8 int8 linear layers (ops/quant.py): ~1.5-2x throughput on v5e,
     # small cosine drift — opt-in
     quantize: bool = False
@@ -144,13 +144,27 @@ def _encoder_layer(x: jax.Array, masking: tuple, lp: dict,
     k = proj("k_w", "k_b")
     v = proj("v_w", "v_b")
 
-    use_pallas = config.attention_impl == "pallas"
-    if use_pallas:
+    use_flash = config.attention_impl == "flash"
+    if use_flash:
+        from marqo_tpu.ops.fused_attention import fused_attention, supports
+        use_flash = supports(S, masked=True)
+    use_pallas = False
+    if not use_flash and config.attention_impl == "pallas":
         from marqo_tpu.ops.flash_attention import (attention_padding,
                                                    attention_segment,
                                                    supports_shape)
         use_pallas = supports_shape(S)
-    if use_pallas:
+    if use_flash:
+        # pipelined Mosaic flash kernel (ops/fused_attention.py): scores
+        # never touch HBM; block_b batches work per program. Pad rows
+        # attend each other (segment 0) — their pooled outputs are
+        # discarded by callers, matching the einsum path's contract.
+        if mode == "segment":
+            ctx = fused_attention(q, k, v, segment_ids=mask_data)
+        else:
+            ctx = fused_attention(q, k, v, pad_mask=mask_data)
+        ctx = ctx.astype(q.dtype)
+    elif use_pallas:
         if mode == "segment":
             ctx = attention_segment(q, k, v, mask_data)
         else:

@@ -66,6 +66,19 @@ class CLIPVisionConfig:
     layer_norm_eps: float = 1e-5
 
 
+def _model_put(model, arr):
+    """Mesh-aware input placement shared across the CLIP-family wrappers.
+    getattr: sibling wrappers borrow JaxCLIPModel encode methods without
+    inheriting __init__ (no _mesh attribute ⇒ single-device placement)."""
+    mesh = getattr(model, "_mesh", None)
+    arr = jnp.asarray(arr)
+    if mesh is not None:
+        from marqo_tpu.parallel.serving import data_sharding, dp_size
+        if arr.ndim >= 1 and arr.shape[0] % dp_size(mesh) == 0:
+            return jax.device_put(arr, data_sharding(mesh))
+    return jax.device_put(arr, model._jdevice)
+
+
 # --- shared pre-LN transformer over scanned layer stacks --------------------
 
 def _prenorm_block(x, lp, num_heads: int, act_name: str, eps: float,
@@ -83,17 +96,27 @@ def _prenorm_block(x, lp, num_heads: int, act_name: str, eps: float,
     k = proj(lp["k_w"], lp["k_b"])
     v = proj(lp["v_w"], lp["v_b"])
 
-    scale = 1.0 / jnp.sqrt(D).astype(q.dtype)
-    scores = jnp.einsum("bnsd,bntd->bnst", q, k) * scale
-    scores = scores.astype(jnp.float32)
-    if causal:
-        causal_bias = jnp.triu(
-            jnp.full((S, S), -1e9, dtype=jnp.float32), k=1)
-        scores = scores + causal_bias[None, None, :, :]
-    if pad_mask is not None:
-        scores = scores + jnp.where(pad_mask[:, None, None, :] > 0, 0.0, -1e9)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("bnst,bntd->bnsd", probs, v)
+    from marqo_tpu.ops.fused_attention import (flash_enabled, fused_attention,
+                                               supports)
+    if (not causal and flash_enabled()
+            and supports(S, masked=pad_mask is not None)):
+        # fused Mosaic flash kernel: the ViT image towers' whole gap to
+        # speed-of-light is XLA's HBM-bound (B,N,S,S) score tensors
+        # (BENCH_NOTES ViT-L ablation); scores stay in VMEM here
+        ctx = fused_attention(q, k, v, pad_mask=pad_mask).astype(q.dtype)
+    else:
+        scale = 1.0 / jnp.sqrt(D).astype(q.dtype)
+        scores = jnp.einsum("bnsd,bntd->bnst", q, k) * scale
+        scores = scores.astype(jnp.float32)
+        if causal:
+            causal_bias = jnp.triu(
+                jnp.full((S, S), -1e9, dtype=jnp.float32), k=1)
+            scores = scores + causal_bias[None, None, :, :]
+        if pad_mask is not None:
+            scores = scores + jnp.where(pad_mask[:, None, None, :] > 0,
+                                        0.0, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        ctx = jnp.einsum("bnst,bntd->bnsd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
     x = x + (jnp.einsum("bsh,hd->bsd", ctx, lp["o_w"]) + lp["o_b"])
 
@@ -474,12 +497,7 @@ class JaxCLIPModel:
         return jax.device_put(params, self._jdevice)
 
     def _put(self, arr):
-        arr = jnp.asarray(arr)
-        if self._mesh is not None:
-            from marqo_tpu.parallel.serving import data_sharding, dp_size
-            if arr.ndim >= 1 and arr.shape[0] % dp_size(self._mesh) == 0:
-                return jax.device_put(arr, data_sharding(self._mesh))
-        return jax.device_put(arr, self._jdevice)
+        return _model_put(self, arr)
 
     @property
     def dimensions(self) -> int:
@@ -602,7 +620,8 @@ class JaxCLIPModel:
         from marqo_tpu.parallel.serving import round_up_to_dp
         ids = self._tokenize(texts)
         n = len(texts)
-        bucket = round_up_to_dp(pick_batch_bucket(n), self._mesh)
+        bucket = round_up_to_dp(pick_batch_bucket(n),
+                                getattr(self, "_mesh", None))
         outs = []
         start = 0
         while start < n:
@@ -611,7 +630,7 @@ class JaxCLIPModel:
             padded[:size] = ids[start:start + size]
             padded[size:, -1] = self.text_config.eos_token_id
             emb = encode_clip_text_jit(
-                self.params, self._put(padded),
+                self.params, _model_put(self, padded),
                 self.text_config, compute_dtype=self.compute_dtype)
             outs.append(np.asarray(emb)[:size])
             start += size
@@ -640,7 +659,8 @@ class JaxCLIPModel:
         from marqo_tpu.parallel.serving import round_up_to_dp
         pixels = np.stack([self._preprocess_host(c) for c in contents])
         n = len(contents)
-        bucket = round_up_to_dp(pick_batch_bucket(n), self._mesh)
+        bucket = round_up_to_dp(pick_batch_bucket(n),
+                                getattr(self, "_mesh", None))
         outs = []
         start = 0
         while start < n:
@@ -648,7 +668,7 @@ class JaxCLIPModel:
             padded = np.zeros((bucket,) + pixels.shape[1:], dtype=np.uint8)
             padded[:size] = pixels[start:start + size]
             emb = encode_clip_image_jit(
-                self.params, self._put(padded),
+                self.params, _model_put(self, padded),
                 self.vision_config, compute_dtype=self.compute_dtype)
             outs.append(np.asarray(emb)[:size])
             start += size

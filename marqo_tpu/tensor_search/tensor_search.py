@@ -46,15 +46,15 @@ def _validate_pagination(limit: int, offset: int) -> None:
     if offset < 0:
         raise api_exceptions.IllegalRequestedDocCount(
             "search result offset cannot be less than 0!")
-    if limit > max_limit:
+    if max_limit is not None and limit > max_limit:
         raise api_exceptions.IllegalRequestedDocCount(
             f"Your search limit `{limit}` exceeds the Marqo limit of "
             f"`{max_limit}`.")
-    if offset > max_offset:
+    if max_offset is not None and offset > max_offset:
         raise api_exceptions.IllegalRequestedDocCount(
             f"Your search offset `{offset}` exceeds the Marqo limit of "
             f"`{max_offset}`.")
-    if limit + offset > max_docs:
+    if max_docs is not None and limit + offset > max_docs:
         raise api_exceptions.IllegalRequestedDocCount(
             f"The search limit + offset `{limit + offset}` exceeds the Marqo "
             f"limit of `{max_docs}`.")
@@ -427,16 +427,25 @@ def get_document_by_id(config: Config, index_name: str, document_id: str,
 def get_documents_by_ids(config: Config, index_name: str,
                          document_ids: List[str],
                          show_vectors: bool = False) -> dict:
-    if not document_ids:
-        raise api_exceptions.InvalidArgError("Get documents must be passed "
-                                             "a non-empty list of IDs!")
+    # reference tensor_search.py:1319-1328 — collection/emptiness checks
+    # are distinct InvalidArgErrors; the max-docs limit names the env var
+    from collections.abc import Collection
+    if not isinstance(document_ids, Collection) or \
+            isinstance(document_ids, (str, bytes)):
+        raise api_exceptions.InvalidArgError(
+            "Get documents must be passed a collection of IDs!")
+    if len(document_ids) <= 0:
+        raise api_exceptions.InvalidArgError(
+            "Can't get empty collection of IDs!")
     max_docs = configs.read_env_vars_and_defaults_ints(
         "MARQO_MAX_RETRIEVABLE_DOCS")
-    if len(document_ids) > max_docs:
+    if max_docs is not None and len(document_ids) > max_docs:
         raise api_exceptions.IllegalRequestedDocCount(
             f"{len(document_ids)} documents were requested, which is more "
-            f"than the allowed limit of [{max_docs}]")
+            f"than the allowed limit of [{max_docs}], set by the "
+            f"environment variable `MARQO_MAX_RETRIEVABLE_DOCS`")
     results = []
+    errors = False
     for doc_id in document_ids:
         try:
             doc = get_document_by_id(config, index_name, doc_id, show_vectors)
@@ -445,27 +454,34 @@ def get_documents_by_ids(config: Config, index_name: str,
             results.append({constants.MARQO_DOC_ID: doc_id, "_found": False})
         except api_exceptions.InvalidDocumentIdError as e:
             # per-item 400 instead of failing the batch (reference
-            # test_get_documents_by_ids_InvalidIdsResponse)
+            # test_get_documents_by_ids_InvalidIdsResponse; _found stays
+            # unset on invalid-id items)
+            errors = True
             results.append({constants.MARQO_DOC_ID: doc_id, "status": 400,
                             "message": e.message})
-    return {"results": results}
+    return {"errors": errors, "results": results}
 
 
 def delete_documents(config: Config, index_name: str,
                      document_ids: List[str]) -> dict:
-    """Batch delete (parity: reference tensor_search/delete_docs.py:36)."""
+    """Batch delete (parity: reference tensor_search/delete_docs.py:36,
+    validation.py:637). Deleting a non-existent id still reports
+    status 200 / 'deleted' — Vespa returns 200 for missing docs, and the
+    reference's tests pin deletedDocuments == receivedDocumentIds
+    (test_delete_documents.py:234-245)."""
     if not document_ids:
-        raise api_exceptions.InvalidArgError(
-            "doc_ids can't be empty!")
+        # validation.py:655 — empty ids is an InvalidDocumentIdError
+        raise api_exceptions.InvalidDocumentIdError("doc_ids can't be empty!")
     if not isinstance(document_ids, (list, tuple)):
-        raise api_exceptions.InvalidArgError("doc_ids must be a list or tuple")
+        raise api_exceptions.InvalidArgError(
+            "documentIds param must be an array of strings.")
     max_delete = configs.read_env_vars_and_defaults_ints(
         "MARQO_MAX_DELETE_DOCS_COUNT")
-    if len(document_ids) > max_delete:
+    if max_delete is not None and len(document_ids) > max_delete:
         raise api_exceptions.InvalidArgError(
             f"The number of documentIds to delete `{len(document_ids)}` is "
-            f"greater than the limit MARQO_MAX_DELETE_DOCS_COUNT "
-            f"`{max_delete}`")
+            f"greater than the limit `{max_delete}` set by the env var "
+            f"`MARQO_MAX_DELETE_DOCS_COUNT`. ")
     for doc_id in document_ids:
         if not isinstance(doc_id, str) or not doc_id:
             raise api_exceptions.InvalidDocumentIdError(
@@ -474,20 +490,15 @@ def delete_documents(config: Config, index_name: str,
     index = config.index_meta_cache.get_index(index_name)
     items = []
     for doc_id in document_ids:
-        found = config.engine.delete(index.schema_name, doc_id)
-        items.append({
-            "_id": doc_id,
-            "_shard": {"total": 1, "successful": 1, "failed": 0},
-            "status": 200 if found else 404,
-            "result": "deleted" if found else "not_found",
-        })
+        config.engine.delete(index.schema_name, doc_id)
+        items.append({"_id": doc_id, "status": 200, "result": "deleted"})
     return {
         "index_name": index_name,
         "status": "succeeded",
         "type": "documentDeletion",
         "details": {
             "receivedDocumentIds": len(document_ids),
-            "deletedDocuments": sum(1 for i in items if i["status"] == 200),
+            "deletedDocuments": len(items),
         },
         "duration": f"PT{time.time() - start:.3f}S",
         "startedAt": time.strftime("%Y-%m-%dT%H:%M:%SZ",
