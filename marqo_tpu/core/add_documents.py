@@ -23,7 +23,7 @@ import numpy as np
 
 from marqo_tpu.api import configs
 from marqo_tpu.core import constants
-from marqo_tpu.core.exceptions import InvalidArgumentError
+from marqo_tpu.core.exceptions import InvalidArgumentError, VectoriseError
 from marqo_tpu.core.models.add_docs_params import (AddDocsParams,
                                                    BatchVectorisationMode)
 from marqo_tpu.core.models.marqo_index import (Field, FieldType, MarqoIndex,
@@ -150,7 +150,22 @@ class AddDocumentsHandler:
         self.params = params
         self.index_management = index_management
         self.meta_cache = meta_cache
-        self.mappings = params.mappings or {}
+        self.mappings = dict(params.mappings or {})
+        # structured indexes declare custom_vector / multimodal fields by
+        # TYPE in the index settings, not via request mappings (reference
+        # structured add-docs: field type drives handling) — synthesize
+        # the equivalent mappings so one planning path serves both
+        if isinstance(index, StructuredMarqoIndex):
+            from marqo_tpu.core.models.marqo_index import FieldType
+            for field in index.fields:
+                if field.name in self.mappings:
+                    continue
+                if field.type == FieldType.CustomVector:
+                    self.mappings[field.name] = {"type": "custom_vector"}
+                elif field.type == FieldType.MultimodalCombination:
+                    self.mappings[field.name] = {
+                        "type": "multimodal_combination",
+                        "weights": dict(field.dependent_fields or {})}
         self._positions: Dict[str, int] = {}
 
     # -- tensor field resolution --
@@ -193,6 +208,11 @@ class AddDocumentsHandler:
         """
         mapping = self.mappings.get(field)
         if mapping and mapping.get("type") == "custom_vector":
+            if field not in doc:
+                # a mapping declares how the field is handled WHEN present;
+                # docs without it are valid (reference test_filtering adds
+                # custom_vector mappings with most docs lacking the field)
+                return None
             value = doc.get(field)
             if not isinstance(value, dict) or "vector" not in value:
                 raise DocError(
@@ -646,6 +666,15 @@ class AddDocumentsHandler:
                         modality=modality, **common)
                     for i, vec in zip(idxs, vecs):
                         results[modality][i] = vec
+            except VectoriseError as e:
+                # invalid inputs to vectorise (e.g. no_model) are the
+                # user's error: 400/invalid_argument per item (reference
+                # test_no_model.py:130-134)
+                failed.add(doc_id)
+                collector.collect_error(
+                    doc_id,
+                    DocError(str(e), status=400, code="invalid_argument"),
+                    position=self._positions.get(doc_id))
             except Exception as e:
                 failed.add(doc_id)
                 collector.collect_error(

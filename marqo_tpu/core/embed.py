@@ -69,6 +69,18 @@ class Embed:
             elif isinstance(item, dict):
                 if not item:
                     raise InvalidArgumentError("Embed content dict cannot be empty")
+                for key, weight in item.items():
+                    # reference EmbedRequest pydantic validation: weighted
+                    # dict values must be floats ("value is not a valid
+                    # float", test_embed.py:685-702) — a 400, not a crash
+                    if not isinstance(key, str):
+                        raise InvalidArgumentError(
+                            "Embed content dict keys must be strings")
+                    if isinstance(weight, bool) or \
+                            not isinstance(weight, (int, float)):
+                        raise InvalidArgumentError(
+                            f"value is not a valid float for weighted "
+                            f"content key `{key}`")
                 texts = [prefix + t for t in item]
                 weights = list(item.values())
                 vectors = inference.vectorise(

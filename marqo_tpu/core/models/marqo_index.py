@@ -205,6 +205,36 @@ class Model(BaseModel):
     text_query_prefix: Optional[str] = None
     text_chunk_prefix: Optional[str] = None
 
+    @model_validator(mode="after")
+    def _validate_custom_properties(self):
+        """Custom model-properties validation at index-settings time
+        (reference s2_inference.py:345-420 validate_model_properties):
+        'dimensions' must be a positive int; no_model requires BOTH
+        model name and type to be 'no_model'."""
+        props = self.properties
+        if props is None:
+            return self
+        if "dimensions" in props or props.get("type") in ("no_model",):
+            dimensions = props.get("dimensions")
+            if (dimensions is None or isinstance(dimensions, bool)
+                    or not isinstance(dimensions, int) or dimensions < 1):
+                raise ValueError(
+                    f"Invalid model properties: 'dimensions' must be a "
+                    f"positive integer, but received {dimensions}.")
+        if props.get("type") == "no_model" and self.name != "no_model":
+            raise ValueError(
+                f"Invalid model properties: To use the 'no_model' feature, "
+                f"you must provide 'model = no_model' and "
+                f"'type = no_model', but received 'model = {self.name}' "
+                f"and 'type = {props.get('type')}'.")
+        if self.name == "no_model" and props.get("type") != "no_model":
+            raise ValueError(
+                f"Invalid model properties: To use the 'no_model' feature, "
+                f"you must provide 'model = no_model' and "
+                f"'type = no_model', but received 'model = {self.name}' "
+                f"and 'type = {props.get('type')}'.")
+        return self
+
     def get_properties(self) -> Dict[str, Any]:
         self._update_properties_from_registry()
         return self.properties

@@ -24,13 +24,23 @@ class Recommender:
                 else InterpolationMethod.LERP)
 
     @staticmethod
-    def _exclusion_filter(doc_ids: List[str],
-                          existing: Optional[str]) -> str:
+    def _exclusion_filter(doc_ids: List[str], existing: Optional[str],
+                          structured: bool) -> str:
+        """Reference recommender.py:205-214: `NOT _id IN (...)` on
+        structured indexes, `NOT (_id:(a) OR _id:(b))` on unstructured
+        (IN is structured-only at the filter layer)."""
         escaped = [i.replace("\\", "\\\\").replace(" ", "\\ ")
                    .replace("(", "\\(").replace(")", "\\)")
                    .replace(",", "\\,")  # a comma would split the IN list
                    for i in doc_ids]
-        exclusion = f"NOT _id IN ({', '.join(escaped)})"
+        if structured:
+            exclusion = f"NOT _id IN ({', '.join(escaped)})"
+        else:
+            # ungrouped escaped terms: the lexer unescapes \x in bare
+            # values (grouped (...) values are literal, so escapes would
+            # be kept raw and comma ids would not match)
+            exclusion = "NOT (" + " OR ".join(
+                f"_id:{i}" for i in escaped) + ")"
         if existing:
             return f"({existing}) AND {exclusion}"
         return exclusion
@@ -94,7 +104,9 @@ class Recommender:
 
         interpolated = interpolator.interpolate(vectors, vector_weights)
 
-        search_filter = (self._exclusion_filter(doc_ids, filter)
+        from marqo_tpu.core.models.marqo_index import IndexType
+        structured = index.type == IndexType.Structured
+        search_filter = (self._exclusion_filter(doc_ids, filter, structured)
                          if exclude_input_documents else filter)
         return tensor_search.search(
             self.config, index_name, text=None,

@@ -17,7 +17,10 @@ import re
 from collections import defaultdict
 from typing import Dict, List, Optional, Set
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# underscore is a word character, as in Vespa's tokenization — the
+# reference pins that "field_1_document_1" matches ONLY the doc containing
+# that exact compound (test_search_combined.py test_LexicalSearchResultsScore)
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 K1 = 1.2
 B = 0.75

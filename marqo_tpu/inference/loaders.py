@@ -485,9 +485,9 @@ class NoModel(EmbeddingModel):
 
     def encode(self, contents, normalize=True, modality=Modality.TEXT):
         raise VectoriseError(
-            "Cannot vectorise anything with `no_model`. This model is intended "
-            "for adding documents and searching with custom vectors only. If "
-            "vectorisation is needed, please use a different model.")
+            "Cannot vectorise anything with 'no_model'. This model is "
+            "intended for adding documents and searching with custom vectors "
+            "only. If vectorisation is needed, please use a different model ")
 
 
 def _param_cache_path(repo: str, config) -> str:

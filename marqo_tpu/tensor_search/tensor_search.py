@@ -60,6 +60,60 @@ def _validate_pagination(limit: int, offset: int) -> None:
             f"limit of `{max_docs}`.")
 
 
+def _validate_filter_for_index(index: MarqoIndex, tree) -> None:
+    """Index-aware filter checks (reference behavior):
+
+    - IN is structured-only (unstructured_vespa_index.py:221);
+    - on structured indexes IN works only on string/int-family fields,
+      with per-element int validation
+      (structured_vespa_index.py:694-728 _convert_to_in_list_str).
+    """
+    from marqo_tpu.core.exceptions import InvalidDataTypeError
+    from marqo_tpu.core.models.marqo_index import FieldType, IndexType
+    from marqo_tpu.core.search import search_filter as sf
+
+    STR_FIELD_TYPES = [FieldType.Text, FieldType.ArrayText,
+                       FieldType.CustomVector]
+    INT_FIELD_TYPES = [FieldType.Int, FieldType.Long, FieldType.ArrayInt,
+                       FieldType.ArrayLong]
+
+    def walk(node):
+        if isinstance(node, sf.InTerm):
+            if index.type != IndexType.Structured:
+                raise InvalidArgumentError(
+                    "The 'IN' filter keyword is not yet supported for "
+                    "unstructured indexes")
+            field = index.field_map.get(node.field)
+            if node.field == "_id" or field is None:
+                return  # _id is string-typed; unknown fields match nothing
+            if field.type in STR_FIELD_TYPES:
+                return
+            if field.type in INT_FIELD_TYPES:
+                for value in node.value_list:
+                    try:
+                        int(value)
+                    except ValueError:
+                        raise InvalidDataTypeError(
+                            f"Attempting to use the IN filter operator on "
+                            f"field: '{node.field}' of type: "
+                            f"'{field.type.value}', but found list element "
+                            f"'{value}', which is not of type 'int'.")
+                return
+            raise InvalidDataTypeError(
+                f"The IN filter operator is only supported for the "
+                f"following field types: "
+                f"{[t.value for t in STR_FIELD_TYPES + INT_FIELD_TYPES]}. "
+                f"However, '{node.field}' is of unsupported type: "
+                f"'{field.type.value}'.")
+        elif isinstance(node, sf.Operator):
+            walk(node.left)
+            walk(node.right)
+        elif isinstance(node, sf.Not):
+            walk(node.modified)
+
+    walk(tree.root if isinstance(tree, sf.SearchFilter) else tree)
+
+
 # --- query vectorisation -------------------------------------------------
 
 def compute_query_vector(index: MarqoIndex,
@@ -162,8 +216,10 @@ def compute_query_vector(index: MarqoIndex,
             vec = np.asarray(entry["vector"], dtype=np.float32)
             if vec.shape != (dims,):
                 raise InvalidArgumentError(
-                    f"Context vector length {vec.shape[0]} does not match "
-                    f"index dimension {dims}")
+                    f"The dimension of the vectors returned by the model or "
+                    f"given by the context vectors does not match the "
+                    f"expected dimension. Expected dimension {dims} but got "
+                    f"{vec.shape[0]}")
             acc += vec * float(entry.get("weight", 1.0))
             got_any = True
 
@@ -219,8 +275,12 @@ def search(config: Config, index_name: str,
                 f"is {max_attrs}, received {len(searchable_attributes)}.")
 
     index = config.index_meta_cache.get_index(index_name)
+    # `filter=""` is a parse error, not "no filter"
+    # (reference test_filtering_bad_syntax includes the empty string)
     search_filter = (MarqoFilterStringParser().parse(filter)
-                     if filter else None)
+                     if filter is not None else None)
+    if search_filter is not None:
+        _validate_filter_for_index(index, search_filter)
     mods = None
     if score_modifiers:
         mods = ScoreModifierLists(**score_modifiers).to_score_modifiers()

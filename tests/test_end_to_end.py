@@ -224,7 +224,9 @@ class TestDocumentOps:
         _add_docs(config)
         res = tensor_search.delete_documents(config, "my-index",
                                              ["d1", "missing"])
-        assert res["details"]["deletedDocuments"] == 1
+        # missing ids count as deleted (Vespa-200 semantics,
+        # reference test_delete_documents.py:234-245)
+        assert res["details"]["deletedDocuments"] == 2
         assert config.engine.doc_count("my-index") == 2
 
 
