@@ -139,6 +139,28 @@ def _validate_field_value(field: str, value: Any) -> None:
         pass
 
 
+def _validate_map_numeric_field(field_content: dict) -> None:
+    """Non-mapped dict fields are map<text, number> score-modifier maps:
+    one level deep, string keys, int/float values (reference
+    validation.py:419-457 validate_map_numeric_field, exact messages)."""
+    if any(isinstance(v, dict) for v in field_content.values()):
+        raise DocError(
+            "Nested dictionaries are not allowed in map fields. Each value "
+            "must be a single int, float, or double.")
+    for key, value in field_content.items():
+        if not isinstance(key, str):
+            raise DocError(
+                f"Key '{key}' in map field is not a string. All keys must "
+                f"be strings.")
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise DocError(
+                f"Value '{value}' for key '{key}' in map field is not of "
+                f"type int or float. If you are using an unstructured index "
+                f"and attempting to index another type of object field "
+                f"(e.g. custom_vector field), please use the 'mappings' "
+                f"object.")
+
+
 class AddDocumentsHandler:
     """One handler instance per request."""
 
@@ -218,10 +240,28 @@ class AddDocumentsHandler:
                 raise DocError(
                     f"Field `{field}` is a custom_vector field and must be a "
                     f"dict with 'vector' (and optional 'content')")
-            content = value.get("content") or ""
+            # strict schema (reference CustomVectorFieldContent pydantic,
+            # test_invalid_custom_vector_field_content): only
+            # content/vector keys; content must be a string; vector a
+            # list of numbers of the index dimension
+            extra = set(value) - {"content", "vector"}
+            if extra:
+                raise DocError(
+                    f"Field `{field}`: unexpected keys in custom_vector "
+                    f"content: {sorted(extra)}")
+            content = value.get("content")
+            if content is None:
+                content = ""
+            if not isinstance(content, str):
+                raise DocError(
+                    f"Field `{field}`: custom_vector 'content' must be a "
+                    f"string, got `{type(content).__name__}`")
             vector = value["vector"]
             dims = self.index.model.get_dimension()
-            if not isinstance(vector, list) or len(vector) != dims:
+            if (not isinstance(vector, list) or len(vector) != dims
+                    or not all(isinstance(v, (int, float))
+                               and not isinstance(v, bool)
+                               for v in vector)):
                 raise DocError(
                     f"Custom vector for field `{field}` must be a list of "
                     f"{dims} floats")
@@ -230,8 +270,8 @@ class AddDocumentsHandler:
                 norm = float(np.linalg.norm(vec))
                 if norm == 0:
                     raise DocError(
-                        f"Field `{field}`: cannot normalize a zero-magnitude "
-                        f"custom vector")
+                        f"Field {field} has zero magnitude vector, "
+                        f"cannot normalize.")
                 vec = vec / norm
             return {"kind": "custom", "chunks": [content],
                     "vectors": vec[None, :], "content_key": content}
@@ -358,6 +398,12 @@ class AddDocumentsHandler:
                         except ValueError as e:
                             raise DocError(str(e), code="invalid_field_name")
                     _validate_field_value(field, value)
+                    if isinstance(value, dict) and \
+                            field not in self.mappings:
+                        # non-mapped dict fields must be numeric maps
+                        # (reference validation.py:419-457
+                        # validate_map_numeric_field)
+                        _validate_map_numeric_field(value)
                 field_plans = {}
                 for field in self._tensor_field_names(doc):
                     plan = self._plan_field(doc, field)

@@ -51,14 +51,17 @@ def _block_sizes(batch: int, q_len: int, kv_len: int) -> BlockSizes:
 
 
 def flash_enabled() -> bool:
-    """Env gate, read at trace time. Default ON (the TPU backend check in
-    supports() keeps CPU tests on the einsum path); set
-    MARQO_TPU_FUSED_ATTENTION=FALSE to force the XLA einsum attention."""
+    """Env gate, read at trace time. Default OFF: round-3 measurements
+    (BENCH_NOTES round-3 section) show the flash kernel is perf-NEUTRAL
+    on ViT-L/14 e2e (~705 vs ~702 imgs/s across 8 alternating runs, block
+    sweep bb∈{4,8,16} never beating einsum) and 20% SLOWER on the packed
+    BERT headline (68.7 vs 57.1 ms/batch) — XLA's fused einsum attention
+    is already at the same VPU-softmax floor. Set
+    MARQO_TPU_FUSED_ATTENTION=TRUE to opt in (e.g. for long-seq models
+    where one (S, S) score tile stops fitting VMEM)."""
     from marqo_tpu.api import configs
     v = configs.read_env_vars_and_defaults("MARQO_TPU_FUSED_ATTENTION")
-    if v is None:
-        return True
-    return str(v).upper() != "FALSE"
+    return v is not None and str(v).upper() == "TRUE"
 
 
 def supports(seq_len: int, masked: bool) -> bool:
