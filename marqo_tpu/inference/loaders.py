@@ -571,15 +571,11 @@ def resolve_model_class(model_name: str, properties: dict):
             from marqo_tpu.models.coca import JaxCoCaModel
             cls = JaxCoCaModel
         elif "nllb" in name.lower():
-            # honest gate: NLLB-SigLIP pairs an M2M-100 text encoder with
-            # the SigLIP trunk — the text arch has no offline-verifiable
-            # conversion here; fail clearly instead of converting into the
-            # wrong layout
-            raise ModelLoadError(
-                f"NLLB-SigLIP model `{model_name}` is not yet supported by "
-                "the TPU runtime (M2M-100 text tower pending). Choose a "
-                "SigLIP/ViT/ConvNeXt CLIP model, or provide a custom model "
-                "via model_properties.")
+            # M2M-100 text tower (transformers-verified math) + SigLIP
+            # trunk; real open_clip checkpoints load behind
+            # MARQO_ALLOW_UNVERIFIED_CONVERSION (models/nllb_siglip.py)
+            from marqo_tpu.models.nllb_siglip import JaxNLLBSigLIPModel
+            cls = JaxNLLBSigLIPModel
         elif "siglip" in name.lower():
             # SigLIP: timm vision trunk (no class token, latent attention
             # pool) + non-causal last-token text tower (models/siglip.py)
@@ -601,14 +597,11 @@ def resolve_model_class(model_name: str, properties: dict):
             from marqo_tpu.models.hf_clip import JaxHFCLIPModel
             cls = JaxHFCLIPModel
         elif "eva02" in name.lower():
-            # honest gate: EVA02's timm arch (2d-RoPE + SwiGLU variants)
-            # has no offline-verifiable conversion here; fail clearly
-            # instead of converting into the wrong (ViT-CLIP) layout
-            raise ModelLoadError(
-                f"EVA02 model `{model_name}` is not yet supported by the "
-                "TPU runtime (RoPE/SwiGLU vision trunk pending). Choose a "
-                "ViT/SigLIP/ConvNeXt/ResNet CLIP model, or provide a "
-                "custom model via model_properties.")
+            # RoPE + SwiGLU vision trunk (torch-mirror-verified math) +
+            # CLIP text tower; real checkpoints load behind
+            # MARQO_ALLOW_UNVERIFIED_CONVERSION (models/eva02.py)
+            from marqo_tpu.models.eva02 import JaxEVA02Model
+            cls = JaxEVA02Model
         else:
             from marqo_tpu.models.clip import JaxCLIPModel
             cls = JaxCLIPModel

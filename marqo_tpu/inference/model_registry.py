@@ -13,11 +13,15 @@ marqo_tpu.inference.loaders (vs. reference's torch/open_clip/onnx classes):
   hf_stella         → JaxStellaModel   (models/stella.py)
   clip | open_clip | fp16_clip → by arch in the name:
       coca_*        → JaxCoCaModel        (models/coca.py)
-      *SigLIP*      → JaxSigLIPModel      (models/siglip.py; nllb-* gated)
+      *SigLIP*      → JaxSigLIPModel      (models/siglip.py)
+      nllb-*        → JaxNLLBSigLIPModel  (models/nllb_siglip.py; M2M-100
+                      text transformers-verified; open_clip pairing behind
+                      MARQO_ALLOW_UNVERIFIED_CONVERSION)
       RN50*/RN101*  → JaxResNetCLIPModel  (models/resnet_clip.py)
       convnext_*    → JaxConvNextCLIPModel (models/convnext_clip.py)
       *roberta*     → JaxHFCLIPModel      (models/hf_clip.py)
-      EVA02*        → gated (no offline-verifiable conversion)
+      EVA02*        → JaxEVA02Model       (models/eva02.py; real ckpts
+                      behind MARQO_ALLOW_UNVERIFIED_CONVERSION)
       otherwise     → JaxCLIPModel        (ViT towers, models/clip.py)
   multilingual_clip → JaxHFCLIPModel (XLM-R + LinearTransformation)
   languagebind      → JaxLanguageBindModel (models/languagebind.py)

@@ -268,9 +268,12 @@ def init_siglip_params(text_config: SigLIPTextConfig,
 def params_from_open_clip_siglip(state_dict,
                                  text_config: SigLIPTextConfig,
                                  vision_config: SigLIPVisionConfig,
-                                 dtype=jnp.float32) -> dict:
+                                 dtype=jnp.float32,
+                                 vision_only: bool = False) -> dict:
     """Convert an open_clip SigLIP state dict (text.* open_clip naming;
-    visual.trunk.* timm naming incl. attn_pool)."""
+    visual.trunk.* timm naming incl. attn_pool). ``vision_only`` skips
+    the text half (NLLB-SigLIP pairs this trunk with an M2M-100 text
+    tower, models/nllb_siglip.py)."""
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                         else v) for k, v in state_dict.items()}
 
@@ -320,8 +323,9 @@ def params_from_open_clip_siglip(state_dict,
     if latent.ndim == 3:  # (1, 1, H)
         latent = latent[0]
 
-    return {
-        "text": {
+    text = None
+    if not vision_only:
+        text = {
             "token_embedding": jnp.asarray(
                 sd["text.token_embedding.weight"], dtype),
             "position_embedding": jnp.asarray(
@@ -333,7 +337,9 @@ def params_from_open_clip_siglip(state_dict,
             # proj_bias=True → Linear (weight stored (out, in))
             "proj_w": jnp.asarray(sd["text.text_projection.weight"].T, dtype),
             "proj_b": jnp.asarray(sd["text.text_projection.bias"], dtype),
-        },
+        }
+    return {
+        "text": text,
         "vision": {
             "patch_embedding": jnp.asarray(patch_w, dtype),
             "patch_bias": jnp.asarray(

@@ -91,7 +91,9 @@ class TestFullJourney:
         r = http.post("/indexes/movies/documents/delete-batch",
                       json=["m2", "ghost"])
         body = r.json()
-        assert body["details"]["deletedDocuments"] == 1
+        # missing ids count as deleted (Vespa-200 semantics, reference
+        # test_delete_documents.py:234-245)
+        assert body["details"]["deletedDocuments"] == 2
         assert http.get("/indexes/movies/stats").json()[
             "numberOfDocuments"] == 1
 
