@@ -266,7 +266,10 @@ class _Shard:
 
     def feed(self, doc_id: str, fields: dict, tensors: dict) -> None:
         with self.lock:
-            self.delete(doc_id)
+            if doc_id in self.docs:
+                # upsert: clear the old doc from every index. New docs
+                # (the ingest hot path) skip the per-index removal scans.
+                self.delete(doc_id)
             self.docs[doc_id] = dict(fields)
             for field, value in fields.items():
                 if self._is_lexical_field(field, value):
@@ -470,8 +473,10 @@ class StoreEngine:
         # doc or revert an upsert (apply-then-log outside the lock races)
         with shard.lock:
             shard.feed(doc_id, fields, tensors or {})
-            self._log({"op": "feed", "index": index_name, "doc_id": doc_id,
-                       "fields": fields, "tensors": tensors or {}})
+            if self._wal is not None:
+                self._log({"op": "feed", "index": index_name,
+                           "doc_id": doc_id, "fields": fields,
+                           "tensors": tensors or {}})
         self._mutated(index_name)
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:

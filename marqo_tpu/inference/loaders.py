@@ -310,7 +310,9 @@ class JaxHFTextModel(EmbeddingModel):
         from marqo_tpu.ops.packing import pack_sequences
 
         ids, lengths = batch["input_ids"], batch["lengths"]
-        sequences = [ids[i, :lengths[i]].tolist() for i in range(len(lengths))]
+        # numpy row views, not python lists — pack_sequences is
+        # array-agnostic and the 512 tolist() calls cost ~12ms/batch
+        sequences = [ids[i, :lengths[i]] for i in range(len(lengths))]
         max_seqs = batch_buckets()[-1]
         pending = []
         for start in range(0, len(sequences), max_seqs):
