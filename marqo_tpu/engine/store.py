@@ -917,11 +917,16 @@ class StoreEngine:
         raw_lexical: Dict[str, float] = {}
         highlights: Dict[str, Optional[dict]] = {}
         for rank, (doc_id, (score, highlight)) in enumerate(tensor_ranked):
-            fused[doc_id] += alpha * (1.0 / (rank + 1 + rrf_k))
+            if alpha > 0:
+                # a zero-weighted leg contributes NOTHING: alpha=0 must
+                # return exactly the lexical result set (reference
+                # test_hybrid_search_disjunction_rrf_zero_alpha)
+                fused[doc_id] += alpha * (1.0 / (rank + 1 + rrf_k))
             raw_tensor[doc_id] = score
             highlights[doc_id] = highlight
         for rank, (doc_id, score) in enumerate(lexical_ranked):
-            fused[doc_id] += (1.0 - alpha) * (1.0 / (rank + 1 + rrf_k))
+            if alpha < 1:
+                fused[doc_id] += (1.0 - alpha) * (1.0 / (rank + 1 + rrf_k))
             raw_lexical[doc_id] = score
 
         scored = {d: (s, highlights.get(d)) for d, s in fused.items()}

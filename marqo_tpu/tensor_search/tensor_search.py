@@ -297,6 +297,20 @@ def search(config: Config, index_name: str,
                                  searchable_attributes, search_filter, mods,
                                  attributes_to_retrieve, expose_facets)
     else:
+        # reference marqo_query.py:63-76 — hybrid rejects the top-level
+        # knobs; the per-leg variants live inside hybridParameters
+        if score_modifiers:
+            raise api_exceptions.InvalidArgError(
+                "'scoreModifiers' cannot be used for hybrid search. "
+                "Instead, define the 'scoreModifiersTensor' and/or "
+                "'scoreModifiersLexical' keys inside the "
+                "'hybridParameters' dict parameter.")
+        if searchable_attributes is not None:
+            raise api_exceptions.InvalidArgError(
+                "'searchableAttributes' cannot be used for hybrid search. "
+                "Instead, define the 'searchableAttributesTensor' and/or "
+                "'searchableAttributesLexical' keys inside the "
+                "'hybridParameters' dict parameter.")
         result = _hybrid_search(config, index, text, context, limit, offset,
                                 ef_search, approximate, search_filter,
                                 attributes_to_retrieve, device,
