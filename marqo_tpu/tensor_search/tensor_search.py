@@ -295,7 +295,8 @@ def search(config: Config, index_name: str,
     elif method == SEARCH_METHOD_LEXICAL:
         result = _lexical_search(config, index, text, limit, offset,
                                  searchable_attributes, search_filter, mods,
-                                 attributes_to_retrieve, expose_facets)
+                                 attributes_to_retrieve, expose_facets,
+                                 show_highlights)
     else:
         # reference marqo_query.py:63-76 — hybrid rejects the top-level
         # knobs; the per-leg variants live inside hybridParameters
@@ -392,7 +393,8 @@ def _tensor_search(config, index, text, context, limit, offset, ef_search,
 
 def _lexical_search(config, index, text, limit, offset,
                     searchable_attributes, search_filter, mods,
-                    attributes_to_retrieve, expose_facets) -> dict:
+                    attributes_to_retrieve, expose_facets,
+                    show_highlights: bool = True) -> dict:
     if not isinstance(text, str):
         raise api_exceptions.InvalidArgError(
             "Query q must be a string for LEXICAL search")
@@ -404,7 +406,11 @@ def _lexical_search(config, index, text, limit, offset,
         search_filter=search_filter, score_modifiers=mods,
         attributes_to_retrieve=attributes_to_retrieve,
         expose_facets=expose_facets)
-    return {"hits": [_hit_to_dict(h, False, SEARCH_METHOD_LEXICAL)
+    # lexical hits carry an EMPTY _highlights list when highlights are on
+    # (reference test_lexical_search_no_highlights_format: the key exists,
+    # the list is empty; highlights=False drops the key entirely)
+    return {"hits": [_hit_to_dict(h, show_highlights,
+                                  SEARCH_METHOD_LEXICAL)
                      for h in res.hits]}
 
 
