@@ -69,7 +69,10 @@ def batched_device_encode(array, forward, pad_value=0):
     CLIP-family wrapper). Returns the concatenated fetched rows."""
     import numpy as np
     n = array.shape[0]
-    bucket = pick_batch_bucket(n)
+    # under a serving mesh the batch axis shards across dp, so buckets
+    # round up to dp multiples (harmless extra pad rows otherwise)
+    from marqo_tpu.parallel.serving import round_up_to_dp, serving_mesh
+    bucket = round_up_to_dp(pick_batch_bucket(n), serving_mesh())
     pending = []
     start = 0
     while start < n:

@@ -67,13 +67,15 @@ class CLIPVisionConfig:
 
 
 def _model_put(model, arr):
-    """Mesh-aware input placement shared across the CLIP-family wrappers.
-    getattr: sibling wrappers borrow JaxCLIPModel encode methods without
-    inheriting __init__ (no _mesh attribute ⇒ single-device placement)."""
-    mesh = getattr(model, "_mesh", None)
+    """Mesh-aware input placement shared across ALL model-family wrappers:
+    batch-shards across dp when the process serving mesh spans the
+    model's device and the leading dim divides (parallel/serving.py
+    model_mesh resolves lazily — wrappers need no mesh-aware __init__)."""
+    from marqo_tpu.parallel.serving import (data_sharding, dp_size,
+                                            model_mesh)
+    mesh = model_mesh(model)
     arr = jnp.asarray(arr)
     if mesh is not None:
-        from marqo_tpu.parallel.serving import data_sharding, dp_size
         if arr.ndim >= 1 and arr.shape[0] % dp_size(mesh) == 0:
             return jax.device_put(arr, data_sharding(mesh))
     return jax.device_put(arr, model._jdevice)

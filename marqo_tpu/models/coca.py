@@ -37,6 +37,8 @@ from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
 
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.ops.common import ACTIVATIONS, layer_norm
+from marqo_tpu.models.clip import _model_put
+from marqo_tpu.parallel.serving import put_params
 
 
 @dataclass(frozen=True)
@@ -586,12 +588,11 @@ class JaxCoCaModel:
             state = state["state_dict"]
         state = {k[len("module."):] if k.startswith("module.") else k: v
                  for k, v in state.items()}
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             params_from_open_clip_coca(state, self.text_config,
                                        self.vision_config,
                                        self.decoder_config,
-                                       dtype=self.compute_dtype),
-            self._jdevice)
+                                       dtype=self.compute_dtype))
         self._init_tokenizer(checkpoint=path)
 
     def _load_random_init(self) -> None:
@@ -626,11 +627,10 @@ class JaxCoCaModel:
             context_length=self.text_config.context_length)
         seed = int.from_bytes(
             hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             init_coca_params(self.text_config, self.vision_config,
                              self.decoder_config, jax.random.PRNGKey(seed),
-                             dtype=self.compute_dtype),
-            self._jdevice)
+                             dtype=self.compute_dtype))
         self._init_tokenizer()
 
     def _init_tokenizer(self, checkpoint: str = None) -> None:
@@ -664,7 +664,7 @@ class JaxCoCaModel:
             np.int32)
         from marqo_tpu.inference.batching import batched_device_encode
         return batched_device_encode(ids, lambda padded: encode_coca_text_jit(
-            self.params, jax.device_put(jnp.asarray(padded), self._jdevice),
+            self.params, _model_put(self, padded),
             self.text_config, compute_dtype=self.compute_dtype))
 
     def _encode_images(self, contents: List[Any]) -> np.ndarray:
@@ -675,7 +675,7 @@ class JaxCoCaModel:
         return batched_device_encode(
             pixels, lambda padded: encode_coca_image_jit(
                 self.params,
-                jax.device_put(jnp.asarray(padded), self._jdevice),
+                _model_put(self, padded),
                 self.vision_config, compute_dtype=self.compute_dtype))
 
     def caption_logits(self, texts: List[str], images: List[Any]) -> np.ndarray:

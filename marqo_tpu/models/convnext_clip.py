@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from marqo_tpu.ops.common import layer_norm
+from marqo_tpu.models.clip import _model_put
+from marqo_tpu.parallel.serving import put_params
 from marqo_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD
 
 
@@ -329,8 +331,7 @@ class JaxConvNextCLIPModel:
         text = JaxResNetCLIPModel._convert_text(self, sd_np)
         vision = convnext_vision_params_from_torch(
             sd_np, self.vision_config, dtype=self.compute_dtype)["vision"]
-        self.params = jax.device_put({"text": text, "vision": vision},
-                                     self._jdevice)
+        self.params = put_params(self, {"text": text, "vision": vision})
         self._init_tokenizer(checkpoint=path)
 
     def _load_random_init(self) -> None:
@@ -365,8 +366,7 @@ class JaxConvNextCLIPModel:
         vision = init_convnext_params(
             self.vision_config, jax.random.fold_in(rng, 9),
             dtype=self.compute_dtype)["vision"]
-        self.params = jax.device_put({"text": text, "vision": vision},
-                                     self._jdevice)
+        self.params = put_params(self, {"text": text, "vision": vision})
         self._init_tokenizer()
 
     def _init_tokenizer(self, checkpoint: str = None) -> None:
@@ -412,7 +412,7 @@ class JaxConvNextCLIPModel:
         return batched_device_encode(
             pixels, lambda padded: encode_convnext_clip_image_jit(
                 self.params,
-                jax.device_put(jnp.asarray(padded), self._jdevice),
+                _model_put(self, padded),
                 self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from marqo_tpu.parallel.serving import put_params
+
 from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
 from marqo_tpu.inference.batching import pick_batch_bucket
 from marqo_tpu.inference.types import Device, Modality
@@ -459,11 +461,10 @@ class JaxEVA02Model:
             state = state["state_dict"]
         state = {k[len("module."):] if k.startswith("module.") else k: v
                  for k, v in state.items()}
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             params_from_open_clip_eva02(state, self.text_config,
                                         self.vision_config,
-                                        dtype=self.compute_dtype),
-            self._jdevice)
+                                        dtype=self.compute_dtype))
         self._init_tokenizer()
 
     def _load_random_init(self) -> None:
@@ -487,10 +488,10 @@ class JaxEVA02Model:
             embed_dim=embed)
         seed = int.from_bytes(
             hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             init_eva02_params(self.text_config, self.vision_config,
                               jax.random.PRNGKey(seed),
-                              dtype=self.compute_dtype), self._jdevice)
+                              dtype=self.compute_dtype))
         self._init_tokenizer()
 
     def _init_tokenizer(self) -> None:

@@ -20,6 +20,8 @@ import numpy as np
 from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
 
 from marqo_tpu.inference.types import Device, Modality
+from marqo_tpu.models.clip import _model_put
+from marqo_tpu.parallel.serving import put_params
 from marqo_tpu.models.bert import (TextEncoderConfig, encode_tokens,
                                    init_params as init_bert_params,
                                    params_from_torch_state_dict)
@@ -177,8 +179,8 @@ class JaxHFCLIPModel:
                                            self.compute_dtype)}
             vision = self._convert_vision(sd_np, self.vision_config)
 
-        self.params = jax.device_put(
-            dict({"text": text, "vision": vision}, **proj), self._jdevice)
+        self.params = put_params(self, 
+            dict({"text": text, "vision": vision}, **proj))
         self._init_tokenizer(checkpoint=path)
 
     def _load_vision_checkpoint(self) -> dict:
@@ -296,14 +298,14 @@ class JaxHFCLIPModel:
                            num_heads=2, intermediate_size=16,
                            projection_dim=dims),
             self.vision_config, k3, dtype=self.compute_dtype)["vision"]
-        self.params = jax.device_put({
+        self.params = put_params(self, {
             "text": text,
             "proj_w1": (0.02 * jax.random.normal(k1, (H, mid))).astype(
                 self.compute_dtype),
             "proj_w2": (0.02 * jax.random.normal(k2, (mid, dims))).astype(
                 self.compute_dtype),
             "vision": vision,
-        }, self._jdevice)
+        })
         self._init_tokenizer()
 
     def _init_tokenizer(self, checkpoint: str = None) -> None:
@@ -362,7 +364,7 @@ class JaxHFCLIPModel:
         return batched_device_encode(
             pixels, lambda padded: encode_clip_image_jit(
                 {"vision": self.params["vision"]},
-                jax.device_put(jnp.asarray(padded), self._jdevice),
+                _model_put(self, padded),
                 self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from marqo_tpu.parallel.serving import put_params
+
 from marqo_tpu.core.exceptions import VectoriseError
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.models.clip import (CLIPTextConfig, CLIPVisionConfig,
@@ -426,12 +428,12 @@ class JaxLanguageBindModel:
             intermediate_size=inter, projection_dim=proj)
         clip_params = init_clip_params(self.text_config, self.vision_config,
                                        keys[0], dtype=self.compute_dtype)
-        self.params = jax.device_put({
+        self.params = put_params(self, {
             "text": clip_params["text"],
             "vision": clip_params["vision"],
             "audio": init_audio_tower(self.audio_config, keys[1],
                                       dtype=self.compute_dtype),
-        }, self._jdevice)
+        })
         self._mel_fb = jnp.asarray(mel_filterbank())
         from marqo_tpu.models.tokenizer import TextTokenizer
         self.tokenizer = TextTokenizer.build_test_wordpiece(
@@ -543,7 +545,7 @@ class JaxLanguageBindModel:
                         self.text_config, vc, dtype=self.compute_dtype)
                     params["text"] = both["text"]
                 text_loaded = True
-        self.params = jax.device_put(params, self._jdevice)
+        self.params = put_params(self, params)
         first = next(iter(localpaths.values()))
         try:
             from transformers import CLIPTokenizerFast

@@ -34,6 +34,7 @@ import numpy as np
 from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.logging import get_logger
+from marqo_tpu.parallel.serving import put_params
 from marqo_tpu.models.siglip import (SigLIPVisionConfig,
                                      encode_siglip_image_jit,
                                      init_siglip_params)
@@ -376,8 +377,8 @@ class JaxNLLBSigLIPModel:
         vision_full = params_from_open_clip_siglip(
             state, None, self.vision_config, dtype=self.compute_dtype,
             vision_only=True)
-        self.params = jax.device_put(
-            {"text": text, "vision": vision_full["vision"]}, self._jdevice)
+        self.params = put_params(self, 
+            {"text": text, "vision": vision_full["vision"]})
         self._init_tokenizer()
 
     def _load_random_init(self) -> None:
@@ -407,10 +408,10 @@ class JaxNLLBSigLIPModel:
             intermediate_size=8, embed_dim=embed)
         vision = init_siglip_params(dummy_text, self.vision_config, r1,
                                     dtype=self.compute_dtype)["vision"]
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             {"text": init_nllb_text_params(self.text_config, r2,
                                            dtype=self.compute_dtype),
-             "vision": vision}, self._jdevice)
+             "vision": vision})
         self._init_tokenizer()
 
     def _init_tokenizer(self) -> None:

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from marqo_tpu.models.clip import _model_put
+from marqo_tpu.parallel.serving import put_params
 from marqo_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD
 
 
@@ -369,8 +371,7 @@ class JaxResNetCLIPModel:
         text = self._convert_text(sd_np)
         vision = resnet_vision_params_from_torch(
             sd_np, self.vision_config, dtype=self.compute_dtype)["vision"]
-        self.params = jax.device_put({"text": text, "vision": vision},
-                                     self._jdevice)
+        self.params = put_params(self, {"text": text, "vision": vision})
         self._init_tokenizer(checkpoint=path)
 
     def _convert_text(self, sd_np: dict) -> dict:
@@ -427,8 +428,7 @@ class JaxResNetCLIPModel:
         vision = init_resnet_clip_params(
             self.vision_config, jax.random.fold_in(rng, 7),
             dtype=self.compute_dtype)["vision"]
-        self.params = jax.device_put({"text": text, "vision": vision},
-                                     self._jdevice)
+        self.params = put_params(self, {"text": text, "vision": vision})
         self._init_tokenizer()
 
     def _init_tokenizer(self, checkpoint: str = None) -> None:
@@ -474,7 +474,7 @@ class JaxResNetCLIPModel:
         return batched_device_encode(
             pixels, lambda padded: encode_resnet_clip_image_jit(
                 self.params,
-                jax.device_put(jnp.asarray(padded), self._jdevice),
+                _model_put(self, padded),
                 self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:

@@ -30,6 +30,8 @@ from marqo_tpu.core.exceptions import ModelLoadError, VectoriseError
 
 from marqo_tpu.inference.types import Device, Modality
 from marqo_tpu.ops.common import ACTIVATIONS, layer_norm
+from marqo_tpu.models.clip import _model_put
+from marqo_tpu.parallel.serving import put_params
 
 SIGLIP_MEAN = (0.5, 0.5, 0.5)
 SIGLIP_STD = (0.5, 0.5, 0.5)
@@ -460,11 +462,10 @@ class JaxSigLIPModel:
             state = state["state_dict"]
         state = {k[len("module."):] if k.startswith("module.") else k: v
                  for k, v in state.items()}
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             params_from_open_clip_siglip(state, self.text_config,
                                          self.vision_config,
-                                         dtype=self.compute_dtype),
-            self._jdevice)
+                                         dtype=self.compute_dtype))
         self._init_tokenizer(checkpoint=path)
 
     def _load_random_init(self) -> None:
@@ -487,11 +488,10 @@ class JaxSigLIPModel:
             intermediate_size=int(arch.get("vision_intermediate", 128)))
         seed = int.from_bytes(
             hashlib.sha256(self.model_name.encode()).digest()[:4], "little")
-        self.params = jax.device_put(
+        self.params = put_params(self, 
             init_siglip_params(self.text_config, self.vision_config,
                                jax.random.PRNGKey(seed),
-                               dtype=self.compute_dtype),
-            self._jdevice)
+                               dtype=self.compute_dtype))
         self._init_tokenizer()
 
     def _init_tokenizer(self, checkpoint: str = None) -> None:
@@ -528,7 +528,7 @@ class JaxSigLIPModel:
         return batched_device_encode(
             ids, lambda padded: encode_siglip_text_jit(
                 self.params,
-                jax.device_put(jnp.asarray(padded), self._jdevice),
+                _model_put(self, padded),
                 self.text_config, compute_dtype=self.compute_dtype))
 
     def _preprocess_host(self, content) -> np.ndarray:
@@ -547,7 +547,7 @@ class JaxSigLIPModel:
         return batched_device_encode(
             pixels, lambda padded: encode_siglip_image_jit(
                 self.params,
-                jax.device_put(jnp.asarray(padded), self._jdevice),
+                _model_put(self, padded),
                 self.vision_config, compute_dtype=self.compute_dtype))
 
     def memory_bytes(self) -> int:

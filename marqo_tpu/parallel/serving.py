@@ -101,6 +101,38 @@ def place_params(params, mesh: Mesh):
                             params)
 
 
+_UNRESOLVED = object()
+
+
+def model_mesh(model) -> Optional[Mesh]:
+    """Resolve (and cache on the model) the serving mesh for any wrapper:
+    the process mesh applies when it spans the model's device. Lets every
+    model family join multi-chip serving without each __init__ knowing
+    about meshes."""
+    mesh = getattr(model, "_mesh", _UNRESOLVED)
+    if mesh is _UNRESOLVED:
+        mesh = serving_mesh()
+        jdevice = getattr(model, "_jdevice", None)
+        if mesh is not None and not any(d == jdevice
+                                        for d in mesh.devices.flat):
+            mesh = None
+        try:
+            model._mesh = mesh
+        except AttributeError:
+            pass
+    return mesh
+
+
+def put_params(model, params):
+    """Param placement for a wrapper: sharded over the serving mesh when
+    active (BERT layout where the pytree matches, replicated otherwise),
+    else the model's single device."""
+    mesh = model_mesh(model)
+    if mesh is not None:
+        return place_params(params, mesh)
+    return jax.device_put(params, model._jdevice)
+
+
 def round_up_to_dp(bucket: int, mesh: Optional[Mesh]) -> int:
     """Batch buckets must divide across dp. Buckets are powers of two, and
     so are real TPU dp degrees, so any bucket ≥ dp already divides; smaller

@@ -139,6 +139,41 @@ class TestShardedClipServing:
         np.testing.assert_allclose(out, ref, atol=2e-2)
 
 
+class TestWholeFamilyMeshCoverage:
+    """Every CLIP-family wrapper joins the mesh via the shared
+    _model_put/model_mesh path (round-3 extension beyond JaxCLIPModel)."""
+
+    SIGLIP_PROPS = {
+        "name": "serve-siglip", "dimensions": 32, "type": "open_clip",
+        "random_init": True, "image_size": 32,
+        "architecture": {"vocab_size": 256, "text_layers": 1,
+                         "text_heads": 2, "patch_size": 16,
+                         "vision_layers": 1, "vision_heads": 2},
+    }
+
+    def test_siglip_text_matches_single_device(self, mesh_off):
+        from marqo_tpu.inference.types import Device, Modality
+        from marqo_tpu.models.siglip import JaxSigLIPModel
+        ref_model = JaxSigLIPModel("serve-siglip", self.SIGLIP_PROPS,
+                                   Device.TPU)
+        ref_model.load()
+        texts = ["hello world", "quick brown fox", "third document"]
+        ref = np.asarray(ref_model.encode(texts, modality=Modality.TEXT))
+        reset_serving_mesh()
+        import os
+        os.environ["MARQO_TPU_SERVING_MESH"] = "TRUE"
+        try:
+            model = JaxSigLIPModel("serve-siglip", self.SIGLIP_PROPS,
+                                   Device.TPU)
+            model.load()
+            out = np.asarray(model.encode(texts, modality=Modality.TEXT))
+            from marqo_tpu.parallel.serving import model_mesh
+            assert model_mesh(model) is not None
+        finally:
+            del os.environ["MARQO_TPU_SERVING_MESH"]
+        np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
 class TestOrchestrationOverMesh:
     """The REAL add_documents/search orchestration over the 8-device mesh."""
 
