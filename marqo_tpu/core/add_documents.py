@@ -130,6 +130,12 @@ def _validate_field_value(field: str, value: Any) -> None:
         if not isinstance(value, _ALLOWED_VALUE_TYPES):
             raise DocError(
                 f"Field `{field}` has unsupported type `{type(value).__name__}`")
+    if isinstance(value, int) and not isinstance(value, bool) and             not (-(2 ** 63) <= value < 2 ** 63):
+        # Vespa long fields are int64; overlarge python ints must fail the
+        # document (reference test_supported_large_integer_and_float_number)
+        raise DocError(
+            f"Field `{field}`: integer value {value} is outside the "
+            f"representable long (int64) range")
     if isinstance(value, list):
         if not all(isinstance(v, str) for v in value):
             raise DocError(

@@ -37,7 +37,10 @@ class AddDocsParams(BaseModel):
                               protected_namespaces=())
 
     index_name: str
-    docs: List[Dict[str, Any]]
+    # keys intentionally untyped: a non-string field name must fail ONLY
+    # its own document in the per-item response, not the whole request
+    # (reference test_add_documents_validation, int field name case)
+    docs: List[Dict]
     tensor_fields: Optional[List[str]] = None
     use_existing_tensors: bool = False
     device: Optional[str] = None
