@@ -137,9 +137,16 @@ def _validate_field_value(field: str, value: Any) -> None:
             f"Field `{field}`: integer value {value} is outside the "
             f"representable long (int64) range")
     if isinstance(value, list):
-        if not all(isinstance(v, str) for v in value):
+        # homogeneous int/float/string lists (reference
+        # unstructured_add_document_handler.py:102-107 list_types_valid)
+        types = {type(v) for v in value}
+        if (any(isinstance(v, bool) or
+                not isinstance(v, (int, float, str)) for v in value)
+                or len(types) > 1):
             raise DocError(
-                f"Field `{field}`: only string arrays are supported")
+                f"Field content '{value}' of type list is not of valid "
+                f"content type! All list elements must be of the same "
+                f"type and that type must be int, float or string")
     if isinstance(value, dict):
         # allowed: custom_vector content, multimodal sub-dict, map<text,number>
         pass

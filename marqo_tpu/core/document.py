@@ -16,10 +16,48 @@ from marqo_tpu.core.models.marqo_index import (FieldType,
 
 _UPDATABLE_TYPES = {
     FieldType.Bool, FieldType.Int, FieldType.Long, FieldType.Float,
-    FieldType.Double, FieldType.ArrayText, FieldType.MapInt,
+    FieldType.Double, FieldType.ArrayText, FieldType.ArrayInt,
+    FieldType.ArrayLong, FieldType.MapInt,
     FieldType.MapLong, FieldType.MapFloat, FieldType.MapDouble,
     FieldType.Text,
 }
+
+
+def _validate_update_value(field: str, field_type: FieldType, value):
+    """Declared-type value validation for partial updates (reference
+    test_update_with_incorrect_field_value: wrong-typed values are
+    per-item 400s, strings are never coerced)."""
+    def err(expected: str) -> str:
+        return (f"Field `{field}` of type {field_type.value}: value "
+                f"`{value}` is not a valid {expected}")
+
+    is_bool = isinstance(value, bool)
+    if field_type in (FieldType.Int, FieldType.Long):
+        if is_bool or not isinstance(value, int):
+            return err("integer")
+    elif field_type in (FieldType.Float, FieldType.Double):
+        if is_bool or not isinstance(value, (int, float)):
+            return err("float")
+    elif field_type == FieldType.Bool:
+        if not is_bool:
+            return err("boolean")
+    elif field_type == FieldType.Text:
+        if not isinstance(value, str):
+            return err("string")
+    elif field_type == FieldType.ArrayText:
+        if not isinstance(value, list) or                 not all(isinstance(v, str) for v in value):
+            return err("list of strings")
+    elif field_type in (FieldType.ArrayInt, FieldType.ArrayLong):
+        if not isinstance(value, list) or                 not all(isinstance(v, int) and not isinstance(v, bool)
+                        for v in value):
+            return err("list of integers")
+    elif field_type in (FieldType.MapInt, FieldType.MapLong,
+                        FieldType.MapFloat, FieldType.MapDouble):
+        if not isinstance(value, dict) or                 not all(isinstance(k, str) and isinstance(v, (int, float))
+                        and not isinstance(v, bool)
+                        for k, v in value.items()):
+            return err("numeric map")
+    return None
 
 
 class Document:
@@ -63,7 +101,8 @@ class Document:
             if not isinstance(doc_id, str) or not doc_id:
                 errors = True
                 items.append({"_id": str(doc_id or ""), "status": 400,
-                              "error": "'_id' is a required field"})
+                              "error": "'_id' is a required field but it "
+                                       "does not exist, or is not a string"})
                 continue
             stored = self.config.engine.get(index.schema_name, doc_id)
             if stored is None:
@@ -77,16 +116,21 @@ class Document:
                 if field == constants.MARQO_DOC_ID:
                     continue
                 if field in tensor_names:
-                    bad = (f"Field `{field}` is a tensor field. Tensor fields "
-                           f"cannot be partially updated; use add_documents")
+                    bad = (f"Field `{field}` cannot be updated as this is a "
+                           f"tensor field. Tensor fields cannot be partially "
+                           f"updated; use add_documents")
                     break
                 declared = field_map.get(field)
                 if declared is None:
-                    bad = f"Field `{field}` is not defined in the index schema"
+                    bad = (f"Invalid field name `{field}`: not defined in "
+                           f"the index schema")
                     break
                 if declared.type not in _UPDATABLE_TYPES:
                     bad = (f"Field `{field}` of type {declared.type.value} "
                            f"does not support partial updates")
+                    break
+                bad = _validate_update_value(field, declared.type, value)
+                if bad:
                     break
                 updates[field] = value
             if bad:

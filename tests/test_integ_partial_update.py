@@ -1,0 +1,217 @@
+"""Ported reference integ tests: partial document updates (structured).
+
+Source: /root/reference/tests/core/document/test_partial_document_update.py
+— field-type update matrix, filter/lexical visibility of updates, tensor
+fields immutable, missing-doc 404s, value-type validation, duplicate ids,
+unstructured rejection, response format.
+"""
+
+import pytest
+
+from marqo_tpu.api.models.index_settings import FieldRequest, IndexSettings
+from marqo_tpu.config import Config
+from marqo_tpu.core.exceptions import UnsupportedFeatureError
+from marqo_tpu.core.models.add_docs_params import AddDocsParams
+from marqo_tpu.core.models.marqo_index import (FieldFeature, FieldType,
+                                               IndexType)
+from marqo_tpu.inference import vectorise as inference
+from marqo_tpu.tensor_search import tensor_search
+
+INDEX = "pu-structured"
+UNSTRUCTURED = "pu-unstructured"
+
+
+@pytest.fixture
+def config():
+    inference.clear_loaded_models()
+    cfg = Config()
+    cfg.index_management.bootstrap()
+    f = FieldRequest
+    cfg.index_management.create_index(IndexSettings(
+        type=IndexType.Structured, model="test",
+        allFields=[
+            f(name="text_field", type=FieldType.Text),
+            f(name="text_field_filter", type=FieldType.Text,
+              features=[FieldFeature.Filter]),
+            f(name="text_field_lexical", type=FieldType.Text,
+              features=[FieldFeature.LexicalSearch]),
+            f(name="text_field_tensor", type=FieldType.Text),
+            f(name="int_field_filter", type=FieldType.Int,
+              features=[FieldFeature.Filter]),
+            f(name="float_field_score_modifier", type=FieldType.Float,
+              features=[FieldFeature.ScoreModifier]),
+            f(name="bool_field_filter", type=FieldType.Bool,
+              features=[FieldFeature.Filter]),
+            f(name="array_text_field", type=FieldType.ArrayText,
+              features=[FieldFeature.Filter]),
+            f(name="array_int_field", type=FieldType.ArrayInt,
+              features=[FieldFeature.Filter]),
+        ],
+        tensorFields=["text_field_tensor"],
+    ).to_marqo_index(INDEX))
+    cfg.index_management.create_index(
+        IndexSettings(model="test").to_marqo_index(UNSTRUCTURED))
+    cfg.index_meta_cache.populate()
+    yield cfg
+    inference.clear_loaded_models()
+
+
+def _seed(cfg):
+    res = tensor_search.add_documents(cfg, AddDocsParams(
+        index_name=INDEX, docs=[{
+            "_id": "1",
+            "text_field": "text field",
+            "text_field_filter": "text field filter",
+            "text_field_lexical": "text field lexical",
+            "text_field_tensor": "text field tensor",
+            "int_field_filter": 1,
+            "float_field_score_modifier": 1.0,
+            "bool_field_filter": False,
+            "array_text_field": ["a", "b"],
+            "array_int_field": [1, 2],
+        }]))
+    assert res["errors"] is False, res
+
+
+def _update(cfg, docs, index_name=INDEX):
+    return cfg.document.partial_update_documents_by_index_name(
+        index_name, docs)
+
+
+class TestPartialUpdateFields:
+    def test_update_text_field(self, config):
+        _seed(config)
+        _update(config, [{"_id": "1", "text_field": "updated text field"}])
+        doc = tensor_search.get_document_by_id(config, INDEX, "1")
+        assert doc["text_field"] == "updated text field"
+
+    def test_update_text_field_filter_visibility(self, config):
+        _seed(config)
+        _update(config, [{"_id": "1",
+                          "text_field_filter": "updated text field filter"}])
+        doc = tensor_search.get_document_by_id(config, INDEX, "1")
+        assert doc["text_field_filter"] == "updated text field filter"
+        res = tensor_search.search(
+            config, INDEX, text="test",
+            filter="text_field_filter:(updated text field filter)")
+        assert len(res["hits"]) == 1
+        res = tensor_search.search(
+            config, INDEX, text="test",
+            filter="text_field_filter:(text field filter)")
+        assert len(res["hits"]) == 0
+
+    def test_update_text_field_lexical_visibility(self, config):
+        _seed(config)
+        _update(config, [{"_id": "1",
+                          "text_field_lexical": "search me please"}])
+        res = tensor_search.search(config, INDEX,
+                                   search_method="LEXICAL",
+                                   text="search me please")
+        assert len(res["hits"]) == 1
+        res = tensor_search.search(config, INDEX,
+                                   search_method="LEXICAL",
+                                   text='"text field lexical"')
+        assert len(res["hits"]) == 0
+
+    def test_update_tensor_field_rejected(self, config):
+        _seed(config)
+        r = _update(config, [{"_id": "1",
+                              "text_field_tensor": "I can't be updated"}])
+        assert r["errors"] is True
+        assert "as this is a tensor field" in r["items"][0]["error"]
+
+    def test_update_int_field_filter_and_score_modifier(self, config):
+        _seed(config)
+        _update(config, [{"_id": "1", "int_field_filter": 222,
+                          "float_field_score_modifier": 33.33,
+                          "bool_field_filter": True}])
+        doc = tensor_search.get_document_by_id(config, INDEX, "1")
+        assert doc["int_field_filter"] == 222
+        assert doc["float_field_score_modifier"] == 33.33
+        assert doc["bool_field_filter"] is True
+        res = tensor_search.search(config, INDEX, text="test",
+                                   filter="int_field_filter:222")
+        assert len(res["hits"]) == 1
+        res = tensor_search.search(
+            config, INDEX, text="test",
+            score_modifiers={"add_to_score": [
+                {"field_name": "float_field_score_modifier",
+                 "weight": 10}]})
+        assert res["hits"][0]["_score"] > 300
+
+    def test_update_array_text_field_filter(self, config):
+        _seed(config)
+        _update(config, [{"_id": "1", "array_text_field": ["x", "y"]}])
+        res = tensor_search.search(config, INDEX, text="test",
+                                   filter="array_text_field:x")
+        assert len(res["hits"]) == 1
+        res = tensor_search.search(config, INDEX, text="test",
+                                   filter="array_text_field:a")
+        assert len(res["hits"]) == 0
+
+
+class TestPartialUpdateErrors:
+    def test_update_a_document_that_does_not_exist(self, config):
+        r = _update(config, [{"_id": "1", "text_field": "x"}])
+        assert r["errors"] is True
+        assert "Document does not exist in the index" in \
+            r["items"][0]["error"]
+        assert r["items"][0]["status"] == 404
+        assert config.monitoring.get_index_stats(
+            INDEX)["numberOfDocuments"] == 0
+
+    def test_update_a_document_without_id(self, config):
+        r = _update(config, [{"text_field": "x"}])
+        assert r["errors"] is True
+        assert "'_id' is a required field" in r["items"][0]["error"]
+        assert r["items"][0]["status"] == 400
+
+    def test_update_non_existent_field(self, config):
+        _seed(config)
+        r = _update(config, [{"_id": "1", "non_existent_field": "v"}])
+        assert r["errors"] is True
+        assert "Invalid field name" in r["items"][0]["error"]
+        assert r["items"][0]["status"] == 400
+
+    @pytest.mark.parametrize("update", [
+        {"int_field_filter": "should be an integer"},
+        {"text_field": 1},
+        {"bool_field_filter": "True"},
+        {"float_field_score_modifier": "1.34"},
+        {"array_text_field": "should be a list"},
+        {"array_int_field": "should be a list"},
+        {"array_int_field": [1, "should be an integer", 3]},
+        {"array_text_field": ["string", 2, "string"]},
+    ])
+    def test_update_with_incorrect_field_value(self, config, update):
+        _seed(config)
+        doc = {"_id": "1", **update}
+        r = _update(config, [doc])
+        assert r["errors"] is True, update
+        assert r["items"][0]["status"] >= 400
+
+    def test_unstructured_index_rejected(self, config):
+        with pytest.raises(UnsupportedFeatureError) as e:
+            _update(config, [{"_id": "1", "x": "y"}],
+                    index_name=UNSTRUCTURED)
+        assert "not supported for unstructured" in str(e.value)
+
+    def test_duplicate_ids_in_one_batch_last_wins(self, config):
+        _seed(config)
+        r = _update(config, [
+            {"_id": "1", "text_field": "first update"},
+            {"_id": "1", "text_field": "second update"},
+        ])
+        assert len(r["items"]) == 1
+        doc = tensor_search.get_document_by_id(config, INDEX, "1")
+        assert doc["text_field"] == "second update"
+
+    def test_update_response_format(self, config):
+        _seed(config)
+        r = _update(config, [{"_id": "1", "text_field": "ok"},
+                             {"_id": "missing", "text_field": "x"}])
+        assert "errors" in r and "items" in r
+        assert "processingTimeMs" in r and "index_name" in r
+        assert r["index_name"] == INDEX
+        statuses = sorted(i["status"] for i in r["items"])
+        assert statuses == [200, 404]
