@@ -82,8 +82,11 @@ def batched_device_encode(array, forward, pad_value=0):
         padded[:size] = array[start:start + size]
         pending.append((forward(padded), size))
         start += size
+    import jax
+    # one batched fetch amortizes the fixed host-device roundtrip
+    fetched = jax.device_get([emb for emb, _ in pending])
     return np.concatenate(
-        [np.asarray(emb)[:size] for emb, size in pending], axis=0)
+        [arr[:size] for arr, (_, size) in zip(fetched, pending)], axis=0)
 
 
 def iter_batches(n_items: int, max_batch: int) -> Iterator[Tuple[int, int]]:

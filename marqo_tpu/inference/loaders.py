@@ -262,8 +262,13 @@ class JaxHFTextModel(EmbeddingModel):
                 pending.extend(self._dispatch_packed(batch, seq_bucket))
             else:
                 pending.extend(self._dispatch_padded(batch, seq_bucket, n))
+        # ONE batched fetch for all pending device arrays: each separate
+        # np.asarray pays the fixed tunnel roundtrip (~19ms extra per
+        # array measured); jax.device_get amortizes it
+        fetched = jax.device_get([emb for emb, _ in pending])
         result = np.concatenate(
-            [np.asarray(emb)[:size] for emb, size in pending], axis=0)
+            [arr[:size] for arr, (_, size) in zip(fetched, pending)],
+            axis=0)
         if normalize:
             norms = np.linalg.norm(result, axis=-1, keepdims=True)
             result = result / np.maximum(norms, 1e-12)
