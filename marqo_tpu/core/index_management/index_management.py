@@ -108,8 +108,11 @@ class IndexManagement:
             if not self._store.contains(index.name):
                 raise core_exceptions.IndexNotFoundError(
                     f"Index {index.name} not found")
-            updated = index.model_copy(
-                update={"version": (index.version or 1) + 1})
+            # rebase onto the STORED version under the DDL lock: schema
+            # growth from concurrent add-docs may hold a stale snapshot,
+            # and the store now enforces optimistic versioning
+            current = self._store.get(index.name).version or 1
+            updated = index.model_copy(update={"version": current + 1})
             self._store.save(updated, allow_existing=True)
             self._engine.update_index(descriptor_from_marqo_index(updated))
             return updated

@@ -104,15 +104,39 @@ class IndexSettingsStore:
     # -- CRUD ---------------------------------------------------------------
 
     def save(self, index: MarqoIndex, allow_existing: bool = False) -> None:
+        """Optimistic-concurrency save (reference IndexSettingStore
+        .save_index_setting, index_setting_store.py): a new index stamps
+        version 1 (an explicit version > 1 conflicts — "does not exist or
+        has been deleted"); an update must carry exactly
+        current version + 1."""
+        from marqo_tpu.core.exceptions import OperationConflictError
         with self._lock:
             name = index.name
             if name in self._settings and not allow_existing:
                 raise IndexExistsError(f"Index {name} already exists")
             doc = json.loads(index.model_dump_json())
             if name in self._settings:
+                current = self._settings[name].get("version") or 1
+                target = doc.get("version")
+                if target is None:
+                    doc["version"] = current + 1
+                elif target != current + 1:
+                    raise OperationConflictError(
+                        f"Editing index settings failed due to version "
+                        f"conflict. Current version is {current}, and "
+                        f"cannot be upgraded to target version {target}")
                 history = self._history.setdefault(name, [])
                 history.insert(0, self._settings[name])
                 del history[_HISTORY_LIMIT:]
+            else:
+                target = doc.get("version")
+                if target is None:
+                    doc["version"] = 1
+                elif target > 1:
+                    raise OperationConflictError(
+                        f"Editing index settings failed due to version "
+                        f"conflict. The index does not exist or has been "
+                        f"deleted, and target version {target} is not 1")
             self._settings[name] = doc
             self._persist_index(name)
             if self._data_dir:

@@ -79,6 +79,9 @@ class UpgradeRunner:
             doc = json.loads(index.model_dump_json())
             migrated = migration(doc)
             if migrated != doc:
+                # the store enforces optimistic versioning: a rewrite
+                # must carry current version + 1
+                migrated["version"] = (doc.get("version") or 1) + 1
                 from marqo_tpu.core.models.marqo_index import MarqoIndex
                 store.save(MarqoIndex.parse_obj(migrated),
                            allow_existing=True)
