@@ -907,11 +907,20 @@ class StoreEngine:
                                   attributes_to_retrieve, expose_facets,
                                   leg="lexical")
 
-        # disjunction + RRF (reference rrf(), HybridSearcher.java:154-285)
+        # disjunction + RRF (reference rrf(), HybridSearcher.java:154-285).
+        # Fusion pool is max(limit+offset, ef default): truncating the leg
+        # rankings to exactly limit+offset would make page N of the fused
+        # list disagree with the same slice of a larger query (a doc in
+        # one leg's top-k but just outside the other's loses its second
+        # contribution) — reference pagination tests pin page/full
+        # equality (test_pagination_hybrid)
+        from marqo_tpu.api import configs
+        pool = max(max_leg, configs.read_env_vars_and_defaults_ints(
+            "MARQO_DEFAULT_EF_SEARCH") or 2000)
         tensor_ranked = sorted(tensor_scores.items(),
-                               key=lambda kv: -kv[1][0])[:max_leg]
+                               key=lambda kv: -kv[1][0])[:pool]
         lexical_ranked = sorted(lexical_scores.items(),
-                                key=lambda kv: -kv[1])[:max_leg]
+                                key=lambda kv: -kv[1])[:pool]
         fused: Dict[str, float] = defaultdict(float)
         raw_tensor: Dict[str, float] = {}
         raw_lexical: Dict[str, float] = {}
