@@ -46,8 +46,12 @@ class IndexSettings(BaseModel):
     normalizeEmbeddings: bool = True
     textPreprocessing: core.TextPreProcessing = core.TextPreProcessing()
     imagePreprocessing: core.ImagePreProcessing = core.ImagePreProcessing()
-    videoPreprocessing: Optional[core.VideoPreProcessing] = None
-    audioPreprocessing: Optional[core.AudioPreProcessing] = None
+    # reference defaults video/audio preprocessing blocks rather than
+    # omitting them (index_settings.py:39-46)
+    videoPreprocessing: Optional[core.VideoPreProcessing] = \
+        core.VideoPreProcessing(split_length=20, split_overlap=3)
+    audioPreprocessing: Optional[core.AudioPreProcessing] = \
+        core.AudioPreProcessing(split_length=10, split_overlap=3)
     vectorNumericType: core.VectorNumericType = core.VectorNumericType.Float
     annParameters: AnnParameters = AnnParameters()
     numberOfShards: Optional[int] = None
@@ -185,8 +189,13 @@ class IndexSettings(BaseModel):
     def from_marqo_index(cls, index: core.MarqoIndex) -> dict:
         """Render index settings for GET /indexes/{name}/settings
         (reference IndexSettings.from_marqo_index)."""
+        # semi-structured is an internal implementation detail: the API
+        # reports it as "unstructured" (reference index_settings.py:202-206)
+        api_type = ("unstructured"
+                    if index.type == core.IndexType.SemiStructured
+                    else index.type.value)
         result: Dict[str, Any] = {
-            "type": index.type.value,
+            "type": api_type,
             "model": index.model.name,
             "normalizeEmbeddings": index.normalize_embeddings,
             "textPreprocessing": {
@@ -206,6 +215,16 @@ class IndexSettings(BaseModel):
                 },
             },
         }
+        if index.video_preprocessing is not None:
+            result["videoPreprocessing"] = {
+                "splitLength": index.video_preprocessing.split_length,
+                "splitOverlap": index.video_preprocessing.split_overlap,
+            }
+        if index.audio_preprocessing is not None:
+            result["audioPreprocessing"] = {
+                "splitLength": index.audio_preprocessing.split_length,
+                "splitOverlap": index.audio_preprocessing.split_overlap,
+            }
         if index.model.custom and index.model.properties:
             result["modelProperties"] = index.model.properties
         if index.model.text_query_prefix is not None:

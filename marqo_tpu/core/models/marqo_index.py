@@ -189,7 +189,9 @@ class VideoPreProcessing(BaseModel):
 class AudioPreProcessing(BaseModel):
     model_config = ConfigDict(frozen=True, extra="forbid", populate_by_name=True)
 
-    split_length: int = PydanticField(20, gt=0, alias="splitLength")
+    # reference default: audio splits 10s windows, video 20s
+    # (tensor_search/models/index_settings.py:39-46)
+    split_length: int = PydanticField(10, gt=0, alias="splitLength")
     split_overlap: int = PydanticField(3, ge=0, alias="splitOverlap")
 
 

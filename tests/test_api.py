@@ -108,7 +108,9 @@ class TestIndexRoutes:
         status, body = client.get("/indexes/test-index/settings")
         assert status == 200
         assert body["model"] == "test"
-        assert body["type"] == "semi-structured"
+        # semi-structured is internal; the API reports "unstructured"
+        # (reference index_settings.py:202-206)
+        assert body["type"] == "unstructured"
         assert body["annParameters"]["spaceType"] == "prenormalized-angular"
 
     def test_delete_index(self, client):
