@@ -159,7 +159,7 @@ class NativeBm25FieldIndex:
             self._next_handle += 1
             self._handle_by_doc[doc_id] = handle
             self._doc_by_handle[handle] = doc_id
-        self._native.add(handle, " ".join(tokenize(text)))
+        self._native.add_raw(handle, text)
 
     def remove(self, doc_id: str) -> None:
         handle = self._handle_by_doc.pop(doc_id, None)

@@ -272,6 +272,36 @@ void bm25_add(void* handle, int32_t doc, const char* tokens) {
   static_cast<Bm25Index*>(handle)->add(doc, tokens);
 }
 
+// Raw-text add: tokenizes in C++ exactly like the Python engine tokenizer
+// (regex [a-z0-9_]+ over str.lower(): ASCII A-Z lowercased; any other
+// byte — including every UTF-8 continuation byte, since non-ASCII letters
+// are not in the character class — acts as a separator). Saves the
+// per-document regex + join + encode on the ingest hot path.
+void bm25_add_raw(void* handle, int32_t doc, const char* raw) {
+  std::string tokens;
+  tokens.reserve(256);
+  bool in_token = false;
+  for (const char* p = raw; *p; ++p) {
+    unsigned char c = static_cast<unsigned char>(*p);
+    char lowered;
+    if (c >= 'A' && c <= 'Z') {
+      lowered = static_cast<char>(c - 'A' + 'a');
+    } else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+               c == '_') {
+      lowered = static_cast<char>(c);
+    } else {
+      if (in_token) {
+        tokens.push_back(' ');
+        in_token = false;
+      }
+      continue;
+    }
+    tokens.push_back(lowered);
+    in_token = true;
+  }
+  static_cast<Bm25Index*>(handle)->add(doc, tokens);
+}
+
 void bm25_remove(void* handle, int32_t doc) {
   static_cast<Bm25Index*>(handle)->remove(doc);
 }

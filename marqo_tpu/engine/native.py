@@ -63,9 +63,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         # a stale .so from an older build misses newer symbols: rebuild
         # once and reload instead of raising AttributeError on every call
         # (which would silently disable ANN/BM25 for the whole process)
-        if not hasattr(lib, "hnsw_add_batch"):
-            logger.warning("Native engine binary is stale (missing "
-                           "hnsw_add_batch); rebuilding")
+        if not hasattr(lib, "hnsw_add_batch") or \
+                not hasattr(lib, "bm25_add_raw"):
+            logger.warning("Native engine binary is stale (missing newer "
+                           "symbols); rebuilding")
             try:
                 os.remove(_LIB_PATH)
             except OSError:
@@ -74,7 +75,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 _build_failed = True
                 return None
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "hnsw_add_batch"):
+            if not hasattr(lib, "hnsw_add_batch") or \
+                not hasattr(lib, "bm25_add_raw"):
                 logger.warning("Rebuilt native engine still missing "
                                "symbols; using Python fallback paths")
                 _build_failed = True
@@ -112,6 +114,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         # bm25
         lib.bm25_create.restype = ctypes.c_void_p
         lib.bm25_free.argtypes = [ctypes.c_void_p]
+        lib.bm25_add_raw.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                     ctypes.c_char_p]
         lib.bm25_add.argtypes = [ctypes.c_void_p, ctypes.c_int32,
                                  ctypes.c_char_p]
         lib.bm25_remove.argtypes = [ctypes.c_void_p, ctypes.c_int32]
@@ -267,6 +271,14 @@ class NativeBm25:
 
     def add(self, doc: int, tokens: str) -> None:
         self._lib.bm25_add(self._handle, doc, tokens.encode("utf-8"))
+
+    def add_raw(self, doc: int, text: str) -> None:
+        """Raw text in; tokenization happens in C++ (byte-identical to the
+        Python engine tokenizer — see bm25.cpp bm25_add_raw)."""
+        # NUL bytes would truncate the C string; they are separators in
+        # the Python tokenizer, so map them to spaces
+        self._lib.bm25_add_raw(self._handle, doc,
+                               text.encode("utf-8").replace(b"\x00", b" "))
 
     def remove(self, doc: int) -> None:
         self._lib.bm25_remove(self._handle, doc)
