@@ -72,9 +72,35 @@ class AddDocsParams(BaseModel):
                     f"Invalid mapping type `{mtype}` for field `{field}`. "
                     f"Must be one of: multimodal_combination, custom_vector")
             if mtype == "multimodal_combination":
+                # jsonschema parity (reference unstructured_validation
+                # multimodal_combination_mappings_schema): exactly
+                # {type, weights}; weights values numeric
+                extra = set(mapping) - {"type", "weights"}
+                if extra:
+                    raise ValueError(
+                        f"Error validating multimodal combination mappings "
+                        f"object for `{field}`: unexpected keys "
+                        f"{sorted(extra)}")
                 weights = mapping.get("weights")
                 if not isinstance(weights, dict) or not weights:
                     raise ValueError(
                         f"multimodal_combination mapping for `{field}` must "
                         f"define non-empty `weights`")
+                for child, weight in weights.items():
+                    if not isinstance(child, str) or \
+                            isinstance(weight, bool) or \
+                            not isinstance(weight, (int, float)):
+                        raise ValueError(
+                            f"Error validating multimodal combination "
+                            f"mappings object for `{field}`: weight for "
+                            f"`{child}` must be a number, got "
+                            f"`{weight}`")
+            elif mtype == "custom_vector":
+                # custom_vector mappings carry ONLY the type key
+                # (reference custom_vector_mappings_schema)
+                extra = set(mapping) - {"type"}
+                if extra:
+                    raise ValueError(
+                        f"Error validating custom vector mappings object "
+                        f"for `{field}`: unexpected keys {sorted(extra)}")
         return mappings
