@@ -64,12 +64,32 @@ class Recommender:
         if not documents:
             raise InvalidArgumentError(
                 "No documents given to recommend from")
+        # zero-weight docs are removed BEFORE fetching, but still excluded
+        # from the results (reference recommender.py:70-81,173-174)
         if isinstance(documents, dict):
-            doc_ids = list(documents)
-            weights = documents
+            all_doc_ids = list(documents)
+            weights = {k: v for k, v in documents.items() if v != 0}
+            doc_ids = list(weights)
         else:
+            all_doc_ids = list(documents)
             doc_ids = list(documents)
             weights = {doc_id: 1.0 for doc_id in doc_ids}
+        if not doc_ids:
+            raise InvalidArgumentError(
+                "No documents with non-zero weight provided")
+
+        from marqo_tpu.core.models.marqo_index import IndexType
+        if index.type == IndexType.Structured and tensor_fields is not None:
+            # reference recommender.py:90-97: unknown tensor fields are an
+            # InvalidFieldNameError naming the valid ones
+            valid = set(index.tensor_field_map)
+            for tensor_field in tensor_fields:
+                if tensor_field not in valid:
+                    from marqo_tpu.api.exceptions import                         InvalidFieldNameError
+                    raise InvalidFieldNameError(
+                        f'Tensor field "{tensor_field}" not found in index '
+                        f'"{index_name}". Available tensor fields: '
+                        f'{", ".join(valid)}')
 
         method = (InterpolationMethod(interpolation_method)
                   if interpolation_method
@@ -79,6 +99,7 @@ class Recommender:
         vectors: List[List[float]] = []
         vector_weights: List[float] = []
         missing: List[str] = []
+        without_vectors: List[str] = []
         for doc_id in doc_ids:
             tensors = self.config.engine.get_tensors(index.schema_name, doc_id)
             doc_vectors = []
@@ -89,14 +110,22 @@ class Recommender:
             if not doc_vectors:
                 if self.config.engine.get(index.schema_name, doc_id) is None:
                     missing.append(doc_id)
+                else:
+                    # an existing doc WITHOUT embeddings for the requested
+                    # fields is an error (reference recommender.py:128-133)
+                    without_vectors.append(doc_id)
                 continue
             for vec in doc_vectors:
                 vectors.append(vec)
                 vector_weights.append(float(weights[doc_id]) / len(doc_vectors))
         if missing:
             raise api_exceptions.InvalidArgError(
-                f"Processing stopped. The following documents do not exist: "
+                f"The following document IDs were not found: "
                 f"{', '.join(missing)}")
+        if without_vectors:
+            raise api_exceptions.InvalidArgError(
+                f"The following documents do not have embeddings: "
+                f"{', '.join(without_vectors)}")
         if not vectors:
             raise api_exceptions.InvalidArgError(
                 "None of the given documents have tensors for the requested "
@@ -104,9 +133,10 @@ class Recommender:
 
         interpolated = interpolator.interpolate(vectors, vector_weights)
 
-        from marqo_tpu.core.models.marqo_index import IndexType
         structured = index.type == IndexType.Structured
-        search_filter = (self._exclusion_filter(doc_ids, filter, structured)
+        # the exclusion filter covers ALL input ids, zero-weight included
+        search_filter = (self._exclusion_filter(all_doc_ids, filter,
+                                                structured)
                          if exclude_input_documents else filter)
         return tensor_search.search(
             self.config, index_name, text=None,
