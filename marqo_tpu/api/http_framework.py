@@ -155,7 +155,13 @@ class App:
                 if request.query_flag("telemetry") and \
                         isinstance(response.body, dict):
                     response.body = dict(response.body)
-                    response.body["telemetry"] = metrics.json()
+                    # Empty sections pruned before injection (reference
+                    # telemetry.py:199-204); json() itself keeps both keys.
+                    telemetry = metrics.json()
+                    for section in ("timesMs", "counter"):
+                        if not telemetry[section]:
+                            telemetry.pop(section)
+                    response.body["telemetry"] = telemetry
                 return response
             except Exception as exc:
                 web_error = self._translate_exception(exc)

@@ -13,6 +13,37 @@ import time
 from contextlib import contextmanager
 from typing import Dict, Optional
 
+from marqo_tpu.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class TimerError(Exception):
+    """Raised when a Timer is stopped without having been started
+    (reference telemetry.py Timer.stop)."""
+
+
+class Timer:
+    """Millisecond stopwatch (reference telemetry.py Timer): ``start()``
+    warns if already running, ``stop()`` raises :class:`TimerError` if not
+    running and returns the elapsed time in ms."""
+
+    def __init__(self):
+        self.start_time: Optional[float] = None
+
+    def start(self) -> None:
+        if self.start_time is not None:
+            logger.warning("'.start()' called on already running timer.")
+        else:
+            self.start_time = time.perf_counter()
+
+    def stop(self) -> float:
+        if self.start_time is None:
+            raise TimerError("'.stop()' called on unstarted timer.")
+        elapsed = (time.perf_counter() - self.start_time) * 1000
+        self.start_time = None
+        return elapsed
+
 
 class RequestMetrics:
     def __init__(self):
@@ -34,6 +65,9 @@ class RequestMetrics:
     def stop(self, name: str) -> Optional[float]:
         started = self._starts.pop(name, None)
         if started is None:
+            # reference telemetry.py: "timer {k} stopped incorrectly. ..."
+            logger.warning(
+                f"timer {name} stopped incorrectly. Time not recorded.")
             return None
         elapsed_ms = (time.perf_counter() - started) * 1000
         self.times[name] = self.times.get(name, 0.0) + elapsed_ms
@@ -46,12 +80,9 @@ class RequestMetrics:
         self.counters[name] = self.counters.get(name, 0) + value
 
     def json(self) -> dict:
-        out: dict = {}
-        if self.times:
-            out["timesMs"] = dict(self.times)
-        if self.counters:
-            out["counter"] = dict(self.counters)
-        return out
+        # Both keys always present (reference RequestMetrics.json()).
+        return {"counter": dict(self.counters),
+                "timesMs": dict(self.times)}
 
 
 class RequestMetricsStore:
