@@ -43,6 +43,17 @@ class IndexMetaCache:
             with self._lock:
                 self._cache.pop(index_name, None)
 
+    def empty_cache(self) -> None:
+        """Drop everything; subsequent get_index calls repopulate on demand
+        (reference index_meta_cache.py:35-37 empty_cache)."""
+        with self._lock:
+            self._cache = {}
+
+    def get_cache(self) -> Dict[str, MarqoIndex]:
+        """Snapshot of the cached name→index map (reference :40-41)."""
+        with self._lock:
+            return dict(self._cache)
+
     def populate(self) -> None:
         indexes = {i.name: i for i in self._index_management.get_all_indexes()}
         with self._lock:
