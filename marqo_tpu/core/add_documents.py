@@ -397,6 +397,7 @@ class AddDocumentsHandler:
         # plan: validate fields, chunk, gather embedding work
         plans: List[Tuple[str, dict, Dict[str, dict]]] = []
         existing_tensors: Dict[str, Dict[str, list]] = {}
+        self._existing_multimodal_params: Dict[str, dict] = {}
         self._positions: Dict[str, int] = {}
         for _pos, doc_id, doc in docs_to_process:
             try:
@@ -425,6 +426,11 @@ class AddDocumentsHandler:
                 if self.params.use_existing_tensors and doc_id:
                     existing_tensors[assigned_id] = self.engine.get_tensors(
                         self.index.schema_name, doc_id)
+                    stored_doc = self.engine.get(
+                        self.index.schema_name, doc_id) or {}
+                    self._existing_multimodal_params[assigned_id] = \
+                        stored_doc.get(
+                            constants.MARQO_DOC_MULTIMODAL_PARAMS, {})
                 plans.append((assigned_id, doc, field_plans))
                 self._positions[assigned_id] = _pos
             except DocError as e:
@@ -460,6 +466,16 @@ class AddDocumentsHandler:
                 for field, plan in field_plans.items():
                     if plan["kind"] == "custom" and field in fields:
                         fields[field] = plan["chunks"][0]
+                # persist multimodal weights so useExistingTensors can
+                # verify them on re-add (reference VESPA_DOC_MULTIMODAL_
+                # PARAMS, unstructured_vespa_index/common.py:23); stripped
+                # from all read paths
+                mm_params = {
+                    field: {"weights": plan["weights"]}
+                    for field, plan in field_plans.items()
+                    if plan["kind"] == "multimodal"}
+                if mm_params:
+                    fields[constants.MARQO_DOC_MULTIMODAL_PARAMS] = mm_params
                 self.engine.feed(self.index.schema_name, assigned_id, fields,
                                  tensors)
                 collector.collect_success(
@@ -553,6 +569,22 @@ class AddDocumentsHandler:
                         to_embed_video.append(clip)
                     continue
                 if plan["kind"] == "multimodal":
+                    # reuse the stored combined embedding when the subfield
+                    # content AND weights are unchanged (reference
+                    # tensor_fields_container.py populate_tensor_from_
+                    # existing_docs: multimodal fields reuse only on exact
+                    # type+weights+subfield match)
+                    if field in reuse:
+                        stored = reuse[field]
+                        stored_weights = self._existing_multimodal_params \
+                            .get(assigned_id, {}).get(field, {}) \
+                            .get("weights")
+                        if [e["chunk"] for e in stored] == plan["chunks"] \
+                                and stored_weights == plan["weights"]:
+                            ready[(assigned_id, field)] = np.asarray(
+                                [e["embedding"] for e in stored],
+                                dtype=np.float32)
+                            continue
                     # children embedded individually then combined
                     for child, content in plan["sub_content"].items():
                         if _is_image_child(content):
@@ -622,6 +654,8 @@ class AddDocumentsHandler:
         for assigned_id, _doc, field_plans in plans:
             for field, plan in field_plans.items():
                 if plan["kind"] == "multimodal":
+                    if (assigned_id, field) in ready:
+                        continue  # reused stored embedding; no child slots
                     weights = plan["weights"]
                     acc = None
                     for child, content in plan["sub_content"].items():

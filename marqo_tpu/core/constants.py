@@ -5,6 +5,7 @@ MARQO_DOC_TENSORS = "marqo__tensors"
 MARQO_DOC_HIGHLIGHTS = "_highlights"
 MARQO_DOC_CHUNKS = "chunks"
 MARQO_DOC_EMBEDDINGS = "embeddings"
+MARQO_DOC_MULTIMODAL_PARAMS = "marqo__multimodal_params"  # reference unstructured_vespa_index/common.py:23
 MARQO_DOC_ID = "_id"
 
 MARQO_SEARCH_METHOD_TENSOR = "tensor"

@@ -336,6 +336,7 @@ def search(config: Config, index_name: str,
 
 def _hit_to_dict(hit, show_highlights: bool, method: str) -> dict:
     doc = dict(hit.fields)
+    doc.pop(constants.MARQO_DOC_MULTIMODAL_PARAMS, None)  # internal field
     doc[constants.MARQO_DOC_ID] = hit.doc_id
     doc["_score"] = float(hit.score)
     if show_highlights:
@@ -493,6 +494,7 @@ def get_document_by_id(config: Config, index_name: str, document_id: str,
     if doc is None:
         raise api_exceptions.DocumentNotFoundError(
             f"Document with ID {document_id} not found in index {index_name}")
+    doc.pop(constants.MARQO_DOC_MULTIMODAL_PARAMS, None)  # internal field
     doc[constants.MARQO_DOC_ID] = document_id
     if show_vectors:
         facets = []

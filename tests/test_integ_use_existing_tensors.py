@@ -127,6 +127,76 @@ class TestUseExistingTensors:
             plain["_tensor_facets"][0]["_embedding"],
             flagged["_tensor_facets"][0]["_embedding"], atol=1e-6)
 
+    def test_multimodal_unchanged_reuses(self, config, vectorise_spy):
+        """Unchanged multimodal combo (same subfields, content AND weights)
+        must reuse the stored combined embedding (reference
+        tensor_fields_container.py multimodal populate conditions)."""
+        doc = {"_id": "1", "title": "a photo", "caption": "of a cat"}
+        mappings = {"combo": {"type": "multimodal_combination",
+                              "weights": {"title": 0.6, "caption": 0.4}}}
+        res = _add(config, [doc], tensor_fields=["combo"],
+                   mappings=mappings)
+        assert res["errors"] is False
+        assert len(vectorise_spy) > 0
+        before = tensor_search.get_document_by_id(
+            config, INDEX, "1", show_vectors=True)
+        vectorise_spy.clear()
+        res = _add(config, [doc], tensor_fields=["combo"],
+                   mappings=mappings, use_existing_tensors=True)
+        assert res["errors"] is False
+        assert len(vectorise_spy) == 0, \
+            "unchanged multimodal combo must not re-vectorise"
+        after = tensor_search.get_document_by_id(
+            config, INDEX, "1", show_vectors=True)
+        np.testing.assert_allclose(
+            before["_tensor_facets"][0]["_embedding"],
+            after["_tensor_facets"][0]["_embedding"], atol=1e-6)
+
+    def test_multimodal_changed_weights_revectorises(self, config,
+                                                     vectorise_spy):
+        doc = {"_id": "1", "title": "a photo", "caption": "of a cat"}
+        mk = lambda w1, w2: {"combo": {
+            "type": "multimodal_combination",
+            "weights": {"title": w1, "caption": w2}}}
+        _add(config, [doc], tensor_fields=["combo"], mappings=mk(0.6, 0.4))
+        before = tensor_search.get_document_by_id(
+            config, INDEX, "1", show_vectors=True)
+        vectorise_spy.clear()
+        _add(config, [doc], tensor_fields=["combo"], mappings=mk(0.1, 0.9),
+             use_existing_tensors=True)
+        assert len(vectorise_spy) > 0, \
+            "changed weights must re-vectorise the combo"
+        after = tensor_search.get_document_by_id(
+            config, INDEX, "1", show_vectors=True)
+        assert not np.allclose(
+            before["_tensor_facets"][0]["_embedding"],
+            after["_tensor_facets"][0]["_embedding"])
+
+    def test_multimodal_changed_subfield_content_revectorises(
+            self, config, vectorise_spy):
+        mappings = {"combo": {"type": "multimodal_combination",
+                              "weights": {"title": 0.6, "caption": 0.4}}}
+        _add(config, [{"_id": "1", "title": "a photo",
+                       "caption": "of a cat"}],
+             tensor_fields=["combo"], mappings=mappings)
+        vectorise_spy.clear()
+        _add(config, [{"_id": "1", "title": "a photo",
+                       "caption": "of a dog"}],
+             tensor_fields=["combo"], mappings=mappings,
+             use_existing_tensors=True)
+        assert len(vectorise_spy) > 0, \
+            "changed subfield content must re-vectorise the combo"
+
+    def test_multimodal_params_hidden_from_reads(self, config):
+        doc = {"_id": "1", "title": "a photo", "caption": "of a cat"}
+        mappings = {"combo": {"type": "multimodal_combination",
+                              "weights": {"title": 0.6, "caption": 0.4}}}
+        _add(config, [doc], tensor_fields=["combo"], mappings=mappings)
+        got = tensor_search.get_document_by_id(config, INDEX, "1")
+        assert "marqo__multimodal_params" not in got
+        hits = tensor_search.search(config, INDEX, text="photo")["hits"]
+        assert hits and "marqo__multimodal_params" not in hits[0]
+
     def test_retensorize_previously_plain_field(self, config,
                                                 vectorise_spy):
         """A field stored without tensors gets vectorised when it becomes
