@@ -129,6 +129,14 @@ def compute_query_vector(index: MarqoIndex,
     get_query_vectors_from_jobs, tensor_search.py:1913-2058)."""
     weighted: "OrderedDict[str, float]" = OrderedDict()
     if isinstance(text, str):
+        if context:
+            # reference validation.py:181-189 validate_context
+            raise InvalidArgumentError(
+                f"Marqo received a query = `{text}` with type "
+                f"=`{type(text).__name__}` and a parameter `context`.\n"
+                f"This is not supported as the context only works when the "
+                f"query is a dictionary. If you aim to search with your "
+                f"custom vectors, reformat the query as a dictionary.\n")
         weighted[text] = 1.0
     elif isinstance(text, dict):
         if not text:
@@ -224,8 +232,10 @@ def compute_query_vector(index: MarqoIndex,
             got_any = True
 
     if not got_any:
+        # reference api_models.py:84-85
         raise InvalidArgumentError(
-            "No query provided: supply `q` and/or `context` vectors")
+            "One of Query(q) or context is required for TENSOR search "
+            "but both are missing")
 
     if index.normalize_embeddings:
         norm = float(np.linalg.norm(acc))
