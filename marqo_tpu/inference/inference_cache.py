@@ -86,14 +86,19 @@ class MarqoInferenceCache:
         if cache_type is None:
             cache_type = str(configs.read_env_vars_and_defaults(
                 "MARQO_INFERENCE_CACHE_TYPE") or "LRU")
-        cache_type = cache_type.upper()
-        if cache_type not in self._CACHE_TYPES:
+        # reference marqo_inference_cache.py validates both via EnvVarError:
+        # non-string/unknown type and non-int/negative size are rejected
+        if not isinstance(cache_type, str) or \
+                cache_type.upper() not in self._CACHE_TYPES:
             raise InvalidArgumentError(
                 f"Invalid cache type `{cache_type}`. "
                 f"Must be one of {list(self._CACHE_TYPES)}")
-        if cache_size < 0:
+        cache_type = cache_type.upper()
+        if not isinstance(cache_size, int) or isinstance(cache_size, bool) \
+                or cache_size < 0:
             raise InvalidArgumentError(
-                f"Invalid cache size `{cache_size}`. Must be >= 0")
+                f"Invalid cache size `{cache_size}`. "
+                f"Must be a non-negative integer")
         self._maxsize = cache_size
         self._cache = self._CACHE_TYPES[cache_type](cache_size) if cache_size else None
         self._lock = threading.Lock()
@@ -105,15 +110,38 @@ class MarqoInferenceCache:
     def is_enabled(self) -> bool:
         return self.enabled
 
+    @property
+    def maxsize(self) -> int:
+        """Configured capacity (reference MarqoInferenceCache.maxsize)."""
+        return self._maxsize
+
+    @property
+    def currsize(self) -> int:
+        """Current entry count (reference MarqoInferenceCache.currsize)."""
+        return len(self)
+
     @staticmethod
     def _key(model_cache_key: str, content: str) -> str:
         return f"{model_cache_key}||{content}"
 
-    def get(self, model_cache_key: str, content) -> Optional[List[float]]:
+    # public alias matching the reference test surface
+    _generate_key = _key
+
+    def get(self, model_cache_key: str, content,
+            default=None) -> Optional[List[float]]:
         if not self.enabled or not isinstance(content, str):
-            return None
+            return default
         with self._lock:
-            return self._cache.get(self._key(model_cache_key, content))
+            value = self._cache.get(self._key(model_cache_key, content))
+        return default if value is None else value
+
+    def __contains__(self, key) -> bool:
+        """Membership by (model_cache_key, content) pair (reference
+        __contains__); does not bump LRU/LFU stats."""
+        if not self.enabled or not (isinstance(key, tuple) and len(key) == 2):
+            return False
+        with self._lock:
+            return self._key(*key) in self._cache
 
     def set(self, model_cache_key: str, content, embedding: List[float]):
         if not self.enabled or not isinstance(content, str):
