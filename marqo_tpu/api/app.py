@@ -466,28 +466,11 @@ def on_start(config: Config) -> None:
     best = Device.best_available().value
     os.environ["MARQO_BEST_AVAILABLE_DEVICE"] = best
     logger.info(f"Best available device: {best}")
-    # 5. model pre-warming (reference CacheModels: timed warmup vectorise)
-    #    + compile-bucket warmup so query p50 never pays an XLA compile
-    for model_name in configs.read_env_vars_and_defaults_list(
-            "MARQO_MODELS_TO_PRELOAD"):
-        try:
-            if isinstance(model_name, dict):
-                inference.vectorise(model_name["model"], ["warmup"],
-                                    model_properties=model_name.get(
-                                        "modelProperties"))
-            else:
-                inference.vectorise(model_name, ["warmup"])
-            for entry in inference._available_models.values():
-                model = entry["model"]
-                if hasattr(model, "warmup") and not getattr(
-                        model, "_warmed", False):
-                    shapes = model.warmup()
-                    model._warmed = True
-                    logger.info(f"Warmed {shapes} compile buckets for "
-                                f"{model.model_name}")
-            logger.info(f"Pre-warmed model {model_name}")
-        except Exception as e:
-            logger.warning(f"Could not pre-warm model {model_name}: {e}")
+    # 5. model + patch-model pre-warming (reference CacheModels /
+    #    CachePatchModels, on_start_script.py:122-230)
+    from marqo_tpu.api.on_start_script import CacheModels, CachePatchModels
+    CacheModels().run()
+    CachePatchModels().run()
     logger.info("Marqo-TPU startup complete")
 
 

@@ -163,3 +163,11 @@ class ServiceUnavailableError(MarqoWebError):
     error_type = "service_unavailable"
     code = "service_unavailable"
     status_code = int(HTTPStatus.SERVICE_UNAVAILABLE)
+
+
+class EnvVarError(MarqoWebError):
+    """Malformed environment-variable configuration (reference
+    api/exceptions.py:24-28)."""
+    error_type = "invalid_request"
+    code = "env_var_error"
+    status_code = int(HTTPStatus.INTERNAL_SERVER_ERROR)

@@ -393,6 +393,9 @@ def chunk_image(image: np.ndarray, method: str
         raise InvalidArgumentError("chunk_image expects an (H, W, 3) image")
     height, width = image.shape[0], image.shape[1]
     method, params = _parse_patch_method(method)
+    # reference PATCH_MODELS alias spellings (s2_inference/constants.py:27)
+    method = {"fastercnn": "frcnn", "dino/v1": "dino-v1",
+              "dino/v2": "dino-v2"}.get(method, method)
     if method in ("simple", "overlap"):
         hn = int(params.get("hn", 3))
         wn = int(params.get("wn", 3))
