@@ -108,11 +108,24 @@ class IndexManagement:
             if not self._store.contains(index.name):
                 raise core_exceptions.IndexNotFoundError(
                     f"Index {index.name} not found")
-            # rebase onto the STORED version under the DDL lock: schema
-            # growth from concurrent add-docs may hold a stale snapshot,
-            # and the store now enforces optimistic versioning
-            current = self._store.get(index.name).version or 1
-            updated = index.model_copy(update={"version": current + 1})
+            # Rebase onto the STORED state under the DDL lock. Schema
+            # growth from concurrent add-docs may hold a stale snapshot, so
+            # MERGE field lists with the stored index rather than
+            # overwrite — the reference prevents the lost-update anomaly
+            # via optimistic-version conflicts + caller retry
+            # (test_update_index_should_fail_under_race_condition); the
+            # lock lets us resolve it in place instead.
+            stored = self._store.get(index.name)
+            lexical = {f.name: f for f in getattr(
+                stored, "lexical_fields", [])}
+            lexical.update({f.name: f for f in index.lexical_fields})
+            tensor = {f.name: f for f in getattr(
+                stored, "tensor_fields", [])}
+            tensor.update({f.name: f for f in index.tensor_fields})
+            updated = index.model_copy(update={
+                "version": (stored.version or 1) + 1,
+                "lexical_fields": list(lexical.values()),
+                "tensor_fields": list(tensor.values())})
             self._store.save(updated, allow_existing=True)
             self._engine.update_index(descriptor_from_marqo_index(updated))
             return updated
