@@ -366,12 +366,19 @@ class AddDocumentsHandler:
             raise InvalidArgumentError(
                 "`_id` field cannot be a tensor field.")
         max_bytes = configs.read_env_vars_and_defaults_ints("MARQO_MAX_DOC_BYTES")
-        max_docs = configs.read_env_vars_and_defaults_ints("MARQO_MAX_ADD_DOCS_COUNT")
-        if len(self.params.docs) > max_docs:
+        # MARQO_MAX_DOCUMENTS_BATCH_SIZE is the reference env var
+        # (api/configs.py:48, add_docs_params.py:78-93); our original
+        # MARQO_MAX_ADD_DOCS_COUNT stays honored as an alias
+        max_docs = configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_DOCUMENTS_BATCH_SIZE") or \
+            configs.read_env_vars_and_defaults_ints("MARQO_MAX_ADD_DOCS_COUNT")
+        if max_docs is not None and len(self.params.docs) > max_docs:
             raise InvalidArgumentError(
-                f"Number of docs in batch ({len(self.params.docs)}) exceeds "
-                f"limit of {max_docs}. Break up your request into smaller "
-                f"batches.")
+                f"Number of docs in add documents request "
+                f"({len(self.params.docs)}) exceeds limit of {max_docs}. "
+                f"If using the Python client, break up your `add_documents` "
+                f"request into smaller batches using its "
+                f"`client_batch_size` parameter.")
 
         # reversed-iteration dedup: the LAST occurrence of an _id wins
         # (reference add_documents_handler.py:140-157)

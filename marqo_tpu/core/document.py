@@ -90,11 +90,32 @@ class Document:
                 "Partial document update is not supported for unstructured "
                 "indexes. Please use add_documents with use_existing_tensor=True "
                 "instead")
+        # batch bounds (reference api/models/update_documents.py:14-27:
+        # empty and over-MARQO_MAX_DOCUMENTS_BATCH_SIZE requests are a 400)
+        from marqo_tpu.api import configs
+        from marqo_tpu.api.exceptions import BadRequestError
+        if not partial_documents:
+            raise BadRequestError("Received empty update_documents request")
+        max_doc = configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_DOCUMENTS_BATCH_SIZE") or 128
+        if len(partial_documents) > max_doc:
+            raise BadRequestError(
+                f"Number of docs in update_documents request "
+                f"({len(partial_documents)}) exceeds limit of {max_doc}. "
+                f"If using the Python client, break up your "
+                f"update_documents request into smaller batches using its "
+                f"client_batch_size parameter ")
         start = time.perf_counter()
         docs, _ = self.remove_duplicated_documents(partial_documents)
         items = []
         errors = False
         tensor_names = {tf.name for tf in index.tensor_fields}
+        # fields referenced by a multimodal combination cannot be updated
+        # (reference structured_vespa_index.py:88-91)
+        dependent_names = set()
+        for f in index.fields:
+            if getattr(f, "dependent_fields", None):
+                dependent_names.update(f.dependent_fields.keys())
         field_map = index.field_map
         for doc in docs:
             doc_id = doc.get(constants.MARQO_DOC_ID)
@@ -119,6 +140,11 @@ class Document:
                     bad = (f"Field `{field}` cannot be updated as this is a "
                            f"tensor field. Tensor fields cannot be partially "
                            f"updated; use add_documents")
+                    break
+                if field in dependent_names:
+                    bad = (f"You cannot modify '{field}' field as this is a "
+                           f"dependent field of a multimodal combination "
+                           f"field")
                     break
                 declared = field_map.get(field)
                 if declared is None:

@@ -215,3 +215,89 @@ class TestPartialUpdateErrors:
         assert r["index_name"] == INDEX
         statuses = sorted(i["status"] for i in r["items"])
         assert statuses == [200, 404]
+
+
+class TestPartialUpdateGaps:
+    """Remaining reference cases: batch bounds, dependent fields,
+    multi-field updates, bool/float filter visibility."""
+
+    def test_too_many_documents_rejected(self, config, monkeypatch):
+        from marqo_tpu.api.exceptions import BadRequestError
+        _seed(config)
+        docs = [{"_id": "1"}] * 129
+        with pytest.raises(BadRequestError) as e:
+            _update(config, docs)
+        assert "exceeds limit of 128" in str(e.value)
+        monkeypatch.setenv("MARQO_MAX_DOCUMENTS_BATCH_SIZE", "129")
+        r = _update(config, docs)  # same size passes with a higher limit
+        assert r["errors"] is False
+
+    def test_empty_request_rejected(self, config):
+        from marqo_tpu.api.exceptions import BadRequestError
+        with pytest.raises(BadRequestError) as e:
+            _update(config, [])
+        assert "Received empty update_documents request" in str(e.value)
+
+    def test_update_multimodal_dependent_field_rejected(self, config):
+        f = FieldRequest
+        config.index_management.create_index(IndexSettings(
+            type=IndexType.Structured, model="test",
+            allFields=[
+                f(name="dependent_field_1", type=FieldType.Text),
+                f(name="dependent_field_2", type=FieldType.Text),
+                f(name="combo", type=FieldType.MultimodalCombination,
+                  dependentFields={"dependent_field_1": 0.5,
+                                   "dependent_field_2": 0.5}),
+            ],
+            tensorFields=["combo"]).to_marqo_index("pu-multimodal"))
+        config.index_meta_cache.populate()
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name="pu-multimodal", docs=[{
+                "_id": "1",
+                "dependent_field_1": "dependent field 1",
+                "dependent_field_2": "dependent field 2"}]))
+        assert res["errors"] is False
+        r = _update(config, [{"_id": "1",
+                              "dependent_field_1": "updated"}],
+                    index_name="pu-multimodal")
+        assert r["errors"] is True
+        assert "dependent field" in r["items"][0]["error"]
+        assert r["items"][0]["status"] == 400
+
+    def test_update_multiple_fields_simultaneously(self, config):
+        _seed(config)
+        r = _update(config, [{
+            "_id": "1",
+            "text_field": "updated text field",
+            "int_field_filter": 42,
+            "float_field_score_modifier": 2.5,
+            "bool_field_filter": True}])
+        assert r["errors"] is False
+        doc = tensor_search.get_document_by_id(config, INDEX, "1")
+        assert doc["text_field"] == "updated text field"
+        assert doc["int_field_filter"] == 42
+        assert doc["float_field_score_modifier"] == 2.5
+        assert doc["bool_field_filter"] is True
+
+    def test_update_bool_field_filter_visibility(self, config):
+        _seed(config)
+        r = _update(config, [{"_id": "1", "bool_field_filter": True}])
+        assert r["errors"] is False
+        hits = tensor_search.search(
+            config, INDEX, text="text", filter="bool_field_filter:true")
+        assert {h["_id"] for h in hits["hits"]} == {"1"}
+        hits = tensor_search.search(
+            config, INDEX, text="text", filter="bool_field_filter:false")
+        assert hits["hits"] == []
+
+    def test_add_docs_honors_reference_batch_env(self, config,
+                                                 monkeypatch):
+        """Add-documents enforces MARQO_MAX_DOCUMENTS_BATCH_SIZE too
+        (reference add_docs_params.py:78-93)."""
+        monkeypatch.setenv("MARQO_MAX_DOCUMENTS_BATCH_SIZE", "2")
+        from marqo_tpu.exceptions import InvalidArgumentError
+        with pytest.raises(InvalidArgumentError) as e:
+            tensor_search.add_documents(config, AddDocsParams(
+                index_name=INDEX,
+                docs=[{"text_field": f"d{i}"} for i in range(3)]))
+        assert "exceeds limit of 2" in str(e.value)
