@@ -139,3 +139,35 @@ class TestOversizedBatch:
         again = v.vectorise("test", [texts[299]], device="cpu")
         np.testing.assert_allclose(arr[299], np.asarray(again)[0], atol=1e-4)
         v.clear_loaded_models()
+
+
+class TestS2InferenceUtils:
+    """Ported reference goldens (tests/s2_inference/test_utils.py):
+    model-cache-key format and vectorised-output conversion."""
+
+    def test_create_model_cache_key_format(self):
+        from marqo_tpu.inference.vectorise import _create_model_cache_key
+        props = {"name": "intfloat/e5-base-v2", "dimensions": 768,
+                 "type": "hf", "tokens": 512}
+        for device in ("cpu", "tpu", "cuda:1"):
+            assert _create_model_cache_key("hf/e5-base-v2", device, props) \
+                == ("hf/e5-base-v2||intfloat/e5-base-v2||768||hf||512||"
+                    + device)
+
+    def test_create_model_cache_key_missing_props(self):
+        from marqo_tpu.inference.vectorise import _create_model_cache_key
+        assert _create_model_cache_key("m", "cpu", {}) == "m||||||||||cpu"
+        assert _create_model_cache_key("m", "cpu", None) == "m||||||||||cpu"
+
+    def test_convert_vectorized_output(self):
+        import torch
+
+        from marqo_tpu.inference.vectorise import _float_list
+        for list_o_list in ([[1, 2], [3, 4]], [[1, 2]]):
+            assert _float_list(list_o_list) == [
+                [float(x) for x in row] for row in list_o_list]
+            assert _float_list(np.array(list_o_list, dtype=np.float32)) == [
+                [float(x) for x in row] for row in list_o_list]
+            assert _float_list(torch.tensor(list_o_list,
+                                            dtype=torch.float32)) == [
+                [float(x) for x in row] for row in list_o_list]
