@@ -268,3 +268,73 @@ class TestMethodUrlOptions:
         patches, _ = chunk_image(img, "overlap?hn=2&wn=2")
         # full + 2x2 grid + 1x1 shifted
         assert len(patches) == 1 + 4 + 1
+
+
+class TestGridBoxGoldens:
+    """Ported reference goldens (tests/processing/test_image_utils.py
+    test_generate_boxes / test_generate_boxes_overlap /
+    test_process_patch_method). Our _grid_boxes prepends the full image
+    (the reference adds it at PatchifySimple level), so grid goldens are
+    checked on boxes[1:]."""
+
+    @pytest.mark.parametrize("size,hn,wn", [
+        ((100, 100), 4, 4), ((100, 100), 3, 2), ((150, 120), 3, 6)])
+    def test_generate_boxes_goldens(self, size, hn, wn):
+        from marqo_tpu.inference.image_patching import _grid_boxes
+        width, height = size
+        grid = _grid_boxes(width, height, hn=hn, wn=wn)[1:]
+        assert len(grid) == hn * wn
+        assert grid[0] == (0, 0, width // wn, height // hn)
+        cell_w, cell_h = width // wn, height // hn
+        last = grid[-1]
+        # last box anchors at the final cell and reaches the image edge
+        # within rounding
+        assert abs(last[0] - cell_w * (wn - 1)) <= 1
+        assert abs(last[1] - cell_h * (hn - 1)) <= 1
+        assert abs(last[2] - width) <= 1 and abs(last[3] - height) <= 1
+
+    @pytest.mark.parametrize("size,hn,wn", [
+        ((100, 100), 2, 2), ((150, 100), 2, 2), ((150, 100), 3, 2),
+        ((240, 240), 3, 3), ((240, 240), 4, 3), ((240, 240), 3, 4)])
+    def test_generate_boxes_overlap_counts(self, size, hn, wn):
+        from marqo_tpu.inference.image_patching import _grid_boxes
+        width, height = size
+        boxes = _grid_boxes(width, height, hn=hn, wn=wn, overlap=True)
+        grid = [b for b in boxes if b != (0, 0, width, height)]
+        assert len(set(grid)) == hn * wn + (hn - 1) * (wn - 1)
+
+    @pytest.mark.parametrize("url,path,params", [
+        ("simple", "simple", {}),
+        ("overlap", "overlap", {}),
+        ("simple?hn=3", "simple", {"hn": "3"}),
+        ("overlap?hn=3", "overlap", {"hn": "3"}),
+        ("simple?wn=3", "simple", {"wn": "3"}),
+        ("simple?hn=3&wn=4", "simple", {"hn": "3", "wn": "4"}),
+        ("overlap?hn=3&wn=4", "overlap", {"hn": "3", "wn": "4"}),
+    ])
+    def test_process_patch_method(self, url, path, params):
+        from marqo_tpu.inference.image_patching import _parse_patch_method
+        path_out, params_out = _parse_patch_method(url)
+        assert path_out == path
+        assert params_out == params
+
+    def test_str2bool(self):
+        from marqo_tpu.inference.image_patching import _str2bool
+        for s in ("true", "True", "1", "yes"):
+            assert _str2bool(s)
+        for s in ("false", "0", "no", ""):
+            assert not _str2bool(s)
+
+    def test_patchify_patch_sizes(self):
+        """Each returned patch has its bbox's exact size (reference
+        test_patchify); chunk strings are the original-coordinate bboxes."""
+        from marqo_tpu.inference.image_patching import chunk_image
+        img = np.random.randint(0, 255, size=(200, 250, 3), dtype=np.uint8)
+        patches, chunks = chunk_image(img, method="simple?hn=2&wn=2")
+        assert len(patches) == len(chunks) == 5  # full image + 2x2 grid
+        assert patches[0].shape[:2] == (200, 250)
+        for patch, chunk in zip(patches[1:], chunks[1:]):
+            import json
+            left, top, right, bottom = json.loads(chunk)
+            assert patch.shape[0] == bottom - top
+            assert patch.shape[1] == right - left
