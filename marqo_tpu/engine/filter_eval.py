@@ -56,7 +56,11 @@ def _eq_match(stored: Any, filter_value: str) -> bool:
         except ValueError:
             return False
     if isinstance(stored, str):
-        return stored == filter_value
+        # Vespa string-attribute matching is case-insensitive (match:
+        # word lowercases both sides) — reference test_search_
+        # unstructured.py:563-606 expects stored "True" to match
+        # filter term `true`
+        return stored.lower() == filter_value.lower()
     return False
 
 
