@@ -125,6 +125,25 @@ class JaxHFTextModel(EmbeddingModel):
         return self.properties.get("name", self.model_name)
 
     def load(self) -> None:
+        # validate custom model_properties through the reference-shaped
+        # schema (hf_model_properties.py); resolves pooling inference and
+        # camelCase aliases, and rejects url+model_location conflicts
+        if self.properties.get("type") in ("hf", "hf_stella"):
+            import pydantic
+
+            from marqo_tpu.exceptions import InvalidArgumentError
+            from marqo_tpu.inference.hf_model_properties import \
+                HuggingFaceModelProperties
+            try:
+                validated = HuggingFaceModelProperties(**self.properties)
+            except pydantic.ValidationError as e:
+                raise InvalidArgumentError(
+                    f"Invalid model_properties for model "
+                    f"`{self.model_name}`: {e}") from e
+            if "pooling_method" not in self.properties and \
+                    "poolingMethod" not in self.properties:
+                self.properties["pooling_method"] = \
+                    validated.pooling_method.value
         max_len = int(self.properties.get("tokens", 128))
         localpath = self.properties.get("localpath")
         location = self.properties.get("model_location")
