@@ -226,3 +226,58 @@ class TestMediaDownloadHeadersOnSearch:
                                      text=url, limit=1)
         finally:
             server.shutdown()
+
+
+class TestMediaDownloadHeadersOnAddDocs:
+    def test_add_docs_image_url_sent_with_headers(self, config):
+        """add_documents passes mediaDownloadHeaders to every image fetch
+        (reference test_image_download_headers.py:92
+        test_img_download_add_docs)."""
+        import io
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from PIL import Image as PILImage
+
+        buf = io.BytesIO()
+        PILImage.new("RGB", (32, 32), color=(30, 200, 30)).save(buf, "PNG")
+        png = buf.getvalue()
+        seen = {}
+
+        class AuthImage(BaseHTTPRequestHandler):
+            def do_GET(self):
+                seen["auth"] = self.headers.get("Authorization")
+                if self.headers.get("Authorization") != \
+                        "some secret key blah":
+                    self.send_response(401)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.end_headers()
+                self.wfile.write(png)
+
+            def log_message(self, *a):
+                pass
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), AuthImage)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}/img.png"
+            res = tensor_search.add_documents(config, AddDocsParams(
+                index_name="img-index",
+                docs=[{"_id": "1", "image": url}],
+                tensor_fields=["image"],
+                media_download_headers={
+                    "Authorization": "some secret key blah"}))
+            assert res["errors"] is False, res["items"]
+            assert seen["auth"] == "some secret key blah"
+            # without the header the doc fails per-item (401 fetch)
+            res = tensor_search.add_documents(config, AddDocsParams(
+                index_name="img-index",
+                docs=[{"_id": "2", "image": url}],
+                tensor_fields=["image"]))
+            assert res["errors"] is True
+            assert res["items"][0]["status"] >= 400
+        finally:
+            server.shutdown()
