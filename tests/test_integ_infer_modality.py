@@ -6,6 +6,7 @@ are TEXT, magic bytes classify raw content.
 """
 
 import numpy as np
+import pytest
 
 from marqo_tpu.inference.types import Modality
 from marqo_tpu.tensor_search.add_docs import infer_modality
@@ -49,3 +50,29 @@ class TestInferModality:
     def test_array_is_image(self):
         assert infer_modality(np.zeros((4, 4, 3), np.uint8)) == \
             Modality.IMAGE
+
+
+class TestIsMediaPointer:
+    """Ported reference _is_image goldens (tests/s2_inference/
+    test_clip_utils.py:62-101) against our is_media_pointer."""
+
+    CASES = [
+        ("image.jpg", True), ("image.png", True), ("image.jpeg", True),
+        ("image.bmp", True), ("image.JPG", True), ("image.PNG", True),
+        ("https://example.com/image.jpg", True),
+        ("document.pdf", False), ("text.txt", False),
+        ("imagewithoutextension", False),
+        ("http://dummy.dummy.com/is/image/dummy/dummy (1)"
+         "?wid=123&hei=321&qlt=123&fmt=png-alpha", True),
+    ]
+
+    @pytest.mark.parametrize("value,expected", CASES)
+    def test_is_media_pointer_goldens(self, value, expected):
+        from marqo_tpu.tensor_search.add_docs import is_media_pointer
+        assert is_media_pointer(value) is expected
+
+    def test_non_string_inputs_false(self):
+        from marqo_tpu.tensor_search.add_docs import is_media_pointer
+        assert is_media_pointer(123) is False
+        assert is_media_pointer(None) is False
+        assert is_media_pointer("") is False
