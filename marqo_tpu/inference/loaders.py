@@ -567,8 +567,8 @@ def _load_state_dict(path: str) -> dict:
         return load_file(st_path)
     bin_path = os.path.join(path, "pytorch_model.bin")
     if os.path.isfile(bin_path):
-        import torch
-        return torch.load(bin_path, map_location="cpu", weights_only=True)
+        from marqo_tpu.inference.checkpoint_load import load_torch_checkpoint
+        return load_torch_checkpoint(bin_path, family="hf")
     raise ModelLoadError(f"No model weights found under `{path}`")
 
 

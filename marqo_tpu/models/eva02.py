@@ -456,7 +456,8 @@ class JaxEVA02Model:
                 if os.path.isfile(cand):
                     path = cand
                     break
-        state = torch.load(path, map_location="cpu", weights_only=True)
+        from marqo_tpu.inference.checkpoint_load import load_torch_checkpoint
+        state = load_torch_checkpoint(path, family="open_clip")
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         state = {k[len("module."):] if k.startswith("module.") else k: v

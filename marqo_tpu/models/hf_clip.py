@@ -136,7 +136,8 @@ class JaxHFCLIPModel:
                 if os.path.isfile(cand):
                     path = cand
                     break
-        state = torch.load(path, map_location="cpu", weights_only=True)
+        from marqo_tpu.inference.checkpoint_load import load_torch_checkpoint
+        state = load_torch_checkpoint(path, family="multilingual_clip")
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         state = {k[len("module."):] if k.startswith("module.") else k: v
@@ -213,7 +214,8 @@ class JaxHFCLIPModel:
                 dtype=self.compute_dtype)["vision"]
             del torch_model
             return vision
-        state = torch.load(vpath, map_location="cpu", weights_only=False)
+        from marqo_tpu.inference.checkpoint_load import load_torch_checkpoint
+        state = load_torch_checkpoint(vpath, family="clip", weights_only=False)
         if hasattr(state, "state_dict"):
             state = state.state_dict()
         if isinstance(state, dict) and "state_dict" in state:

@@ -358,7 +358,8 @@ class JaxResNetCLIPModel:
                 if os.path.isfile(cand):
                     path = cand
                     break
-        state = torch.load(path, map_location="cpu", weights_only=False)
+        from marqo_tpu.inference.checkpoint_load import load_torch_checkpoint
+        state = load_torch_checkpoint(path, family="clip", weights_only=False)
         if hasattr(state, "state_dict"):  # jit-archived openai checkpoints
             state = state.state_dict()
         if isinstance(state, dict) and "state_dict" in state:
