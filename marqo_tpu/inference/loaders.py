@@ -65,6 +65,19 @@ class EmbeddingModel(ABC):
                modality: Modality = Modality.TEXT) -> np.ndarray:
         ...
 
+    def encode_async(self, contents: List[Any], normalize: bool = True,
+                     modality: Modality = Modality.TEXT):
+        """Dispatch the encode now; return ``resolve() -> np.ndarray``.
+
+        Callers that interleave host work (the next sub-batch's
+        tokenization, the engine feed) between dispatch and resolve hide
+        device compute + the host-device fetch behind it (the ingest
+        pipeline, core/add_documents.py). Default: synchronous — model
+        families without a deferred-fetch path compute eagerly and resolve
+        returns the stored result."""
+        result = self.encode(contents, normalize=normalize, modality=modality)
+        return lambda: result
+
     def memory_bytes(self) -> int:
         return 0
 
@@ -243,13 +256,25 @@ class JaxHFTextModel(EmbeddingModel):
 
     def encode(self, contents: List[Any], normalize: bool = True,
                modality: Modality = Modality.TEXT) -> np.ndarray:
+        return self.encode_async(contents, normalize=normalize,
+                                 modality=modality)()
+
+    def encode_async(self, contents: List[Any], normalize: bool = True,
+                     modality: Modality = Modality.TEXT):
+        """Tokenize + dispatch NOW; the returned ``resolve()`` performs the
+        one batched device fetch (+ normalize). Dispatch is eager on this
+        backend, so host work done between dispatch and resolve — the next
+        sub-batch's tokenization, the engine feed — overlaps both device
+        compute and the ~35-40 ms tunnel fetch (BENCH_NOTES round-3
+        ceiling analysis; VERDICT r3 item 2)."""
         if modality != Modality.TEXT:
             raise VectoriseError(
                 f"Model `{self.model_name}` only supports text content")
         texts = [c if isinstance(c, str) else str(c) for c in contents]
         if not texts:
-            return np.zeros((0, self.dimensions or self.config.hidden_size),
-                            dtype=np.float32)
+            empty = np.zeros((0, self.dimensions or self.config.hidden_size),
+                             dtype=np.float32)
+            return lambda: empty
         # Chunk-first pipeline: tokenize chunk i+1 WHILE the device runs
         # chunk i (dispatch is eager on this backend — measured: a fetch
         # after host work returns in one roundtrip, the compute already
@@ -281,17 +306,20 @@ class JaxHFTextModel(EmbeddingModel):
                 pending.extend(self._dispatch_packed(batch, seq_bucket))
             else:
                 pending.extend(self._dispatch_padded(batch, seq_bucket, n))
-        # ONE batched fetch for all pending device arrays: each separate
-        # np.asarray pays the fixed tunnel roundtrip (~19ms extra per
-        # array measured); jax.device_get amortizes it
-        fetched = jax.device_get([emb for emb, _ in pending])
-        result = np.concatenate(
-            [arr[:size] for arr, (_, size) in zip(fetched, pending)],
-            axis=0)
-        if normalize:
-            norms = np.linalg.norm(result, axis=-1, keepdims=True)
-            result = result / np.maximum(norms, 1e-12)
-        return result.astype(np.float32)
+        def resolve() -> np.ndarray:
+            # ONE batched fetch for all pending device arrays: each separate
+            # np.asarray pays the fixed tunnel roundtrip (~19ms extra per
+            # array measured); jax.device_get amortizes it
+            fetched = jax.device_get([emb for emb, _ in pending])
+            result = np.concatenate(
+                [arr[:size] for arr, (_, size) in zip(fetched, pending)],
+                axis=0)
+            if normalize:
+                norms = np.linalg.norm(result, axis=-1, keepdims=True)
+                result = result / np.maximum(norms, 1e-12)
+            return result.astype(np.float32)
+
+        return resolve
 
     def _dispatch_padded(self, batch, seq_bucket: int, n: int):
         """Dispatch padded device batches WITHOUT fetching; encode() drains

@@ -206,6 +206,82 @@ def vectorise(model_name: str,
     return results  # type: ignore[return-value]
 
 
+def vectorise_async(model_name: str,
+                    content: Union[str, List[Any]],
+                    model_properties: Optional[dict] = None,
+                    device: Optional[str] = None,
+                    normalize_embeddings: bool = True,
+                    model_auth=None,
+                    enable_cache: bool = False,
+                    modality: Modality = Modality.TEXT,
+                    **kwargs):
+    """Pipelined variant of :func:`vectorise`: tokenizes and dispatches the
+    device work NOW, returns ``resolve() -> List[List[float]]`` that
+    performs the batched host fetch. The add_documents ingest pipeline
+    (core/add_documents.py) dispatches sub-batch N+1 and feeds sub-batch
+    N-1 between a sub-batch's dispatch and resolve, hiding device compute
+    and the host-device fetch behind host work (reference comparison:
+    add_documents_handler.py:123-181 runs vectorise/feed strictly
+    serially). Cache lookups happen at dispatch; cache writes at resolve.
+    The dynamic micro-batching scheduler is bypassed — this path exists
+    for large offline batches, not concurrent small requests."""
+    if content is None or (isinstance(content, list) and len(content) == 0):
+        raise VectoriseError("Received empty content for vectorise")
+    contents = [content] if isinstance(content, str) else list(content)
+
+    dev = Device.normalize(device)
+    properties = _resolve_properties(model_name, model_properties)
+    cache_key = _create_model_cache_key(model_name, dev.value, properties)
+    model = _update_available_models(cache_key, model_name, properties, dev,
+                                     model_auth)
+
+    cache = _get_inference_cache()
+    results: List[Optional[List[float]]] = [None] * len(contents)
+    misses: List[int] = []
+    use_cache = enable_cache and cache.enabled and normalize_embeddings
+    if use_cache:
+        for i, item in enumerate(contents):
+            hit = cache.get(cache_key, item)
+            if hit is not None:
+                results[i] = hit
+            else:
+                misses.append(i)
+    else:
+        misses = list(range(len(contents)))
+
+    if not misses:
+        return lambda: results
+
+    try:
+        resolver = model.encode_async([contents[i] for i in misses],
+                                      normalize=normalize_embeddings,
+                                      modality=modality)
+    except VectoriseError:
+        raise
+    except Exception as e:
+        raise VectoriseError(
+            f"Error vectorising content with model `{model_name}`: {e}",
+            cause=e) from e
+
+    def resolve() -> List[List[float]]:
+        try:
+            encoded = resolver()
+        except VectoriseError:
+            raise
+        except Exception as e:
+            raise VectoriseError(
+                f"Error vectorising content with model `{model_name}`: {e}",
+                cause=e) from e
+        encoded = _float_list(encoded)
+        for j, i in enumerate(misses):
+            results[i] = encoded[j]
+            if use_cache:
+                cache.set(cache_key, contents[i], encoded[j])
+        return results  # type: ignore[return-value]
+
+    return resolve
+
+
 def _encode(model: EmbeddingModel, cache_key: str, contents: List[Any],
             normalize: bool, modality: Modality):
     """Dispatch to the model, optionally through the dynamic micro-batching

@@ -113,6 +113,9 @@ class TestVectoriseInferenceCache:
         assert len(cache) == 0
 
     def test_concurrent_cache_safety(self):
+        # preload so no thread hits the (reference-parity) busy rejection
+        # raised when a model load is already in flight
+        inference.vectorise("random", ["preload"], device="cpu")
         errors = []
 
         def worker(seed):
