@@ -103,6 +103,12 @@ class IllegalRequestedDocCount(__InvalidRequestError):
     status_code = int(HTTPStatus.BAD_REQUEST)
 
 
+class DocTooLargeError(__InvalidRequestError):
+    """Reference api/exceptions.py:163-165."""
+    code = "doc_too_large"
+    status_code = int(HTTPStatus.BAD_REQUEST)
+
+
 class InvalidFieldNameError(__InvalidRequestError):
     code = "invalid_field_name"
     status_code = int(HTTPStatus.BAD_REQUEST)

@@ -25,14 +25,45 @@ class CustomVectorQuery(BaseModel):
 
 
 class SearchContextTensor(BaseModel):
-    model_config = ConfigDict(extra="forbid")
+    """One weighted context vector (reference models/search.py:61-63):
+    `weight` is required, unknown keys are ignored (pydantic-v1 default) —
+    so {"vector": [...], "weights": 1} fails on the MISSING weight, not
+    the extra key."""
+    model_config = ConfigDict(extra="ignore")
     vector: List[float]
-    weight: float = 1.0
+    weight: float
 
 
 class SearchContext(BaseModel):
-    model_config = ConfigDict(extra="forbid")
+    """Context vectors for a tensor query (reference models/search.py:66-78):
+    1..64 tensors, each {"vector": [...], "weight": ...}; extra keys are
+    ignored; any shape error surfaces as the API-level 400
+    (InvalidArgError), never a bare pydantic error."""
+    model_config = ConfigDict(extra="ignore")
     tensor: List[SearchContextTensor]
+
+    def __init__(self, **data):
+        from pydantic import ValidationError as PydanticValidationError
+
+        from marqo_tpu.api.exceptions import InvalidArgError
+        try:
+            super().__init__(**data)
+        except PydanticValidationError as e:
+            raise InvalidArgError(str(e))
+
+    @field_validator("tensor", mode="before")
+    @classmethod
+    def _check_tensor_count(cls, v):
+        from marqo_tpu.api.exceptions import InvalidArgError
+        try:
+            n = len(v)
+        except TypeError:
+            raise InvalidArgError(
+                "The number of tensors must be between 1 and 64")
+        if not (1 <= n <= 64):
+            raise InvalidArgError(
+                "The number of tensors must be between 1 and 64")
+        return v
 
 
 class ModelAuth(BaseModel):

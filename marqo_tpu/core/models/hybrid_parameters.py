@@ -24,25 +24,75 @@ class RankingMethod(str, Enum):
     Lexical = "lexical"
 
 
+class ScoreModifierOperator(BaseModel):
+    """One {"field_name": ..., "weight": ...} entry (reference
+    score_modifiers_object.py:20-32): extra keys are rejected, weight
+    defaults to 1, and `_id` is not a modifiable field."""
+    model_config = ConfigDict(extra="forbid", frozen=True)
+
+    field_name: str
+    weight: float = 1
+
+    @field_validator("field_name")
+    @classmethod
+    def _name_not_id(cls, v):
+        if v == "_id":
+            from marqo_tpu.api.exceptions import InvalidArgError
+            raise InvalidArgError("_id is not allowed as a field_name")
+        return v
+
+
 class ScoreModifierLists(BaseModel):
     """API-facing score-modifier lists: {"multiply_score_by": [...],
-    "add_to_score": [...]} (reference score_modifiers_object.py)."""
+    "add_to_score": [...]} (reference score_modifiers_object.py:35-62):
+    at least one list must be provided and provided lists must be
+    non-empty; any shape error surfaces as the API-level 400
+    (ScoreModifierValidationError), never a bare pydantic error."""
     model_config = ConfigDict(extra="forbid")
 
-    multiply_score_by: List[Dict] = []
-    add_to_score: List[Dict] = []
+    multiply_score_by: Optional[List[ScoreModifierOperator]] = None
+    add_to_score: Optional[List[ScoreModifierOperator]] = None
+
+    def __init__(self, **data):
+        from pydantic import ValidationError as PydanticValidationError
+
+        from marqo_tpu.api.exceptions import InvalidArgError
+        try:
+            super().__init__(**data)
+        except PydanticValidationError as e:
+            raise InvalidArgError(
+                f"Error validating score_modifiers = `{data}`. Reason: "
+                f"\n{e}. Please revise your score_modifiers based on the "
+                f"provided error.")
+
+    @model_validator(mode="after")
+    def _at_least_one(self):
+        # lives in a validator (not __init__) so nested parsing — e.g.
+        # SearchQuery.scoreModifiers — enforces it too; InvalidArgError is
+        # not a ValueError, so pydantic propagates it to the caller as the
+        # API-level 400 instead of wrapping it
+        from marqo_tpu.api.exceptions import InvalidArgError
+        if self.multiply_score_by is None and self.add_to_score is None:
+            raise InvalidArgError(
+                "Error validating score_modifiers. Reason: At least one of "
+                "multiply_score_by or add_to_score must be provided")
+        for name in ("multiply_score_by", "add_to_score"):
+            v = getattr(self, name)
+            if v is not None and len(v) < 1:
+                raise InvalidArgError(
+                    f"Error validating score_modifiers. Reason: At least "
+                    f"one ScoreModifierOperator is required in {name}")
+        return self
 
     def to_score_modifiers(self) -> List:
         from marqo_tpu.core.models.score_modifier import (ScoreModifier,
                                                           ScoreModifierType)
         mods = []
-        for m in self.multiply_score_by:
-            mods.append(ScoreModifier(field=m["field_name"],
-                                      weight=m.get("weight", 1.0),
+        for m in self.multiply_score_by or []:
+            mods.append(ScoreModifier(field=m.field_name, weight=m.weight,
                                       type=ScoreModifierType.Multiply))
-        for m in self.add_to_score:
-            mods.append(ScoreModifier(field=m["field_name"],
-                                      weight=m.get("weight", 1.0),
+        for m in self.add_to_score or []:
+            mods.append(ScoreModifier(field=m.field_name, weight=m.weight,
                                       type=ScoreModifierType.Add))
         return mods
 
