@@ -33,9 +33,11 @@ logger = get_logger(__name__)
 
 
 def _feature_gate(env_var: str, name: str) -> None:
+    # 403 with the reference's wording (utils.py:428-430)
     if not configs.read_env_vars_and_defaults_bool(env_var):
-        raise api_exceptions.BadRequestError(
-            f"The {name} API is disabled. Set {env_var}=TRUE to enable it.")
+        raise api_exceptions.DisabledFeatureError(
+            f"This API endpoint is disabled. Please set {env_var} to true "
+            f"to enable it.")
 
 
 def install_exception_mappers(app: App) -> None:
@@ -67,8 +69,13 @@ def install_exception_mappers(app: App) -> None:
          lambda e: api_exceptions.OperationConflictError(e.message)),
         (core_exceptions.BackendCommunicationError,
          lambda e: api_exceptions.BackendCommunicationError(e.message)),
+        # engine timeouts surface as the reference's 504 vector_store_
+        # timeout invalid_request envelope with its fixed message
+        # (api.py:117-122)
         (core_exceptions.BackendTimeoutError,
-         lambda e: api_exceptions.BackendTimeoutError(e.message)),
+         lambda e: api_exceptions.VectorStoreTimeoutError(
+             "Vector store request timed out. Try your request again "
+             "later.")),
         (core_exceptions.ApplicationRollbackError,
          lambda e: api_exceptions.InternalError(e.message)),
         (core_exceptions.DeviceError,
@@ -123,14 +130,26 @@ def build_app(config: Config) -> App:
     @app.get("/memory")
     def memory(request: Request):
         _feature_gate("MARQO_ENABLE_DEBUG_API", "debug")
+        # reference memory_profiler.get_memory_profile: the body is exactly
+        # {"memory_used": <process MB>, "stats": [tracemalloc lines]}
+        # (core/monitoring/memory_profiler.py:8-20)
         import tracemalloc
         if not tracemalloc.is_tracing():
             tracemalloc.start()
-        current, peak = tracemalloc.get_traced_memory()
         snapshot = tracemalloc.take_snapshot()
         stats = [str(s) for s in snapshot.statistics("lineno")[:20]]
-        return {"memory_used": current, "peak_memory_used": peak,
-                "stats": stats}
+        mem_used_mb = 0.0
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        mem_used_mb = int(line.split()[1]) / 1024.0
+                        break
+        except OSError:
+            import resource
+            mem_used_mb = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        return {"memory_used": mem_used_mb, "stats": stats}
 
     # --- index DDL --------------------------------------------------------
 
@@ -173,6 +192,9 @@ def build_app(config: Config) -> App:
 
     @app.post("/validate/index/{index_name}")
     def schema_validation(request: Request):
+        # gated behind MARQO_ENABLE_OPS_API, 403 by default (reference
+        # api.py:240-243 @utils.enable_ops_api)
+        _feature_gate("MARQO_ENABLE_OPS_API", "ops")
         index_name = request.path_params["index_name"]
         settings = bind_body(request, IndexSettings)
         settings.to_marqo_index(index_name)  # raises on invalid

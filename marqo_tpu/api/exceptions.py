@@ -53,6 +53,21 @@ class TooManyRequestsError(__InvalidRequestError):
     status_code = int(HTTPStatus.TOO_MANY_REQUESTS)
 
 
+class VectorStoreTimeoutError(__InvalidRequestError):
+    """Reference api/exceptions.py:118-120 — engine/vector-store timeouts
+    are a 504 with type invalid_request (not an internal error)."""
+    code = "vector_store_timeout"
+    status_code = int(HTTPStatus.GATEWAY_TIMEOUT)
+
+
+class DisabledFeatureError(__InvalidRequestError):
+    """Gated debug/ops endpoints return 403 when the enabling env var is
+    unset (reference utils.enable_debug_apis/enable_ops_api raise
+    HTTPException(403), utils.py:414-434)."""
+    code = "feature_disabled"
+    status_code = int(HTTPStatus.FORBIDDEN)
+
+
 class IndexAlreadyExistsError(__InvalidRequestError):
     code = "index_already_exists"
     status_code = int(HTTPStatus.CONFLICT)

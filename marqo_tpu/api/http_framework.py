@@ -114,11 +114,10 @@ class App:
                 return mapper(exc)
         if isinstance(exc, pydantic.ValidationError):
             return api_exceptions.ValidationError(_format_validation_error(exc))
+        # dispatch already logged the original exception with exc_info
         if isinstance(exc, MarqoError):
-            logger.error(f"Unmapped MarqoError: {exc}", exc_info=True)
             return api_exceptions.InternalError(
                 f"Marqo encountered an error: {exc.message}")
-        logger.error(f"Unhandled error: {exc}", exc_info=True)
         return api_exceptions.InternalError(
             "Marqo encountered an unexpected internal error.")
 
@@ -164,11 +163,12 @@ class App:
                     response.body["telemetry"] = telemetry
                 return response
             except Exception as exc:
+                # every handler exception is logged with its stack trace
+                # BEFORE translation, 4xx included (reference
+                # api/route.py:19-23 MarqoCustomRoute)
+                logger.error(str(exc), exc_info=True)
                 web_error = self._translate_exception(exc)
                 status, envelope = error_envelope(web_error)
-                if status >= 500:
-                    logger.error(f"{method} {path} -> {status}: "
-                                 f"{web_error.message}")
                 return Response(status, envelope)
             finally:
                 RequestMetricsStore.clear()

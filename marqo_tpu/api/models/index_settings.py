@@ -60,6 +60,34 @@ class IndexSettings(BaseModel):
     inferenceType: Optional[str] = None
     storageClass: Optional[str] = None
 
+    @model_validator(mode="before")
+    @classmethod
+    def _reject_snake_case_keys(cls, values):
+        """Snake-case spellings of camelCase keys are rejected anywhere in
+        the payload — recursively, except inside dependentFields /
+        modelProperties whose keys are user data (reference
+        index_settings.py:77-94 validate_field_names; surfaces as the 422
+        "Invalid field name 'dependent_fields'" the reference API returns).
+        """
+        from marqo_tpu import marqo_docs
+
+        def validate_keys(d):
+            if isinstance(d, dict):
+                for key in d.keys():
+                    if isinstance(key, str) and "_" in key:
+                        raise ValueError(
+                            f"Invalid field name '{key}'. See Create Index "
+                            f"API reference here {marqo_docs.create_index()}")
+                    if key not in ("dependentFields", "modelProperties"):
+                        validate_keys(d[key])
+            elif isinstance(d, list):
+                for item in d:
+                    validate_keys(item)
+
+        if isinstance(values, dict):
+            validate_keys(values)
+        return values
+
     @model_validator(mode="after")
     def _validate_ef_construction_cap(self):
         """efConstruction upper bound (reference

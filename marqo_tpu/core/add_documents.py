@@ -221,6 +221,21 @@ class AddDocumentsHandler:
         return [f for f in self.params.tensor_fields
                 if f in doc or f in self.mappings]
 
+    # reference structured_vespa_index.py:18-39 _MARQO_TO_PYTHON_TYPE_MAP;
+    # custom_vector/multimodal are omitted here because the RAW document
+    # form is a dict validated by _plan_field (the reference checks the
+    # converted form post-vectorise)
+    _MARQO_TO_PYTHON_TYPE = {
+        "text": str, "bool": bool, "int": int, "long": int,
+        "float": (float, int), "double": (float, int),
+        "array<text>": (list, str), "array<int>": (list, int),
+        "array<float>": (list, (float, int)), "array<long>": (list, int),
+        "array<double>": (list, (float, int)),
+        "image_pointer": str, "video_pointer": str, "audio_pointer": str,
+        "map<text, int>": (dict, int), "map<text, float>": (dict, float),
+        "map<text, double>": (dict, float), "map<text, long>": (dict, int),
+    }
+
     def _validate_structured_fields(self, doc: dict) -> None:
         if not isinstance(self.index, StructuredMarqoIndex):
             return
@@ -233,6 +248,33 @@ class AddDocumentsHandler:
                     f"Field `{field}` is not a valid field for structured "
                     f"index {self.index.name}. Valid fields are: "
                     f"{', '.join(sorted(field_map))}")
+            self._verify_marqo_field_type(field, doc[field],
+                                          field_map[field].type)
+
+    def _verify_marqo_field_type(self, field: str, value, marqo_type) -> None:
+        """Declared-type value check with the reference's exact messages
+        (structured_vespa_index.py:873-890 _verify_marqo_field_type)."""
+        type_value = getattr(marqo_type, "value", str(marqo_type))
+        python_type = self._MARQO_TO_PYTHON_TYPE.get(type_value)
+        if python_type is None:
+            return  # custom_vector / multimodal: validated in _plan_field
+        if isinstance(python_type, tuple) and python_type[0] in (list, dict):
+            # inner types are only enforced for list values; map<...>
+            # dict VALUES are validated by validate_map_numeric_field
+            # (reference structured_vespa_index.py:877-881)
+            container, inner = python_type
+            if not isinstance(value, container) or (
+                    isinstance(value, list)
+                    and not all(isinstance(v, inner) for v in value)):
+                raise DocError(
+                    f"Invalid value {value} for a list field {field} with "
+                    f"Marqo type {type_value}. All list elements must be "
+                    f"the same valid type ")
+        elif not isinstance(value, python_type):
+            raise DocError(
+                f"Invalid value {value} for field {field} with Marqo type "
+                f"{type_value}. Expected a value of type {python_type}, "
+                f"but found {type(value)}")
 
     # -- chunk + vectorise planning --
 

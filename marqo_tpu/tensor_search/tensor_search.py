@@ -40,24 +40,30 @@ def _validate_pagination(limit: int, offset: int) -> None:
     max_limit = configs.read_env_vars_and_defaults_ints("MARQO_MAX_SEARCH_LIMIT")
     max_offset = configs.read_env_vars_and_defaults_ints("MARQO_MAX_SEARCH_OFFSET")
     max_docs = configs.read_env_vars_and_defaults_ints("MARQO_MAX_RETRIEVABLE_DOCS")
+    # exact reference wording (tensor_search.py:1505-1540)
     if limit <= 0:
         raise api_exceptions.IllegalRequestedDocCount(
-            "search result limit must be greater than 0!")
+            f"result_count must be an integer greater than 0! "
+            f"Received {limit}")
     if offset < 0:
         raise api_exceptions.IllegalRequestedDocCount(
             "search result offset cannot be less than 0!")
-    if max_limit is not None and limit > max_limit:
-        raise api_exceptions.IllegalRequestedDocCount(
-            f"Your search limit `{limit}` exceeds the Marqo limit of "
-            f"`{max_limit}`.")
-    if max_offset is not None and offset > max_offset:
-        raise api_exceptions.IllegalRequestedDocCount(
-            f"Your search offset `{offset}` exceeds the Marqo limit of "
-            f"`{max_offset}`.")
     if max_docs is not None and limit + offset > max_docs:
         raise api_exceptions.IllegalRequestedDocCount(
-            f"The search limit + offset `{limit + offset}` exceeds the Marqo "
-            f"limit of `{max_docs}`.")
+            f"The search result limit + offset must be less than or equal "
+            f"to the MARQO_MAX_RETRIEVABLE_DOCS limit of [{max_docs}]. "
+            f"Marqo received search result limit of `{limit}` "
+            f"and offset of `{offset}`.")
+    if max_limit is not None and limit > max_limit:
+        raise api_exceptions.IllegalRequestedDocCount(
+            f"The search result limit must be less than or equal to the "
+            f"MARQO_MAX_SEARCH_LIMIT limit of [{max_limit}]. Marqo received "
+            f"search result limit of `{limit}`.")
+    if max_offset is not None and offset > max_offset:
+        raise api_exceptions.IllegalRequestedDocCount(
+            f"The search result offset must be less than or equal to the "
+            f"MARQO_MAX_SEARCH_OFFSET limit of [{max_offset}]. Marqo "
+            f"received search result offset of `{offset}`.")
 
 
 def _validate_filter_for_index(index: MarqoIndex, tree) -> None:
@@ -153,6 +159,7 @@ def compute_query_vector(index: MarqoIndex,
 
     dims = index.model.get_dimension()
     acc = np.zeros((dims,), dtype=np.float32)
+    n_vectors = 0
     got_any = False
 
     if weighted:
@@ -195,6 +202,7 @@ def compute_query_vector(index: MarqoIndex,
                 enable_cache=True, **common)
             for vec, (_, w) in zip(vectors, text_items):
                 acc += np.asarray(vec, dtype=np.float32) * w
+                n_vectors += 1
                 got_any = True
         for modality, items in by_modality.items():
             if modality == Modality.IMAGE:
@@ -212,6 +220,7 @@ def compute_query_vector(index: MarqoIndex,
                                           modality=modality, **common)
             for vec, (_, w) in zip(vectors, items):
                 acc += np.asarray(vec, dtype=np.float32) * w
+                n_vectors += 1
                 got_any = True
 
     if context:
@@ -229,6 +238,7 @@ def compute_query_vector(index: MarqoIndex,
                     f"expected dimension. Expected dimension {dims} but got "
                     f"{vec.shape[0]}")
             acc += vec * float(entry.get("weight", 1.0))
+            n_vectors += 1
             got_any = True
 
     if not got_any:
@@ -237,6 +247,11 @@ def compute_query_vector(index: MarqoIndex,
             "One of Query(q) or context is required for TENSOR search "
             "but both are missing")
 
+    # reference merges weighted query/context vectors with np.mean, not a
+    # sum (tensor_search.py:1967) - identical direction when normalizing,
+    # but the magnitude matters for normalize_embeddings=False indexes
+    if n_vectors > 1:
+        acc = acc / n_vectors
     if index.normalize_embeddings:
         norm = float(np.linalg.norm(acc))
         if norm > 0:
@@ -275,16 +290,46 @@ def search(config: Config, index_name: str,
             f"Search method `{search_method}` is not valid! Choose one of "
             f"TENSOR, LEXICAL, HYBRID")
 
-    if searchable_attributes is not None:
-        max_attrs = configs.read_env_vars_and_defaults_ints(
-            "MARQO_MAX_SEARCHABLE_TENSOR_ATTRIBUTES")
-        if max_attrs is not None and len(searchable_attributes) > max_attrs:
-            raise api_exceptions.InvalidArgError(
-                f"Maximum searchable attributes (set via "
-                f"MARQO_MAX_SEARCHABLE_TENSOR_ATTRIBUTES) for tensor search "
-                f"is {max_attrs}, received {len(searchable_attributes)}.")
+    # reference validation.py:74-97: the cap applies to TENSOR search only,
+    # and once MARQO_MAX_SEARCHABLE_TENSOR_ATTRIBUTES is set the request
+    # must pass explicit searchable_attributes (None is an error too)
+    from marqo_tpu.tensor_search.validation import \
+        validate_searchable_attributes
+    validate_searchable_attributes(searchable_attributes, method)
+
+    if attributes_to_retrieve is not None and \
+            not isinstance(attributes_to_retrieve, (list, tuple)):
+        # reference test_attributes_to_retrieve_non_list: strings/dicts/
+        # numbers are a 400, not silently iterated
+        raise api_exceptions.InvalidArgError(
+            f"attributes_to_retrieve must be a list of field names, "
+            f"received `{attributes_to_retrieve}` of type "
+            f"`{type(attributes_to_retrieve).__name__}`")
 
     index = config.index_meta_cache.get_index(index_name)
+
+    # structured indexes validate the requested field names up front
+    # (reference structured_vespa_index.py:355-363 and :598-604)
+    from marqo_tpu.core.models.marqo_index import IndexType
+    if index.type == IndexType.Structured:
+        field_map = index.field_map
+        if attributes_to_retrieve is not None:
+            for att in attributes_to_retrieve:
+                if att not in field_map:
+                    raise api_exceptions.InvalidFieldNameError(
+                        f'Index {index.name} has no field {att}. '
+                        f'Available fields are: '
+                        f'{", ".join(field_map.keys())}')
+        if searchable_attributes is not None and \
+                method == SEARCH_METHOD_TENSOR:
+            tensor_field_map = index.tensor_field_map
+            for att in searchable_attributes:
+                if att not in tensor_field_map:
+                    raise api_exceptions.InvalidFieldNameError(
+                        f'Index {index.name} has no tensor field {att}. '
+                        f'Available tensor fields are: '
+                        f'{", ".join(tensor_field_map.keys())}')
+
     # `filter=""` is a parse error, not "no filter"
     # (reference test_filtering_bad_syntax includes the empty string)
     search_filter = (MarqoFilterStringParser().parse(filter)

@@ -121,7 +121,12 @@ class TestIndexRoutes:
         assert status == 404
         assert body["code"] == "index_not_found"
 
-    def test_validate_settings(self, client):
+    def test_validate_settings(self, client, monkeypatch):
+        # gated behind MARQO_ENABLE_OPS_API (reference api.py:240-243)
+        status, _ = client.post("/validate/index/any",
+                                {"model": "hf/e5-base-v2"})
+        assert status == 403
+        monkeypatch.setenv("MARQO_ENABLE_OPS_API", "TRUE")
         status, body = client.post("/validate/index/any",
                                    {"model": "hf/e5-base-v2"})
         assert status == 200 and body["validated"] is True
@@ -259,7 +264,7 @@ class TestModelRoutes:
 class TestFeatureGates:
     def test_batch_apis_gated(self, client):
         status, body = client.post("/batch/indexes/delete", ["x"])
-        assert status == 400
+        assert status == 403
 
     def test_batch_apis_enabled(self, client, monkeypatch):
         monkeypatch.setenv("MARQO_ENABLE_BATCH_APIS", "TRUE")
@@ -349,7 +354,7 @@ class TestPartialUpdateRoute:
 class TestOpsRoutes:
     def test_memory_gated_then_enabled(self, client, monkeypatch):
         status, _ = client.get("/memory")
-        assert status == 400
+        assert status == 403
         monkeypatch.setenv("MARQO_ENABLE_DEBUG_API", "TRUE")
         status, body = client.get("/memory")
         assert status == 200
@@ -364,8 +369,8 @@ class TestOpsRoutes:
         assert status == 404
 
     def test_upgrade_rollback_gated(self, client, monkeypatch):
-        assert client.post("/upgrade")[0] == 400
-        assert client.post("/rollback", {"indexName": "test-index"})[0] == 400
+        assert client.post("/upgrade")[0] == 403
+        assert client.post("/rollback", {"indexName": "test-index"})[0] == 403
         monkeypatch.setenv("MARQO_ENABLE_UPGRADE_API", "TRUE")
         status, body = client.post("/upgrade")
         assert status == 200
