@@ -80,6 +80,11 @@ def install_exception_mappers(app: App) -> None:
          lambda e: api_exceptions.InternalError(e.message)),
         (core_exceptions.DeviceError,
          lambda e: api_exceptions.InternalError(e.message)),
+        # private-model download failures (bad/missing creds, 403s) are a
+        # 400 BadRequestError, as the reference's model-auth suite asserts
+        # (test_model_auth.py:705-751), not an internal error
+        (core_exceptions.ModelDownloadError,
+         lambda e: api_exceptions.BadRequestError(e.message)),
         (core_exceptions.ModelLoadError,
          lambda e: api_exceptions.ModelLoadError(e.message)),
         (InvalidArgumentError,

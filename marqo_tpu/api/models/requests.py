@@ -67,14 +67,20 @@ class SearchContext(BaseModel):
 
 
 class ModelAuth(BaseModel):
+    """Reference private_models.py:13-27: at least one of s3/hf must be
+    set (both together is accepted); missing-both is the API-level 400
+    with the reference's message."""
     model_config = ConfigDict(extra="forbid", protected_namespaces=())
     s3: Optional[Dict[str, Any]] = None
     hf: Optional[Dict[str, Any]] = None
 
     @model_validator(mode="after")
-    def _exactly_one(self):
-        if (self.s3 is None) == (self.hf is None):
-            raise ValueError("Exactly one of s3 or hf auth must be provided")
+    def _at_least_one(self):
+        if self.s3 is None and self.hf is None:
+            from marqo_tpu.api.exceptions import InvalidArgError
+            raise InvalidArgError(
+                "Missing authentication object. An authentic object, for "
+                "example `s3` or  `hf`, must be provided. ")
         return self
 
 

@@ -963,10 +963,11 @@ class AddDocumentsHandler:
                             pointer_docs[content].append(assigned_id)
         if not pointers:
             return {}, set()
+        from marqo_tpu.tensor_search.add_docs import _determine_thread_count
         images, errors = threaded_download_and_preprocess_content(
             pointers, modality=Modality.IMAGE,
             media_download_headers=self.params.media_download_headers,
-            thread_count=self.params.image_download_thread_count)
+            thread_count=_determine_thread_count(self.index, self.params))
         failed_docs = set()
         for pointer, message in errors.items():
             for doc_id in pointer_docs[pointer]:

@@ -162,8 +162,16 @@ class JaxHFTextModel(EmbeddingModel):
         location = self.properties.get("model_location")
         if location and not localpath:
             # private checkpoint via s3/HF auth (reference ModelLocation)
-            from marqo_tpu.inference.model_download import download_model
-            localpath = download_model(location, self.model_auth)
+            from marqo_tpu.inference.model_download import (
+                auth_for_location, download_model)
+            localpath = download_model(
+                location, auth_for_location(location, self.model_auth))
+        elif self.properties.get("url") and not localpath:
+            # public checkpoint URL (reference custom-model "url" flow,
+            # model_download.py:102-140; zips extract to a directory)
+            from marqo_tpu.inference.model_download import \
+                download_pretrained_from_url
+            localpath = download_pretrained_from_url(self.properties["url"])
         if localpath:
             self._load_from_dir(localpath, max_len)
         elif self.properties.get("random_init"):

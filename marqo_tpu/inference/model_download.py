@@ -19,14 +19,23 @@ CACHE_DIR = os.environ.get("MARQO_MODEL_CACHE_DIR",
 
 
 def validate_model_auth(model_auth: Optional[Dict[str, Any]]) -> None:
-    """Exactly one of s3/hf (reference private_models.py:13-35)."""
+    """At least one of s3/hf; both together is accepted (reference
+    private_models.py:21-26 errors only when BOTH are missing)."""
     if model_auth is None:
         return
-    provided = [k for k in ("s3", "hf") if model_auth.get(k) is not None]
-    if len(provided) != 1:
+    if model_auth.get("s3") is None and model_auth.get("hf") is None:
         raise InvalidArgumentError(
-            "Exactly one model auth provider (s3 or hf) must be set, got "
-            f"{provided or 'none'}")
+            "Missing authentication object. An authentic object, for "
+            "example `s3` or  `hf`, must be provided. ")
+
+
+def auth_for_location(model_location: Dict[str, Any],
+                      model_auth: Optional[Dict[str, Any]]
+                      ) -> Optional[Dict[str, Any]]:
+    """Loaders forward credentials only when the location demands them
+    (reference clip_utils.py:335-337, open_clip_model.py:239-241) — a
+    stray token must not break public downloads."""
+    return model_auth if model_location.get("auth_required") else None
 
 
 def download_model(model_location: Dict[str, Any],
@@ -46,6 +55,38 @@ def download_model(model_location: Dict[str, Any],
         return _download_hf(model_location["hf"], (model_auth or {}).get("hf"))
     raise InvalidArgumentError(
         "model_location must specify one of `s3` or `hf`")
+
+
+def download_pretrained_from_url(url: str,
+                                 cache_dir: Optional[str] = None,
+                                 cache_file_name: Optional[str] = None
+                                 ) -> str:
+    """Public checkpoint URL download, cached by basename (reference
+    core/inference/model_download.py:102-140 download_pretrained_from_url).
+    Archives extract next to the download (the reference extracts via its
+    ModelCache); callers get the file or extracted directory."""
+    import urllib.request
+    cache_dir = cache_dir or os.path.join(CACHE_DIR, "url")
+    os.makedirs(cache_dir, exist_ok=True)
+    filename = cache_file_name or os.path.basename(
+        url.split("?")[0]) or "model.bin"
+    target = os.path.join(cache_dir, filename)
+    if os.path.isfile(target) or os.path.isdir(target + ".extracted"):
+        return _maybe_extract(target)
+    tmp = target + ".tmp"
+    try:
+        with urllib.request.urlopen(url, timeout=300.0) as response, \
+                open(tmp, "wb") as f:
+            while True:
+                chunk = response.read(8192)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except Exception as e:
+        raise ModelDownloadError(
+            f"Could not download model from url `{url}`: {e}") from e
+    os.replace(tmp, target)
+    return _maybe_extract(target)
 
 
 def _download_s3(location: Dict[str, Any],
@@ -89,11 +130,22 @@ def _download_s3(location: Dict[str, Any],
         raise ModelDownloadError(
             f"s3://{bucket}/{key} needs credentials: provide model_auth.s3 "
             "(aws_access_key_id/aws_secret_access_key) or AWS_* env vars")
+    from urllib.error import HTTPError
+
     from marqo_tpu.inference.s3_sigv4 import s3_get
     try:
         blob = s3_get(bucket, key, access_key, secret_key,
                       session_token=session_token, region=region,
                       endpoint=os.environ.get("MARQO_S3_ENDPOINT"))
+    except HTTPError as e:
+        if e.code == 403:
+            # reference model_download.py:93-97
+            raise ModelDownloadError(
+                "Received 403 error when trying to retrieve model from s3 "
+                "storage. Please check the request's s3 credentials and "
+                "try again. ") from e
+        raise ModelDownloadError(
+            f"Could not download s3://{bucket}/{key}: {e}") from e
     except Exception as e:
         raise ModelDownloadError(
             f"Could not download s3://{bucket}/{key}: {e}") from e
@@ -110,9 +162,20 @@ def _maybe_extract(path: str) -> str:
     the directory."""
     import tarfile
     import zipfile
+
+    def _resolve(out_dir: str) -> str:
+        # single top-level dir inside the archive → use it directly; must
+        # apply on the cached branch too, else a RELOAD from cache points
+        # one level too high and the checkpoint is unreadable
+        entries = os.listdir(out_dir)
+        if len(entries) == 1 and \
+                os.path.isdir(os.path.join(out_dir, entries[0])):
+            return os.path.join(out_dir, entries[0])
+        return out_dir
+
     out_dir = path + ".extracted"
     if os.path.isdir(out_dir):
-        return out_dir
+        return _resolve(out_dir)
     if zipfile.is_zipfile(path):
         with zipfile.ZipFile(path) as zf:
             zf.extractall(out_dir)
@@ -121,11 +184,7 @@ def _maybe_extract(path: str) -> str:
             tf.extractall(out_dir, filter="data")
     else:
         return path
-    # single top-level dir inside the archive → use it directly
-    entries = os.listdir(out_dir)
-    if len(entries) == 1 and os.path.isdir(os.path.join(out_dir, entries[0])):
-        return os.path.join(out_dir, entries[0])
-    return out_dir
+    return _resolve(out_dir)
 
 
 def _download_hf(location: Dict[str, Any],

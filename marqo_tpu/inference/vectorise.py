@@ -143,6 +143,30 @@ def _update_available_models(model_cache_key: str, model_name: str,
         _lock.release()
 
 
+def _get_max_vectorise_batch_size() -> int:
+    """Reads + validates MARQO_MAX_VECTORISE_BATCH_SIZE (reference
+    s2_inference.py:239-258: non-int or <1 is a ConfigurationError, read
+    at call time)."""
+    from marqo_tpu.api import configs
+    from marqo_tpu.api.exceptions import EnvVarError
+    value = configs.read_env_vars_and_defaults(
+        "MARQO_MAX_VECTORISE_BATCH_SIZE")
+    validation_error_msg = (
+        "Could not properly read env var `MARQO_MAX_VECTORISE_BATCH_SIZE`. "
+        "`MARQO_MAX_VECTORISE_BATCH_SIZE` must be an int greater than or "
+        "equal to 1.")
+    try:
+        batch_size = int(value)
+    except (ValueError, TypeError) as e:
+        raise EnvVarError(
+            f"`{validation_error_msg} Current value: `{value}`. "
+            f"Reason: {e}") from e
+    if batch_size < 1:
+        raise EnvVarError(
+            f"`{validation_error_msg} Current value: `{value}`.")
+    return batch_size
+
+
 def vectorise(model_name: str,
               content: Union[str, List[Any]],
               model_properties: Optional[dict] = None,
@@ -187,10 +211,26 @@ def vectorise(model_name: str,
         misses = list(range(len(contents)))
 
     if misses:
+        # MARQO_MAX_VECTORISE_BATCH_SIZE chunks encode calls (reference
+        # s2_inference.py:134-146) and its value is validated either way.
+        # TPU divergence: the chunk guard only applies when the env var is
+        # EXPLICITLY set — the default 16-item chunking is a CPU/GPU
+        # memory knob, and inference/batching.py already buckets device
+        # batches; results are identical, only chunking differs.
+        import os as _os
+        max_batch = _get_max_vectorise_batch_size()
+        if "MARQO_MAX_VECTORISE_BATCH_SIZE" not in _os.environ:
+            max_batch = len(misses)
         try:
-            encoded = _encode(model, cache_key,
-                              [contents[i] for i in misses],
-                              normalize_embeddings, modality)
+            miss_contents = [contents[i] for i in misses]
+            parts = []
+            from marqo_tpu.inference.batching import generate_batches
+            for chunk in generate_batches(miss_contents, max_batch):
+                parts.append(_encode(model, cache_key, chunk,
+                                     normalize_embeddings, modality))
+            encoded = (parts[0] if len(parts) == 1
+                       else np.concatenate([np.asarray(p) for p in parts],
+                                           axis=0))
         except VectoriseError:
             raise
         except Exception as e:

@@ -445,9 +445,11 @@ class JaxEVA02Model:
         import torch
         path = self.properties.get("localpath")
         if not path and self.properties.get("model_location"):
-            from marqo_tpu.inference.model_download import download_model
-            path = download_model(self.properties["model_location"],
-                                  self.model_auth)
+            from marqo_tpu.inference.model_download import (
+                auth_for_location, download_model)
+            loc = self.properties["model_location"]
+            path = download_model(loc, auth_for_location(loc,
+                                                         self.model_auth))
         self.text_config, self.vision_config = self._configs_for_name()
         if os.path.isdir(path):
             for fname in ("open_clip_pytorch_model.bin",

@@ -121,6 +121,44 @@ def _load_image(pointer: str, headers: Optional[Dict[str, str]]) -> np.ndarray:
             f"Could not decode image from `{pointer}`: {e}")
 
 
+def _determine_thread_count(marqo_index, add_docs_params) -> int:
+    """Download-thread-count precedence (reference add_docs.py:255-287):
+    explicit non-default media param > non-default MARQO_MEDIA_DOWNLOAD_
+    THREAD_COUNT_PER_REQUEST > languagebind default 5 > explicit
+    non-default image param > non-default MARQO_IMAGE_DOWNLOAD_THREAD_
+    COUNT_PER_REQUEST > default 20."""
+    model_properties = marqo_index.model.get_properties()
+    is_languagebind_model = model_properties.get("type") == "languagebind"
+
+    default_image_thread_count = 20
+    default_media_thread_count = 5
+
+    media_count = getattr(add_docs_params, "media_download_thread_count",
+                          None)
+    if media_count is not None and media_count != default_media_thread_count:
+        return media_count
+
+    env_media = os.environ.get(
+        "MARQO_MEDIA_DOWNLOAD_THREAD_COUNT_PER_REQUEST")
+    if env_media is not None and int(env_media) != default_media_thread_count:
+        return int(env_media)
+
+    if is_languagebind_model:
+        return default_media_thread_count
+
+    image_count = getattr(add_docs_params, "image_download_thread_count",
+                          None)
+    if image_count is not None and image_count != default_image_thread_count:
+        return image_count
+
+    env_image = os.environ.get(
+        "MARQO_IMAGE_DOWNLOAD_THREAD_COUNT_PER_REQUEST")
+    if env_image is not None and int(env_image) != default_image_thread_count:
+        return int(env_image)
+
+    return default_image_thread_count
+
+
 def threaded_download_and_preprocess_content(
         pointers: List[str],
         modality: Modality = Modality.IMAGE,
@@ -132,10 +170,13 @@ def threaded_download_and_preprocess_content(
     Returns (pointer → decoded content, pointer → error message).
     """
     if thread_count is None:
-        var = ("MARQO_IMAGE_DOWNLOAD_THREAD_COUNT_PER_REQUEST"
-               if modality == Modality.IMAGE
-               else "MARQO_MEDIA_DOWNLOAD_THREAD_COUNT_PER_REQUEST")
-        thread_count = configs.read_env_vars_and_defaults_ints(var) or 5
+        # defaults mirror _determine_thread_count: images 20, other media 5
+        if modality == Modality.IMAGE:
+            thread_count = configs.read_env_vars_and_defaults_ints(
+                "MARQO_IMAGE_DOWNLOAD_THREAD_COUNT_PER_REQUEST") or 20
+        else:
+            thread_count = configs.read_env_vars_and_defaults_ints(
+                "MARQO_MEDIA_DOWNLOAD_THREAD_COUNT_PER_REQUEST") or 5
     results: Dict[str, Any] = {}
     errors: Dict[str, str] = {}
     unique = list(dict.fromkeys(pointers))
