@@ -25,3 +25,7 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line("markers", "largemodel: needs real model weights")
     config.addinivalue_line("markers", "unittest: pure unit test, no backend")
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy model/parity/e2e suite; `pytest -m 'not slow'` is the "
+        "fast core subset (<4 min)")

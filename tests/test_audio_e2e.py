@@ -143,3 +143,6 @@ class TestAudioIngestSearch:
         statuses = {i["_id"]: i["status"] for i in res["items"]}
         assert statuses["ok"] == 200
         assert statuses["bad"] == 400
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

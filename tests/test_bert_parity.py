@@ -144,3 +144,6 @@ class TestXlmRobertaParity:
             compute_dtype=jnp.float32))
         cos = (ref * ours).sum(-1)
         assert np.all(cos > 1 - 1e-5), cos
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -143,3 +143,6 @@ class TestJaxCLIPModelWrapper:
         img = Image.new("RGB", (64, 64), color=(255, 0, 0))
         v = model.encode([img], modality=Modality.IMAGE)
         assert t.shape == v.shape
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

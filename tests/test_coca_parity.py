@@ -364,3 +364,6 @@ class TestCoCaGeneration:
         assert caps == caps2
         # different images ⇒ (random-init weights) different captions
         assert caps[0] != caps[1] or len(set(caps[0])) == 1
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

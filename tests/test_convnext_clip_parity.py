@@ -172,3 +172,6 @@ class TestConvNextWrapper:
         assert out.shape == (1, 24)
         np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0,
                                    atol=1e-5)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

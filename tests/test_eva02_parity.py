@@ -175,3 +175,6 @@ class TestEVA02ShapesAndWrapper:
         with pytest.raises(Exception) as e2:
             model2.load()
         assert "MARQO_ALLOW_UNVERIFIED_CONVERSION" not in str(e2.value)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -93,3 +93,6 @@ class TestEncoderWithPallasAttention:
         out = np.asarray(encode_tokens(params, ids, mask, pallas_config,
                                        compute_dtype=jnp.float32))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

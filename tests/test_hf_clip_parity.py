@@ -227,3 +227,6 @@ class TestMCLIP:
                            props, Device.CPU)
         assert isinstance(model, JaxHFCLIPModel)
         assert model.encode(["bonjour"]).shape == (1, 24)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

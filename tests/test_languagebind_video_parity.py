@@ -162,3 +162,7 @@ class TestLanguageBindVideoParity:
         out = encode_video_tower(params, frames, cfg,
                                  compute_dtype=jnp.float32)
         assert out.shape == (1, 24)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -244,3 +244,6 @@ class TestOrchestrationOverMesh:
         assert [x[0] for x in sharded] == [x[0] for x in single]
         for (_, a), (_, b) in zip(sharded, single):
             assert abs(a - b) < 2e-3
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -94,3 +94,6 @@ class TestMultiWorker:
         monkeypatch.delenv("MARQO_ENGINE_CLUSTER", raising=False)
         with pytest.raises(StartupSanitationError, match="external engine"):
             main(host="127.0.0.1", port=18860, workers=2)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -88,3 +88,6 @@ def test_family_end_to_end(model_name, image_path):
         cfg.index_management.delete_index_by_name("fam-index")
         cfg.index_meta_cache.stop_refresh_thread()
         inference.clear_loaded_models()
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

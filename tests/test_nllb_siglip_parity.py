@@ -129,3 +129,6 @@ class TestNLLBSigLIPWrapper:
             w, L, h, mlp, patch, image = vis
             assert th % theads == 0 and w % h == 0
             assert embed in (768, 1152)  # registry dimensions
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -96,3 +96,7 @@ class TestOwlViTParity:
         assert logits.shape == (1, 16, 1)
         assert boxes.shape == (1, 16, 4)
         assert np.all(np.asarray(boxes) >= 0) and np.all(np.asarray(boxes) <= 1)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -100,3 +100,6 @@ class TestPackedForwardParity:
                 compute_dtype=jnp.float32))[0]
             np.testing.assert_allclose(packed[i], ref, atol=2e-5,
                                        err_msg=f"sequence {i}")
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

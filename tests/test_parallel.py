@@ -92,3 +92,6 @@ class TestTrainStep:
         loss = float(info_nce_loss(emb, emb, temperature=0.05))
         # perfectly aligned pairs → near-zero loss
         assert loss < 0.01
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -338,3 +338,6 @@ class TestGridBoxGoldens:
             left, top, right, bottom = json.loads(chunk)
             assert patch.shape[0] == bottom - top
             assert patch.shape[1] == right - left
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -110,3 +110,6 @@ class TestFusedW8A8Kernel:
         ref = np.asarray(x @ w)
         rel = np.abs(out - ref).max() / np.abs(ref).max()
         assert rel < 0.03, rel
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

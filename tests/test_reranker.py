@@ -150,3 +150,6 @@ class TestOwlImageReranker:
         with pytest.raises(InvalidArgumentError, match="mappings"):
             JaxOwlReranker("howl/not-a-model", Device.CPU,
                            {"random_init": True}).load()
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

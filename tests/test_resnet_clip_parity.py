@@ -242,3 +242,6 @@ class TestResNetCLIPWrapper:
         img = np.zeros((64, 64, 3), dtype=np.uint8)
         out = model.encode([img], modality=Modality.IMAGE)
         assert out.shape == (1, 24)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

@@ -237,3 +237,6 @@ class TestSigLIPWrapper:
         img = np.zeros((36, 36, 3), dtype=np.uint8)
         out = model.encode([img], modality=Modality.IMAGE)
         assert out.shape == (1, 16)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow

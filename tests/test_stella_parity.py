@@ -202,3 +202,6 @@ class TestStellaLoader:
         with pytest.raises(ModelLoadError, match="localpath"):
             load_model("Marqo/dunzhang-stella_en_400M_v5", props,
                        Device.CPU)
+
+# heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
