@@ -344,9 +344,12 @@ class AddDocumentsHandler:
                 if child in doc:
                     value = doc[child]
                     if not isinstance(value, str):
+                        # reference unstructured_validation.py:99-103
                         raise DocError(
-                            f"Multimodal combination sub-field `{child}` must "
-                            f"be a string")
+                            f"Multimodal subfields must be strings "
+                            f"representing text or image pointer, received "
+                            f"{child}:{value}, which is of type "
+                            f"{type(value).__name__}")
                     sub_content[child] = value
             if not sub_content:
                 return None
@@ -358,11 +361,9 @@ class AddDocumentsHandler:
         if value is None:
             return None
         if not isinstance(value, str):
+            # reference tensor_fields_container.py:509-512 wording
             raise DocError(
-                f"Field `{field}` is a tensor field but has non-string type "
-                f"`{type(value).__name__}`; only strings (and mapped "
-                f"custom_vector / multimodal_combination fields) can be "
-                f"vectorised")
+                f"Invalid type {type(value)} for tensor field {field}")
         if self._treats_as_media(field, value):
             from marqo_tpu.tensor_search.add_docs import infer_modality
             modality = infer_modality(value)
