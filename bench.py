@@ -299,11 +299,18 @@ def ingest_bench() -> None:
         assert res["errors"] is False, res
 
     add(docs[:batch_size])  # warm: compiles the encode buckets
+    # two concurrent add_documents requests, like the reference's
+    # client-side batching (its 10k/s headline is measured with parallel
+    # client requests; a lone sequential client leaves the chip idle
+    # during each request's final drain+feed tail). 2 is the measured
+    # sweet spot on this 1-core host - 3+ regress on GIL contention.
+    from concurrent.futures import ThreadPoolExecutor
     start = time.perf_counter()
-    done = 0
-    for b in range(1, len(docs) // batch_size):
-        add(docs[b * batch_size:(b + 1) * batch_size])
-        done += batch_size
+    batches = [docs[b * batch_size:(b + 1) * batch_size]
+               for b in range(1, len(docs) // batch_size)]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(add, batches))
+    done = sum(len(b) for b in batches)
     elapsed = time.perf_counter() - start
     print(json.dumps({
         "metric": "add_documents_e2e_ingest",
@@ -333,7 +340,7 @@ SECTIONS = [
     ("clip", clip_vit_l14_bench, 480,
      ("clip_vit_l14_image_throughput", "min", 540)),    # band ~720
     ("ingest", ingest_bench, 540,
-     ("add_documents_e2e_ingest", "min", 1275)),        # band ~1700-1900
+     ("add_documents_e2e_ingest", "min", 1500)),        # band ~2000-2100
 ]
 SECTION_FNS = {name: fn for name, fn, _, _ in SECTIONS}
 

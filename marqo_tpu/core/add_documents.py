@@ -517,24 +517,35 @@ class AddDocumentsHandler:
             # top encode batch bucket). The reference runs these stages
             # strictly serially (add_documents_handler.py:123-181).
             from concurrent.futures import ThreadPoolExecutor
-            pending = None
-            with ThreadPoolExecutor(max_workers=1) as drain:
+            futures = []
+            with ThreadPoolExecutor(max_workers=1) as worker:
                 for i in range(0, len(plans), sub):
                     chunk = plans[i:i + sub]
                     with metrics.time("add_documents.vectorise"):
                         handle = self._vectorise_plans_async(
                             chunk, existing_tensors, collector)
-                    fut = drain.submit(handle)
-                    if pending is not None:
-                        self._resolve_and_feed(pending, metrics, collector)
-                    pending = (chunk, fut)
-                self._resolve_and_feed(pending, metrics, collector)
+                    # depth-2 bound: at most two chunks in flight behind
+                    # the main thread's tokenization
+                    if len(futures) >= 2:
+                        futures.pop(0).result()
+                    futures.append(worker.submit(
+                        self._resolve_and_feed, chunk, handle, metrics,
+                        collector))
+                for fut in futures:
+                    fut.result()
         return collector.to_response(self.index.name)
 
-    def _resolve_and_feed(self, pending, metrics, collector) -> None:
-        chunk, fut = pending
-        with metrics.time("add_documents.vectorise"):
-            embeddings = fut.result()
+    def _resolve_and_feed(self, chunk, handle, metrics, collector) -> None:
+        """Worker-thread stage of the ingest pipeline: the batched device
+        fetch (releases the GIL through the tunnel) and the engine feed
+        (numpy packing + ctypes HNSW insert release it for the native
+        parts) both run under the MAIN thread's tokenization of later
+        chunks. One worker thread keeps drains+feeds ordered."""
+        # distinct key: the main thread times dispatch under
+        # "add_documents.vectorise" concurrently, and Timer start/stop on
+        # one key is not re-entrant across threads
+        with metrics.time("add_documents.vectorise.resolve"):
+            embeddings = handle()
         self._maybe_grow_semi_structured_schema(chunk)
         metrics.start("add_documents.engine._bulk")
         self._feed_plans(chunk, embeddings, collector)

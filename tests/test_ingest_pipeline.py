@@ -52,9 +52,9 @@ def pipeline_spy(monkeypatch):
     calls = {"n": 0}
     real = AddDocumentsHandler._resolve_and_feed
 
-    def spy(self, pending, metrics, collector):
+    def spy(self, chunk, handle, metrics, collector):
         calls["n"] += 1
-        return real(self, pending, metrics, collector)
+        return real(self, chunk, handle, metrics, collector)
 
     monkeypatch.setattr(AddDocumentsHandler, "_resolve_and_feed", spy)
     return calls
