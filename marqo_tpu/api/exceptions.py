@@ -134,6 +134,13 @@ class ModelNotInCacheError(__InvalidRequestError):
     status_code = int(HTTPStatus.NOT_FOUND)
 
 
+class ModelCacheManagementError(__InvalidRequestError):
+    """Model-cache contention / capacity failure (reference
+    api/exceptions.py:128-130: code model_cache_management_error, 409)."""
+    code = "model_cache_management_error"
+    status_code = int(HTTPStatus.CONFLICT)
+
+
 class UnsupportedOperationError(__InvalidRequestError):
     code = "unsupported_operation"
     status_code = int(HTTPStatus.BAD_REQUEST)

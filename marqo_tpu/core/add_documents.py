@@ -22,6 +22,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from marqo_tpu.api import configs
+from marqo_tpu.api import exceptions as api_exceptions
 from marqo_tpu.core import constants
 from marqo_tpu.core.exceptions import InvalidArgumentError, VectoriseError
 from marqo_tpu.core.models.add_docs_params import (AddDocsParams,
@@ -97,25 +98,26 @@ class AddDocumentsResponseCollector:
         }
 
 
-def _validate_doc(doc: Any, max_bytes: int) -> Dict[str, Any]:
-    if not isinstance(doc, dict):
-        raise DocError("Docs must be dicts")
-    if not doc:
-        raise DocError("Can't index an empty dict.")
-    if len(json.dumps(doc, default=str)) > max_bytes:
-        raise DocError(
-            f"Document size exceeds the allowed limit of {max_bytes} bytes",
-            code="doc_too_large")
-    return doc
+def _validate_doc(doc: Any) -> Dict[str, Any]:
+    """Delegates to the centralized validate_doc so the per-item error
+    messages match the reference exactly (validation.py:315-344, surfaced
+    per-doc as items with code doc_too_large/invalid_argument —
+    test_add_documents_handler.py:161-219)."""
+    from marqo_tpu.tensor_search import validation as ts_validation
+    try:
+        return ts_validation.validate_doc(doc)
+    except api_exceptions.DocTooLargeError as e:
+        raise DocError(e.message, code="doc_too_large") from e
+    except api_exceptions.InvalidArgError as e:
+        raise DocError(e.message, code="invalid_argument") from e
 
 
 def _validate_id(doc_id: Any) -> str:
-    if not isinstance(doc_id, str):
-        raise DocError(
-            f"Document _id must be a string type! Received _id {doc_id} of "
-            f"type `{type(doc_id).__name__}`", code="invalid_document_id")
-    if not doc_id:
-        raise DocError("Document _id can't be empty", code="invalid_document_id")
+    from marqo_tpu.tensor_search import validation as ts_validation
+    try:
+        ts_validation.validate_id(doc_id)
+    except api_exceptions.InvalidDocumentIdError as e:
+        raise DocError(e.message, code="invalid_document_id") from e
     if "/" in doc_id:
         raise DocError(f"Document _id can't contain '/': {doc_id}",
                        code="invalid_document_id")
@@ -202,6 +204,10 @@ class AddDocumentsHandler:
                         "type": "multimodal_combination",
                         "weights": dict(field.dependent_fields or {})}
         self._positions: Dict[str, int] = {}
+        # docs whose _id was generated report id "" in error items
+        # (reference AddDocumentsResponseCollector, test_add_documents_
+        # handler.py:405-414: a generated id is never revealed on failure)
+        self._generated_ids: set = set()
 
     # -- tensor field resolution --
 
@@ -408,7 +414,6 @@ class AddDocumentsHandler:
             # reference unstructured_validation.py:122-123 — request-level 400
             raise InvalidArgumentError(
                 "`_id` field cannot be a tensor field.")
-        max_bytes = configs.read_env_vars_and_defaults_ints("MARQO_MAX_DOC_BYTES")
         # MARQO_MAX_DOCUMENTS_BATCH_SIZE is the reference env var
         # (api/configs.py:48, add_docs_params.py:78-93); our original
         # MARQO_MAX_ADD_DOCS_COUNT stays honored as an alias
@@ -431,7 +436,7 @@ class AddDocumentsHandler:
             raw = self.params.docs[position]
             doc_id = None
             try:
-                doc = _validate_doc(raw, max_bytes)
+                doc = _validate_doc(raw)
                 if constants.MARQO_DOC_ID in doc:
                     doc_id = _validate_id(doc[constants.MARQO_DOC_ID])
                     if doc_id in seen_ids:
@@ -439,8 +444,11 @@ class AddDocumentsHandler:
                     seen_ids.add(doc_id)
                 docs_to_process.append((position, doc_id, doc))
             except DocError as e:
+                # only echo a usable string id; invalid ids report ""
+                # (reference test_add_documents_handler.py:207-210)
+                raw_id = raw.get("_id") if isinstance(raw, dict) else None
                 collector.collect_error(
-                    doc_id or (raw.get("_id") if isinstance(raw, dict) else None),
+                    doc_id or (raw_id if isinstance(raw_id, str) else None),
                     e, position=position)
         docs_to_process.reverse()  # restore request order
 
@@ -449,10 +457,16 @@ class AddDocumentsHandler:
         existing_tensors: Dict[str, Dict[str, list]] = {}
         self._existing_multimodal_params: Dict[str, dict] = {}
         self._positions: Dict[str, int] = {}
+        # docs whose _id was generated report id "" in error items
+        # (reference AddDocumentsResponseCollector, test_add_documents_
+        # handler.py:405-414: a generated id is never revealed on failure)
+        self._generated_ids: set = set()
         for _pos, doc_id, doc in docs_to_process:
             try:
                 self._validate_structured_fields(doc)
                 assigned_id = doc_id or str(uuid.uuid4())
+                if doc_id is None:
+                    self._generated_ids.add(assigned_id)
                 fields = {k: v for k, v in doc.items()
                           if k != constants.MARQO_DOC_ID}
                 for field, value in fields.items():
@@ -535,6 +549,12 @@ class AddDocumentsHandler:
                     fut.result()
         return collector.to_response(self.index.name)
 
+    def _error_id(self, assigned_id: str) -> str:
+        """Generated ids are masked to "" in error items (reference
+        test_add_documents_handler.py:405-414); success items keep them."""
+        gen = getattr(self, "_generated_ids", None)
+        return "" if gen and assigned_id in gen else assigned_id
+
     def _resolve_and_feed(self, chunk, handle, metrics, collector) -> None:
         """Worker-thread stage of the ingest pipeline: the batched device
         fetch (releases the GIL through the tunnel) and the engine feed
@@ -604,7 +624,7 @@ class AddDocumentsHandler:
                     assigned_id, position=self._positions.get(assigned_id))
             except Exception as e:
                 collector.collect_error(
-                    assigned_id,
+                    self._error_id(assigned_id),
                     DocError(str(e), status=500, code="backend_error"),
                     position=self._positions.get(assigned_id))
 
@@ -670,7 +690,7 @@ class AddDocumentsHandler:
                     try:
                         pieces, chunk_strs = self._chunk_audio(plan["pointer"])
                     except Exception as e:
-                        collector.collect_error(assigned_id, DocError(
+                        collector.collect_error(self._error_id(assigned_id), DocError(
                             f"Could not process audio "
                             f"`{plan['pointer']}`: {e}"),
                             position=self._positions.get(assigned_id))
@@ -687,7 +707,7 @@ class AddDocumentsHandler:
                     try:
                         clips, chunk_strs = self._chunk_video(plan["pointer"])
                     except Exception as e:
-                        collector.collect_error(assigned_id, DocError(
+                        collector.collect_error(self._error_id(assigned_id), DocError(
                             f"Could not process video "
                             f"`{plan['pointer']}`: {e}"),
                             position=self._positions.get(assigned_id))
@@ -940,13 +960,13 @@ class AddDocumentsHandler:
                 # test_no_model.py:130-134)
                 failed.add(doc_id)
                 collector.collect_error(
-                    doc_id,
+                    self._error_id(doc_id),
                     DocError(str(e), status=400, code="invalid_argument"),
                     position=self._positions.get(doc_id))
             except Exception as e:
                 failed.add(doc_id)
                 collector.collect_error(
-                    doc_id,
+                    self._error_id(doc_id),
                     DocError(f"Error vectorising content: {e}", status=500,
                              code="vectorise_error"),
                     position=self._positions.get(doc_id))
@@ -985,7 +1005,7 @@ class AddDocumentsHandler:
             for doc_id in pointer_docs[pointer]:
                 if doc_id not in failed_docs:
                     failed_docs.add(doc_id)
-                    collector.collect_error(doc_id, DocError(
+                    collector.collect_error(self._error_id(doc_id), DocError(
                         f"Could not process image `{pointer}`: {message}",
                         code="invalid_argument"),
                         position=self._positions.get(doc_id))

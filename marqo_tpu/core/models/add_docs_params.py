@@ -37,10 +37,11 @@ class AddDocsParams(BaseModel):
                               protected_namespaces=())
 
     index_name: str
-    # keys intentionally untyped: a non-string field name must fail ONLY
-    # its own document in the per-item response, not the whole request
-    # (reference test_add_documents_validation, int field name case)
-    docs: List[Dict]
+    # items intentionally untyped (reference add_docs_params.py:48 accepts
+    # Sequence[Union[dict, Any]]): a non-dict doc or non-string field name
+    # must fail ONLY its own document in the per-item response, not the
+    # whole request ("Docs must be dicts", test_add_documents_handler.py:181)
+    docs: List[Any]
     tensor_fields: Optional[List[str]] = None
     use_existing_tensors: bool = False
     device: Optional[str] = None

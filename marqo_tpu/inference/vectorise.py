@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Union
 import numpy as np
 
 from marqo_tpu.api import configs
-from marqo_tpu.core.exceptions import (DeviceError, InvalidArgumentError,
+from marqo_tpu.core.exceptions import (InvalidArgumentError,
                                        ModelNotInCacheError, VectoriseError)
 from marqo_tpu.inference.inference_cache import MarqoInferenceCache
 from marqo_tpu.inference.loaders import EmbeddingModel, load_model
@@ -77,6 +77,52 @@ def _model_size_gib(model: EmbeddingModel, properties: dict) -> float:
     return model.memory_bytes() / (1024 ** 3)
 
 
+# Pre-load size estimates (reference s2_inference/constants.py:6-25):
+# explicit model_size property -> name substring -> type -> default.
+# Post-load, the cache entry is refined to the true param-pytree bytes
+# (_model_size_gib) — more accurate HBM budgeting than the reference's
+# static tables, which it keeps for the entry too.
+MODEL_NAME_SIZE_MAPPING = {
+    "vit-l-14": 1.5,
+    "vit-g": 5,
+    "vit-h": 5,
+    "vit-bigg-14": 6,
+}
+MODEL_TYPE_SIZE_MAPPING = {
+    "open_clip": 1,
+    "clip": 1,
+    "sbert": 0.7,
+    "random": 0.1,
+    "multilingual_clip": 5,
+    "clip_onnx": 1,
+    "sbert_onnx": 0.7,
+    "hf": 1,
+}
+DEFAULT_MODEL_SIZE = 0.66
+
+
+def get_model_size(model_name: str, model_properties: dict) -> float:
+    """Pre-load size estimate in GiB (reference s2_inference.py:503-518:
+    priority size_in_properties -> model_name -> model_type -> default)."""
+    if "model_size" in model_properties:
+        return model_properties["model_size"]
+    name_info = (model_name +
+                 model_properties.get("name", "")).lower().replace("/", "-")
+    for name, size in MODEL_NAME_SIZE_MAPPING.items():
+        if name in name_info:
+            return size
+    model_type = model_properties.get("type", None)
+    return MODEL_TYPE_SIZE_MAPPING.get(model_type, DEFAULT_MODEL_SIZE)
+
+
+def validate_model_properties(model_name: str,
+                              model_properties: Optional[dict]) -> dict:
+    """Resolve + validate properties for a model name (reference
+    s2_inference.py:340-397 validate_model_properties: explicit properties
+    win, else the registry row)."""
+    return _resolve_properties(model_name, model_properties)
+
+
 def _used_memory_gib(device: Device) -> float:
     return sum(entry["model_size"] for entry in _available_models.values()
                if entry["model"].device == device)
@@ -88,15 +134,79 @@ def _device_threshold_gib(device: Device) -> float:
     return configs.read_env_vars_and_defaults_floats(var) or 4.0
 
 
+def _check_memory_threshold_for_model(device: Device, model_size: float,
+                                      calling_func: str = None) -> bool:
+    """True iff `model_size` GiB fits the device threshold alongside the
+    models currently cached on it; raises ModelCacheManagementError when
+    the model alone exceeds the threshold (reference s2_inference.py:
+    463-500, including the calling_func thread-safety guard)."""
+    if calling_func not in ("unit_test", "_validate_model_into_device"):
+        raise RuntimeError(
+            "The function `_check_memory_threshold_for_model` should only "
+            "be called by `unit_test` or `_validate_model_into_device` for "
+            "threading safeness.")
+    from marqo_tpu.api.exceptions import ModelCacheManagementError
+    threshold = _device_threshold_gib(device)
+    if model_size > threshold:
+        raise ModelCacheManagementError(
+            f"You are trying to load a model with size = `{model_size}` "
+            f"into device = `{device.value}`, which is larger than the "
+            f"device threshold = `{threshold}`. Marqo CANNOT find enough "
+            f"space for the model. Please change the threshold by adjusting "
+            f"the environment variables `MARQO_MAX_CPU_MODEL_MEMORY` or "
+            f"`MARQO_MAX_TPU_MODEL_MEMORY`.")
+    return (_used_memory_gib(device) + model_size) < threshold
+
+
+def _validate_model_into_device(model_name: str, model_properties: dict,
+                                device: Device,
+                                calling_func: str = None) -> bool:
+    """LRU-evict models on `device` until the estimated model size fits;
+    raises ModelCacheManagementError when even an empty device can't hold
+    it (reference s2_inference.py:421-461, with its calling_func guard)."""
+    if calling_func not in ("unit_test", "_update_available_models"):
+        raise RuntimeError(
+            "This function should only be called by "
+            "`update_available_models` or `unit_test` for thread safeness.")
+    from marqo_tpu.api.exceptions import ModelCacheManagementError
+    model_size = get_model_size(model_name, model_properties)
+    if _check_memory_threshold_for_model(
+            device, model_size, calling_func="_validate_model_into_device"):
+        return True
+    candidates = [(k, v) for k, v in _available_models.items()
+                  if v["model"].device == device]
+    for key, _ in sorted(candidates,
+                         key=lambda kv: kv[1]["most_recently_used_time"]):
+        logger.info(
+            f"Eject model = `{key.split('||')[0]}` from device = "
+            f"`{device.value}` to save space for model = `{model_name}`.")
+        del _available_models[key]
+        _drop_scheduler(key)
+        if _check_memory_threshold_for_model(
+                device, model_size,
+                calling_func="_validate_model_into_device"):
+            return True
+    raise ModelCacheManagementError(
+        f"Marqo CANNOT find enough space to load model = `{model_name}` in "
+        f"device = `{device.value}`. Marqo tried to eject all the models on "
+        f"this device = `{device.value}` but still can't find enough space. "
+        f"Please use a smaller model or increase the memory threshold.")
+
+
 def _evict_lru_until_fits(device: Device, incoming_gib: float) -> None:
-    """LRU-evict models on `device` until `incoming_gib` fits the threshold
-    (reference _check_memory_threshold_for_model, s2_inference.py:463-500)."""
+    """LRU-evict models on `device` until `incoming_gib` fits the threshold.
+    Post-load refinement path: called with the true param-pytree size after
+    a load, since real bytes can exceed the pre-load estimate."""
     threshold = _device_threshold_gib(device)
     if incoming_gib > threshold:
-        raise DeviceError(
-            f"Model size {incoming_gib:.2f}GiB exceeds device threshold "
-            f"{threshold}GiB on {device.value}. Increase "
-            f"MARQO_MAX_{'CPU' if device == Device.CPU else 'TPU'}_MODEL_MEMORY.")
+        from marqo_tpu.api.exceptions import ModelCacheManagementError
+        raise ModelCacheManagementError(
+            f"You are trying to load a model with size = `{incoming_gib:.2f}` "
+            f"into device = `{device.value}`, which is larger than the "
+            f"device threshold = `{threshold}`. Marqo CANNOT find enough "
+            f"space for the model. Please change the threshold by adjusting "
+            f"the environment variables `MARQO_MAX_CPU_MODEL_MEMORY` or "
+            f"`MARQO_MAX_TPU_MODEL_MEMORY`.")
     while _used_memory_gib(device) + incoming_gib > threshold:
         candidates = [(k, v) for k, v in _available_models.items()
                       if v["model"].device == device]
@@ -120,15 +230,21 @@ def _update_available_models(model_cache_key: str, model_name: str,
 
     acquired = _lock.acquire(blocking=False)
     if not acquired:
-        from marqo_tpu.api.exceptions import TooManyRequestsError
-        raise TooManyRequestsError(
-            "Request rejected: another request is currently loading a model. "
-            "Please wait for the other request to finish and try again.")
+        from marqo_tpu.api.exceptions import ModelCacheManagementError
+        # reference s2_inference.py:293-298: a racing loader is rejected
+        # with ModelCacheManagementError (409), never queued
+        raise ModelCacheManagementError(
+            "Request rejected, as this request attempted to update the "
+            "model cache, while another request was updating the model "
+            "cache at the same time. Please wait for 10 seconds and send "
+            "the request again ")
     try:
         if model_cache_key in _available_models:  # lost the race, already loaded
             entry = _available_models[model_cache_key]
             entry["most_recently_used_time"] = datetime.datetime.now()
             return entry["model"]
+        _validate_model_into_device(model_name, properties, device,
+                                    calling_func="_update_available_models")
         logger.info(f"Loading model `{model_name}` on {device.value}")
         model = load_model(model_name, properties, device, model_auth)
         size = _model_size_gib(model, properties)

@@ -73,9 +73,9 @@ class TestEngineConcurrency:
                 out = v.vectorise("random/small", [f"content {i}"])
                 assert len(out[0]) == 32
             except Exception as e:
-                # busy-rejection (429) is acceptable behavior under load
-                from marqo_tpu.api.exceptions import TooManyRequestsError
-                if not isinstance(e, TooManyRequestsError):
+                # busy-rejection (409) is acceptable behavior under load
+                from marqo_tpu.api.exceptions import ModelCacheManagementError
+                if not isinstance(e, ModelCacheManagementError):
                     errors.append(e)
 
         threads = [threading.Thread(target=worker, args=(i,))

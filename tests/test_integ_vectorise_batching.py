@@ -307,22 +307,20 @@ class TestConcurrentVectorise:
 
     Adapted divergence (PARITY.md): when several threads need a model
     that is still loading, the reference's non-blocking race check raises
-    ModelCacheManagementError at the racing callers; marqo_tpu serialises
-    loads behind a blocking lock so every caller succeeds — same safety
-    property (exactly one load), kinder failure mode.
+    ModelCacheManagementError (409) at the racing callers, exactly like
+    the reference (_update_available_models, s2_inference.py:293-298).
     """
 
     def test_concurrent_vectorise_call_no_cache(self, monkeypatch):
         """Racing loads: exactly like the reference, the caller holding
         the load lock succeeds and concurrent callers needing a (still
-        loading) model are rejected with the 429-class busy error
-        (reference ModelCacheManagementError; here TooManyRequestsError —
-        _update_available_models, s2_inference.py:286-337)."""
+        loading) model are rejected with ModelCacheManagementError (409)
+        (reference _update_available_models, s2_inference.py:286-337)."""
         import queue
         import threading
         import time as _time
 
-        from marqo_tpu.api.exceptions import TooManyRequestsError
+        from marqo_tpu.api.exceptions import ModelCacheManagementError
         inference.clear_loaded_models()
         real_load = inference.load_model
         started = threading.Event()
@@ -348,7 +346,7 @@ class TestConcurrentVectorise:
                 inference.vectorise(model_name="test",
                                     content="this is a test", device="cpu")
                 q_race.put("raced-through")
-            except TooManyRequestsError as e:
+            except ModelCacheManagementError as e:
                 q_race.put(e)
 
         t = threading.Thread(target=main_call)
@@ -362,7 +360,7 @@ class TestConcurrentVectorise:
         t.join()
         assert q_main.get() == "success"
         results = [q_race.get() for _ in range(3)]
-        assert all(isinstance(r, TooManyRequestsError) for r in results), \
+        assert all(isinstance(r, ModelCacheManagementError) for r in results), \
             results
 
     def test_concurrent_vectorise_call_cached(self):

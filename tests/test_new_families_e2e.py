@@ -35,7 +35,12 @@ FAMILIES = {
         "image_size": 64, "architecture": {"vocab_size": 64},
         "name": "open_clip/convnext_base_w/laion2b_s13b_b82k"},
     "multilingual-clip/XLM-R Large Vit-B/32": {
+        # explicit model_size: the type-level pre-load estimate (5 GiB,
+        # reference constants.py:12) exceeds the 4 GiB CPU default and
+        # would 409 — exactly as the reference would for a real M-CLIP on
+        # default settings; this tiny random-init tower is ~MBs
         "type": "multilingual_clip", "dimensions": 16, "random_init": True,
+        "model_size": 0.1,
         "image_size": 32,
         "architecture": {"patch_size": 16, "vocab_size": 64},
         "name": "multilingual-clip/XLM-R Large Vit-B/32"},
