@@ -670,6 +670,21 @@ class AddDocumentsHandler:
                             False) and is_media_pointer(content)
                     and infer_modality(content) == Modality.IMAGE)
 
+        def _av_child_modality(content: str):
+            """AUDIO/VIDEO when the subfield content is a media pointer on
+            a media-treating index, else None (reference supports audio/
+            video multimodal subfields, tensor_fields_container.py:245-248:
+            they chunk like top-level fields and their subfield embedding
+            is the mean of clip embeddings)."""
+            from marqo_tpu.tensor_search.add_docs import (infer_modality,
+                                                          is_media_pointer)
+            if not getattr(self.index, "treat_urls_and_pointers_as_media",
+                           False) or not is_media_pointer(content):
+                return None
+            modality = infer_modality(content)
+            return modality if modality in (Modality.AUDIO,
+                                            Modality.VIDEO) else None
+
         for assigned_id, _doc, field_plans in plans:
             reuse = existing_tensors.get(assigned_id, {})
             for field, plan in field_plans.items():
@@ -738,14 +753,45 @@ class AddDocumentsHandler:
                                 dtype=np.float32)
                             continue
                     # children embedded individually then combined
+                    child_failed = False
                     for child, content in plan["sub_content"].items():
+                        av = _av_child_modality(content)
                         if _is_image_child(content):
                             image_slots.append(
                                 (assigned_id, field + "::" + child, 0))
                             to_embed_images.append(images[content])
+                        elif av is not None:
+                            # audio/video subfields chunk like top-level
+                            # fields; their embedding is the clip mean
+                            # (combine step averages the child's rows)
+                            try:
+                                if av == Modality.AUDIO:
+                                    pieces, _ = self._chunk_audio(content)
+                                else:
+                                    pieces, _ = self._chunk_video(content)
+                            except Exception as e:
+                                collector.collect_error(
+                                    self._error_id(assigned_id), DocError(
+                                        f"Could not process "
+                                        f"{av.value} `{content}`: {e}"),
+                                    position=self._positions.get(assigned_id))
+                                failed_docs.add(assigned_id)
+                                child_failed = True
+                                break
+                            target = (to_embed_audio if av == Modality.AUDIO
+                                      else to_embed_video)
+                            target_slots = (audio_slots
+                                            if av == Modality.AUDIO
+                                            else video_slots)
+                            for i, piece in enumerate(pieces):
+                                target_slots.append(
+                                    (assigned_id, field + "::" + child, i))
+                                target.append(piece)
                         else:
                             slots.append((assigned_id, field + "::" + child, 0))
                             to_embed.append(chunk_prefix + content)
+                    if child_failed:
+                        continue
                     continue
                 # text: reuse identical existing chunks when requested
                 if field in reuse:
@@ -819,16 +865,28 @@ class AddDocumentsHandler:
                             continue  # reused stored embedding; no child slots
                         weights = plan["weights"]
                         acc = None
+                        n_children = 0
                         for child, content in plan["sub_content"].items():
                             key = (assigned_id, field + "::" + child)
                             rows = grouped.pop(key, None)
                             if rows is None:
                                 rows = image_grouped.pop(key)
-                            vec = np.asarray(rows[0], dtype=np.float32)
+                            # multi-row children (audio/video clips) use
+                            # the clip-mean as the subfield embedding
+                            # (reference tensor_fields_container.py:320-323)
+                            vec = np.mean(
+                                np.asarray([rows[i] for i in sorted(rows)],
+                                           dtype=np.float32), axis=0)
                             w = float(weights[child])
                             acc = vec * w if acc is None else acc + vec * w
+                            n_children += 1
                         if acc is None:
                             continue
+                        # weighted MEAN over present subfields, not sum
+                        # (reference tensor_fields_container.py:355-360:
+                        # np.mean([v_i * w_i]); verified by the active
+                        # test_multimodal_tensor_combination_tensor_value)
+                        acc = acc / n_children
                         if self.index.normalize_embeddings:
                             norm = float(np.linalg.norm(acc))
                             if norm > 0:

@@ -114,9 +114,10 @@ class TestMultimodalCombination:
         assert stats["numberOfVectors"] == 2  # docs 1 and 2 only
 
     @pytest.mark.parametrize("index_name", [UNSTRUCTURED, STRUCTURED])
-    def test_combination_is_weighted_sum(self, config, index_name):
-        """The multimodal vector equals the weighted sum of sub-field
-        vectors (unnormalized index; reference
+    def test_combination_is_weighted_mean(self, config, index_name):
+        """The multimodal vector equals np.mean([w_i * v_i]) over the
+        present sub-fields — weighted mean, NOT sum (unnormalized index;
+        reference tensor_fields_container.py:355-360 and the active
         test_multimodal_tensor_combination_tensor_value)."""
         res = _add(config, index_name, [DOC])
         assert res["errors"] is False
@@ -131,7 +132,7 @@ class TestMultimodalCombination:
         title_vec = np.asarray(inference.vectorise(
             "test", [DOC["title"]], device="cpu",
             normalize_embeddings=False)[0])
-        expected = 0.5 * text_vec + 0.8 * title_vec
+        expected = (0.5 * text_vec + 0.8 * title_vec) / 2
         np.testing.assert_allclose(combo, expected, atol=1e-4)
 
     def test_field_order_invariance(self, config):
