@@ -205,17 +205,26 @@ def compute_query_vector(index: MarqoIndex,
                 n_vectors += 1
                 got_any = True
         for modality, items in by_modality.items():
-            if modality == Modality.IMAGE:
-                contents = [host_decode(fetch_content(
-                    q, media_download_headers)) for q, _ in items]
-            elif modality == Modality.AUDIO:
-                from marqo_tpu.ops.audio_ops import load_wav
-                contents = [load_wav(fetch_content(
-                    q, media_download_headers)) for q, _ in items]
-            else:
+            try:
+                if modality == Modality.IMAGE:
+                    contents = [host_decode(fetch_content(
+                        q, media_download_headers)) for q, _ in items]
+                elif modality == Modality.AUDIO:
+                    from marqo_tpu.ops.audio_ops import load_wav
+                    contents = [load_wav(fetch_content(
+                        q, media_download_headers)) for q, _ in items]
+                else:
+                    raise InvalidArgumentError(
+                        "Video queries require pre-decoded frames; query by "
+                        "text, image, or audio instead")
+            except InvalidArgumentError:
+                raise
+            except Exception as e:
+                # query-side media failures are the caller's error — 400
+                # with the reference wording (tensor_search.py:1909)
                 raise InvalidArgumentError(
-                    "Video queries require pre-decoded frames; query by "
-                    "text, image, or audio instead")
+                    f"Error vectorising content: "
+                    f"{[q for q, _ in items]}. Message: {e}") from e
             vectors = inference.vectorise(content=contents,
                                           modality=modality, **common)
             for vec, (_, w) in zip(vectors, items):
