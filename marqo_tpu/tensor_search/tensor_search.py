@@ -485,6 +485,20 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
                    model_auth, expose_facets,
                    media_download_headers=None) -> dict:
     params = HybridParameters(**(hybrid_parameters or {}))
+    from marqo_tpu.core.models.marqo_index import (IndexType,
+                                                   SemiStructuredMarqoIndex)
+    if (index.type == IndexType.Unstructured
+            and not isinstance(index, SemiStructuredMarqoIndex)
+            and (params.searchableAttributesTensor is not None
+                 or params.searchableAttributesLexical is not None)):
+        # reference hybrid_search.py:109-116: legacy unstructured indexes
+        # reject per-leg searchable attributes
+        from marqo_tpu.core.exceptions import UnsupportedFeatureError
+        raise UnsupportedFeatureError(
+            "Hybrid search for unstructured indexes currently does not "
+            "support `searchableAttributesTensor` or "
+            "`searchableAttributesLexical`. Please set these attributes "
+            "to None.")
     if text is None:
         # a None query is only a context-vector tensor search in disguise
         # (reference hybrid_search.py:132-142)

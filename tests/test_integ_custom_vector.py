@@ -210,3 +210,77 @@ class TestCustomVectorMultimodal:
                     "weights": {"my_custom_vector": 0.5, "text": 0.5}}}))
         assert res["errors"] is True
         assert res["items"][0]["status"] == 400
+
+
+class TestCustomVectorResidual:
+    """Round-4 additions: the reference tests not yet covered
+    (test_custom_vector_field.py:
+    use_existing_tensors :?, score modifiers, normalize=True roundtrip)."""
+
+    def test_use_existing_tensors_with_custom_vector_field(self, config):
+        """Reference test_add_documents_use_existing_tensors_with_custom_
+        vector_field: re-adding the same custom vector with
+        use_existing_tensors keeps the stored embedding; changing the
+        vector replaces it."""
+        doc = {"_id": "cv1", "my_custom_vector": {
+            "content": "custom content", "vector": V1}}
+        res = _add(config, UNSTRUCTURED, [doc])
+        assert res["errors"] is False, res
+
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name=UNSTRUCTURED, docs=[doc],
+            tensor_fields=["my_custom_vector"], mappings=MAPPINGS,
+            use_existing_tensors=True))
+        assert res["errors"] is False, res
+        got = tensor_search.get_document_by_id(
+            config, UNSTRUCTURED, "cv1", show_vectors=True)
+        emb = got["_tensor_facets"][0]["_embedding"]
+        np.testing.assert_allclose(emb, V1, atol=1e-6)
+
+        doc2 = {"_id": "cv1", "my_custom_vector": {
+            "content": "custom content", "vector": V2}}
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name=UNSTRUCTURED, docs=[doc2],
+            tensor_fields=["my_custom_vector"], mappings=MAPPINGS,
+            use_existing_tensors=True))
+        assert res["errors"] is False, res
+        got = tensor_search.get_document_by_id(
+            config, UNSTRUCTURED, "cv1", show_vectors=True)
+        emb = got["_tensor_facets"][0]["_embedding"]
+        np.testing.assert_allclose(emb, V2, atol=1e-6)
+
+    def test_search_with_custom_vector_field_score_modifiers(self, config):
+        """Reference test_search_with_custom_vector_field_score_modifiers:
+        numeric fields modify scores on hits found via custom vectors."""
+        res = _add(config, UNSTRUCTURED, [
+            {"_id": "cv1",
+             "my_custom_vector": {"content": "red herring", "vector": V1},
+             "multiplier": 2.0},
+        ])
+        assert res["errors"] is False, res
+        base = tensor_search.search(
+            config, UNSTRUCTURED, text={"dummy": 0.0},
+            context={"tensor": [{"vector": V1, "weight": 1.0}]},
+        )["hits"][0]["_score"]
+        modified = tensor_search.search(
+            config, UNSTRUCTURED, text={"dummy": 0.0},
+            context={"tensor": [{"vector": V1, "weight": 1.0}]},
+            score_modifiers={"add_to_score": [
+                {"field_name": "multiplier", "weight": 3.0}]},
+        )["hits"][0]["_score"]
+        assert abs(modified - (base + 6.0)) < 0.01
+
+    def test_custom_vector_normalized_on_normalize_true_index(self, config):
+        """Reference test_add_documents_with_custom_vector_normalize_
+        embeddings_true: the STORED embedding is the normalized input."""
+        raw = (np.asarray(V1) * 7.5).tolist()  # non-unit vector
+        res = _add(config, UNSTRUCTURED, [
+            {"_id": "cvn", "my_custom_vector": {
+                "content": "to be normalized", "vector": raw}}])
+        assert res["errors"] is False, res
+        got = tensor_search.get_document_by_id(
+            config, UNSTRUCTURED, "cvn", show_vectors=True)
+        emb = np.asarray(got["_tensor_facets"][0]["_embedding"])
+        expected = np.asarray(raw) / np.linalg.norm(raw)
+        np.testing.assert_allclose(emb, expected, atol=1e-6)
+        assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-5

@@ -273,3 +273,81 @@ class TestHybridBehaviors:
         for hit in res["hits"]:
             assert "_highlights" in hit
             assert len(hit["_highlights"]) > 0
+
+
+class TestHybridResidual:
+    """Round-4 additions (reference test_hybrid_search.py:671-1835):
+    per-leg searchable attributes, legacy-unstructured rejection,
+    None-query rules. The Vespa-query-internals and version-gate tests
+    (:test_hybrid_search_calls_correct_vespa_query, :_with_2_10/2_9) are
+    engine/migration internals with no surface here."""
+
+    @pytest.mark.parametrize("index_name", [STRUCTURED, UNSTRUCTURED])
+    def test_searchable_attributes(self, config, index_name):
+        """Reference :671-710 — per-leg searchable attributes restrict
+        both retrieval legs: only text_field_2 docs return, doc12
+        (puppies puppies) first."""
+        _add(config, index_name)
+        res = tensor_search.search(
+            config, index_name, text="puppies", search_method="HYBRID",
+            limit=10, hybrid_parameters={
+                "retrievalMethod": "disjunction", "rankingMethod": "rrf",
+                "alpha": 0.5,
+                "searchableAttributesLexical": ["text_field_2"],
+                "searchableAttributesTensor": ["text_field_2"]})
+        ids = [h["_id"] for h in res["hits"]]
+        assert set(ids) == {"doc11", "doc12", "doc13"}, ids
+        assert ids[0] == "doc12"
+
+    def test_legacy_unstructured_searchable_attributes_fails(self, config):
+        """Reference :1772-1800 — legacy (pre-semi-structured)
+        unstructured indexes reject per-leg searchable attributes with
+        UnsupportedFeatureError."""
+        from marqo_tpu.core.exceptions import UnsupportedFeatureError
+        from marqo_tpu.core.models.marqo_index import IndexType
+        legacy = "hy-legacy-unstructured"
+        config.index_management.create_index(IndexSettings(
+            type=IndexType.Unstructured, model="test"
+        ).to_marqo_index(legacy))
+        config.index_meta_cache.populate()
+        for key in ("searchableAttributesLexical",
+                    "searchableAttributesTensor"):
+            with pytest.raises(UnsupportedFeatureError) as exc:
+                tensor_search.search(
+                    config, legacy, text="dogs", search_method="HYBRID",
+                    hybrid_parameters={
+                        "retrievalMethod": "disjunction",
+                        "rankingMethod": "rrf", key: ["text_field_1"]})
+            assert "does not support `searchableAttributesTensor` or " \
+                   "`searchableAttributesLexical`" in str(exc.value)
+
+    @pytest.mark.parametrize("index_name", [STRUCTURED, UNSTRUCTURED])
+    def test_none_query_wrong_retrieval_or_ranking_fails(self, config,
+                                                         index_name):
+        """Reference :1691-1719."""
+        from marqo_tpu.core.exceptions import InvalidArgumentError
+        _add(config, index_name)
+        cases = [("disjunction", "rrf"), ("tensor", "lexical"),
+                 ("lexical", "tensor"), ("lexical", "lexical")]
+        for retrieval, ranking in cases:
+            with pytest.raises(InvalidArgumentError) as exc:
+                tensor_search.search(
+                    config, index_name, text=None, search_method="HYBRID",
+                    hybrid_parameters={"retrievalMethod": retrieval,
+                                       "rankingMethod": ranking})
+            assert ("unless retrieval_method and ranking_method are both "
+                    "'tensor'" in str(exc.value)), (retrieval, ranking)
+
+    @pytest.mark.parametrize("index_name", [STRUCTURED, UNSTRUCTURED])
+    def test_none_query_with_context_vectors_passes(self, config,
+                                                    index_name):
+        """Reference :1721-1770 — None query + context vectors runs a
+        tensor/tensor hybrid."""
+        _add(config, index_name)
+        dims = 16
+        res = tensor_search.search(
+            config, index_name, text=None, search_method="HYBRID",
+            context={"tensor": [{"vector": [0.655] * dims, "weight": 1.0}]},
+            hybrid_parameters={"retrievalMethod": "tensor",
+                               "rankingMethod": "tensor"})
+        assert len(res["hits"]) > 0

@@ -301,3 +301,126 @@ class TestPartialUpdateGaps:
                 index_name=INDEX,
                 docs=[{"text_field": f"d{i}"} for i in range(3)]))
         assert "exceeds limit of 2" in str(e.value)
+
+
+class TestMultiThreadingUpdate:
+    """Reference test_partial_document_update.py:641-793 — concurrent
+    partial updates must never corrupt a document. (The reference's
+    Thread(target=fn(...)) construction actually runs sequentially; here
+    the updates are genuinely concurrent.)"""
+
+    def test_multi_threading_update(self, config):
+        import random
+        import threading
+        _seed(config)
+        fields = ["text_field", "text_field_filter", "text_field_lexical",
+                  "text_field_tensor", "int_field_filter",
+                  "float_field_score_modifier", "bool_field_filter"]
+
+        errors = []
+
+        def randomly_update_document(n_updates=20):
+            rng = random.Random()
+            for _ in range(n_updates):
+                doc = {"_id": "1"}
+                for field in rng.sample(fields, 3):
+                    if field.startswith("text_field"):
+                        doc[field] = "text field" + str(rng.randint(1, 100))
+                    elif field.startswith("int_field"):
+                        doc[field] = rng.randint(1, 100)
+                    elif field.startswith("float_field"):
+                        doc[field] = rng.uniform(1, 100)
+                    else:
+                        doc[field] = bool(rng.getrandbits(1))
+                try:
+                    _update(config, [doc])
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+        threads = [threading.Thread(target=randomly_update_document)
+                   for _ in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+
+        doc = tensor_search.get_document_by_id(config, INDEX, "1")
+        for f in ["text_field", "text_field_filter", "text_field_lexical",
+                  "text_field_tensor"]:
+            assert doc[f].startswith("text field"), doc
+        assert 1 <= doc["int_field_filter"] <= 100
+        assert isinstance(doc["bool_field_filter"], bool)
+        # the tensor facets survive concurrent non-tensor updates
+        full = tensor_search.get_document_by_id(config, INDEX, "1",
+                                                show_vectors=True)
+        assert full["_tensor_facets"], full
+
+    def test_multi_threading_update_for_large_score_modifier_fields(
+            self, config):
+        """Reference :722-793 — hammer many score-modifier float fields
+        concurrently, then verify every one still modifies scores by
+        exactly its value."""
+        import random
+        import threading
+
+        big = "pu-large-score-mods"
+        n_fields = 100
+        config.index_management.create_index(IndexSettings(
+            type=IndexType.Structured, model="test",
+            allFields=[FieldRequest(name=f"float_field_{i}",
+                                    type=FieldType.Float,
+                                    features=[FieldFeature.ScoreModifier])
+                       for i in range(n_fields)] +
+                      [FieldRequest(name="text_field_tensor",
+                                    type=FieldType.Text)],
+            tensorFields=["text_field_tensor"],
+        ).to_marqo_index(big))
+        config.index_meta_cache.populate()
+
+        original = {f"float_field_{i}": float(i) for i in range(n_fields)}
+        original["text_field_tensor"] = "text field tensor"
+        original["_id"] = "1"
+        res = tensor_search.add_documents(config, AddDocsParams(
+            index_name=big, docs=[original]))
+        assert res["errors"] is False, res
+
+        errors = []
+
+        def randomly_update_document(n_updates=20):
+            rng = random.Random()
+            for _ in range(n_updates):
+                doc = {"_id": "1"}
+                for i in rng.sample(range(n_fields), 10):
+                    doc[f"float_field_{i}"] = rng.uniform(1, 100)
+                try:
+                    config.document.partial_update_documents_by_index_name(
+                        big, [doc])
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+        threads = [threading.Thread(target=randomly_update_document)
+                   for _ in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+
+        doc = tensor_search.get_document_by_id(config, big, "1")
+        for i in range(n_fields):
+            assert 0 <= doc[f"float_field_{i}"] <= 100, i
+
+        # final deterministic update, then every field modifies the score
+        final = {f"float_field_{i}": 1.0 for i in range(n_fields)}
+        final["_id"] = "1"
+        config.document.partial_update_documents_by_index_name(big, [final])
+        base = tensor_search.search(config, big, text="test")["hits"][0][
+            "_score"]
+        for i in range(0, n_fields, 10):
+            modified = tensor_search.search(
+                config, big, text="test",
+                score_modifiers={"add_to_score": [
+                    {"field_name": f"float_field_{i}", "weight": 1.0}
+                ]})["hits"][0]["_score"]
+            assert abs(modified - (base + 1.0)) < 0.1, i

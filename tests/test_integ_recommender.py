@@ -122,3 +122,62 @@ class TestRecommender:
         # only doc 7 passes the filter; input doc 1 stays excluded
         ids = {h["_id"] for h in res["hits"]}
         assert ids <= {"7"}
+
+
+class TestRecommenderDefaults:
+    """Round-4 additions: default interpolation-method selection + the
+    unstructured invalid-tensor-fields case (reference
+    test_recommender.py:445-482, :unstructuredInvalidTensorFields)."""
+
+    def test_default_interpolation_normalized_is_slerp(self, config,
+                                                       monkeypatch):
+        """Reference test_defaultInterpolationMethodNormalized_success."""
+        import marqo_tpu.core.search.recommender as rec_mod
+        from marqo_tpu.core.utils.vector_interpolation import \
+            from_interpolation_method
+        picked = []
+
+        def spy(method):
+            picked.append(method)
+            return from_interpolation_method(method)
+
+        monkeypatch.setattr(rec_mod, "from_interpolation_method", spy)
+        config.recommender.recommend(INDEX, ["1", "2"])
+        assert [str(m).lower() for m in picked] and \
+            "slerp" in str(picked[0]).lower()
+
+    def test_default_interpolation_non_normalized_is_lerp(self, monkeypatch):
+        """Reference test_defaultInterpolationMethodNonNormalized_success."""
+        import marqo_tpu.core.search.recommender as rec_mod
+        from marqo_tpu.core.utils.vector_interpolation import \
+            from_interpolation_method
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="test", normalizeEmbeddings=False
+                          ).to_marqo_index("rec-nonnorm"))
+        cfg.index_meta_cache.populate()
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="rec-nonnorm", docs=DOCS, tensor_fields=["title"]))
+        assert res["errors"] is False
+        picked = []
+
+        def spy(method):
+            picked.append(method)
+            return from_interpolation_method(method)
+
+        monkeypatch.setattr(rec_mod, "from_interpolation_method", spy)
+        cfg.recommender.recommend("rec-nonnorm", ["1", "2"])
+        assert picked and "lerp" in str(picked[0]).lower() and \
+            "slerp" not in str(picked[0]).lower()
+        inference.clear_loaded_models()
+
+    def test_unstructured_invalid_tensor_fields_fail(self, config):
+        """Reference test_recommend_unstructuredInvalidTensorFields_failure:
+        naming tensor fields that hold no vectors for the given docs is an
+        InvalidArgumentError."""
+        with pytest.raises((InvalidArgumentError,
+                            api_exceptions.InvalidArgError)):
+            config.recommender.recommend(
+                INDEX, ["1", "2"], tensor_fields=["not_a_real_field"])
