@@ -23,6 +23,9 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_MAX_DELETE_DOCS_COUNT": 10_000,
         "MARQO_MAX_NUMBER_OF_REPLICAS": 1,
         "MARQO_MAX_ADD_DOCS_COUNT": 128,
+        # reference api/configs.py:52-53 — semi-structured dynamic-field caps
+        "MARQO_MAX_TENSOR_FIELD_COUNT_UNSTRUCTURED": 100,
+        "MARQO_MAX_LEXICAL_FIELD_COUNT_UNSTRUCTURED": 100,
         # --- concurrency / throttling (reference configs.py:28-30,49) ---
         "MARQO_ENABLE_THROTTLING": "TRUE",
         "MARQO_MAX_CONCURRENT_INDEX": 8,

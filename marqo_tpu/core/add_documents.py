@@ -118,9 +118,9 @@ def _validate_id(doc_id: Any) -> str:
         ts_validation.validate_id(doc_id)
     except api_exceptions.InvalidDocumentIdError as e:
         raise DocError(e.message, code="invalid_document_id") from e
-    if "/" in doc_id:
-        raise DocError(f"Document _id can't contain '/': {doc_id}",
-                       code="invalid_document_id")
+    # NB: '/' is allowed — reference validate_id (validation.py:347-362)
+    # only checks string type + non-empty; test_add_documents_id_image_url
+    # uses a URL as an _id
     return doc_id
 
 
@@ -176,17 +176,36 @@ def _validate_map_numeric_field(field_content: dict) -> None:
                 f"object.")
 
 
+class SemiStructuredFieldCountConfig:
+    """Per-kind dynamic-field limits for semi-structured indexes
+    (reference semi_structured_add_document_handler.py:23-28 — defaults
+    read from MARQO_MAX_{LEXICAL,TENSOR}_FIELD_COUNT_UNSTRUCTURED)."""
+
+    def __init__(self, max_lexical_field_count: Optional[int] = None,
+                 max_tensor_field_count: Optional[int] = None):
+        self.max_lexical_field_count = (
+            max_lexical_field_count if max_lexical_field_count is not None
+            else configs.read_env_vars_and_defaults_ints(
+                "MARQO_MAX_LEXICAL_FIELD_COUNT_UNSTRUCTURED"))
+        self.max_tensor_field_count = (
+            max_tensor_field_count if max_tensor_field_count is not None
+            else configs.read_env_vars_and_defaults_ints(
+                "MARQO_MAX_TENSOR_FIELD_COUNT_UNSTRUCTURED"))
+
+
 class AddDocumentsHandler:
     """One handler instance per request."""
 
     def __init__(self, index: MarqoIndex, engine: StoreEngine,
                  params: AddDocsParams, index_management=None,
-                 meta_cache=None):
+                 meta_cache=None, field_count_config=None):
         self.index = index
         self.engine = engine
         self.params = params
         self.index_management = index_management
         self.meta_cache = meta_cache
+        self.field_count_config = (field_count_config or
+                                   SemiStructuredFieldCountConfig())
         self.mappings = dict(params.mappings or {})
         # structured indexes declare custom_vector / multimodal fields by
         # TYPE in the index settings, not via request mappings (reference
@@ -221,9 +240,11 @@ class AddDocumentsHandler:
             return [tf.name for tf in self.index.tensor_fields if tf.name in doc
                     or tf.name in self.mappings]
         if self.params.tensor_fields is None:
+            # unreachable via add_documents() (request-level gate above)
             raise DocError(
-                "Unstructured and semi-structured indexes require the "
-                "`tensorFields` parameter (use [] for no tensor fields)")
+                "tensor_fields must be explicitly provided as a list for "
+                "unstructured index. If you don't want to vectorise any "
+                "field, please provide an empty list [].")
         return [f for f in self.params.tensor_fields
                 if f in doc or f in self.mappings]
 
@@ -281,6 +302,67 @@ class AddDocumentsHandler:
                 f"Invalid value {value} for field {field} with Marqo type "
                 f"{type_value}. Expected a value of type {python_type}, "
                 f"but found {type(value)}")
+        values = value if isinstance(value, list) else \
+            list(value.values()) if isinstance(value, dict) else [value]
+        for v in values:
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                self._verify_numeric_range(v, type_value)
+
+    # Vespa-representable numeric ranges (reference
+    # structured_vespa_index.py:50-58, 908-930 — int min is -2^31+1 to
+    # support filtering; float is fp32; long is int64; double unchecked)
+    _MAX_FLOAT, _MIN_FLOAT = 3.4028235e38, -3.4028235e38
+    _MAX_INT, _MIN_INT = 2147483647, -2147483647
+    _MAX_LONG, _MIN_LONG = 2 ** 63 - 1, -(2 ** 63)
+
+    def _verify_numeric_range(self, value, type_value: str) -> None:
+        base = type_value.split("<")[-1].rstrip(">").split(", ")[-1]
+        if base == "float" and not (
+                self._MIN_FLOAT <= value <= self._MAX_FLOAT):
+            raise DocError(
+                f"Invalid value {value} for float field. Expected a value "
+                f"in the range [{self._MIN_FLOAT}, {self._MAX_FLOAT}], but "
+                f"found {value}. If you wish to store a value outside of "
+                f"this range, create a field with type 'double' ")
+        if base == "int" and not (self._MIN_INT <= value <= self._MAX_INT):
+            raise DocError(
+                f"Invalid value {value} for int field. Expected a value in "
+                f"the range [{self._MIN_INT}, {self._MAX_INT}], but found "
+                f"{value}. If you wish to store a value outside of this "
+                f"range, create a field with type 'long' or 'double' ")
+        if base == "long" and not (
+                self._MIN_LONG <= value <= self._MAX_LONG):
+            raise DocError(
+                f"Invalid value {value} for long field. Expected a value in "
+                f"the range [{self._MIN_LONG}, {self._MAX_LONG}], but found "
+                f"{value}. If you wish to store a value outside of this "
+                f"range, create a field with type 'double' ")
+
+    def _round_structured_floats(self, fields: dict) -> None:
+        """Float-typed structured fields are fp32 in Vespa; values round
+        on store (reference test_long_double_numeric_values_edge_case:
+        1e-50 comes back as 0)."""
+        if not isinstance(self.index, StructuredMarqoIndex):
+            return
+        field_map = self.index.field_map
+        for field, value in fields.items():
+            marqo_field = field_map.get(field)
+            if marqo_field is None:
+                continue
+            type_value = getattr(marqo_field.type, "value", "")
+            if type_value == "float" and isinstance(value, float):
+                fields[field] = self._fp32(value)
+            elif type_value == "array<float>" and isinstance(value, list):
+                fields[field] = [self._fp32(v) if isinstance(v, float)
+                                 else v for v in value]
+
+    @staticmethod
+    def _fp32(value: float) -> float:
+        # shortest-repr roundtrip like Vespa's JSON render of an fp32:
+        # 3.4028235e38 stays 3.4028235e38 (not ...4663852886e38), 1e-50
+        # underflows to 0.0 (str(), not repr() — numpy 2.x repr is
+        # "np.float32(x)")
+        return float(str(np.float32(value)))
 
     # -- chunk + vectorise planning --
 
@@ -409,24 +491,22 @@ class AddDocumentsHandler:
 
     def add_documents(self) -> dict:
         collector = AddDocumentsResponseCollector()
+        if not isinstance(self.index, StructuredMarqoIndex) and \
+                self.params.tensor_fields is None:
+            # reference unstructured_validation.py:118-121 — request-level
+            # 400 with exact wording (the reference validates before any
+            # per-doc processing)
+            raise InvalidArgumentError(
+                "tensor_fields must be explicitly provided as a list for "
+                "unstructured index. If you don't want to vectorise any "
+                "field, please provide an empty list [].")
         if self.params.tensor_fields and \
                 constants.MARQO_DOC_ID in self.params.tensor_fields:
             # reference unstructured_validation.py:122-123 — request-level 400
             raise InvalidArgumentError(
                 "`_id` field cannot be a tensor field.")
-        # MARQO_MAX_DOCUMENTS_BATCH_SIZE is the reference env var
-        # (api/configs.py:48, add_docs_params.py:78-93); our original
-        # MARQO_MAX_ADD_DOCS_COUNT stays honored as an alias
-        max_docs = configs.read_env_vars_and_defaults_ints(
-            "MARQO_MAX_DOCUMENTS_BATCH_SIZE") or \
-            configs.read_env_vars_and_defaults_ints("MARQO_MAX_ADD_DOCS_COUNT")
-        if max_docs is not None and len(self.params.docs) > max_docs:
-            raise InvalidArgumentError(
-                f"Number of docs in add documents request "
-                f"({len(self.params.docs)}) exceeds limit of {max_docs}. "
-                f"If using the Python client, break up your `add_documents` "
-                f"request into smaller batches using its "
-                f"`client_batch_size` parameter.")
+        # (doc-count limits are enforced at AddDocsParams construction —
+        # reference add_docs_params.py:78-94 validate_docs)
 
         # reversed-iteration dedup: the LAST occurrence of an _id wins
         # (reference add_documents_handler.py:140-157)
@@ -618,6 +698,7 @@ class AddDocumentsHandler:
                     if plan["kind"] == "multimodal"}
                 if mm_params:
                     fields[constants.MARQO_DOC_MULTIMODAL_PARAMS] = mm_params
+                self._round_structured_floats(fields)
                 self.engine.feed(self.index.schema_name, assigned_id, fields,
                                  tensors)
                 collector.collect_success(
@@ -1063,8 +1144,11 @@ class AddDocumentsHandler:
             for doc_id in pointer_docs[pointer]:
                 if doc_id not in failed_docs:
                     failed_docs.add(doc_id)
+                    # reference add_documents_handler.py:406-408 exact
+                    # wording for failed media downloads/decodes
                     collector.collect_error(self._error_id(doc_id), DocError(
-                        f"Could not process image `{pointer}`: {message}",
+                        f"Could not process the media file found at "
+                        f"`{pointer}`. Reason: {message}",
                         code="invalid_argument"),
                         position=self._positions.get(doc_id))
         return images, failed_docs
@@ -1182,22 +1266,55 @@ class AddDocumentsHandler:
                     new_lexical[field] = Field(
                         name=field, type=field_type,
                         features=[], lexical_field_name=f"marqo__lexical_{field}")
-            for field in field_plans:
+            for field, plan in field_plans.items():
                 if field not in known_tensor and field not in new_tensor:
                     new_tensor[field] = TensorField(
                         name=field,
                         chunk_field_name=f"marqo__chunks_{field}",
                         embeddings_field_name=f"marqo__embeddings_{field}")
+                # custom_vector CONTENT is lexically searchable, so the
+                # field also registers as a lexical field (reference
+                # semi_structured_add_document_handler.py:
+                # _add_lexical_field_to_index called for custom-vector
+                # content; test_..._add_fields.py:141-168)
+                if plan.get("kind") == "custom" \
+                        and field not in known_lexical \
+                        and field not in new_lexical:
+                    new_lexical[field] = Field(
+                        name=field, type=FieldType.Text, features=[],
+                        lexical_field_name=f"marqo__lexical_{field}")
         if not new_lexical and not new_tensor:
             return
-        max_fields = configs.read_env_vars_and_defaults_ints(
-            "MARQO_MAX_INDEX_FIELDS")
-        total = (len(known_lexical) + len(new_lexical)
-                 + len(known_tensor) + len(new_tensor))
-        if max_fields is not None and total > max_fields:
-            raise InvalidArgumentError(
-                f"Index {self.index.name} has {total} fields, exceeding the "
-                f"maximum of {max_fields} (MARQO_MAX_INDEX_FIELDS)")
+        # per-kind limits with the reference's exact wording + error type
+        # (semi_structured_add_document_handler.py:75-107: checked against
+        # the EXISTING count before each new field is admitted)
+        from marqo_tpu.core.exceptions import TooManyFieldsError
+        max_lexical = self.field_count_config.max_lexical_field_count
+        max_tensor = self.field_count_config.max_tensor_field_count
+        if max_lexical is not None:
+            count = len(known_lexical)
+            for field in new_lexical:
+                if count >= max_lexical:
+                    raise TooManyFieldsError(
+                        f"Index {self.index.name} has {count} lexical "
+                        f"fields. Your request to add {field} as a lexical "
+                        f"field is rejected since it exceeds the limit of "
+                        f"{max_lexical}. Please set a larger limit in "
+                        f"MARQO_MAX_LEXICAL_FIELD_COUNT_UNSTRUCTURED "
+                        f"environment variable.")
+                count += 1
+        if max_tensor is not None:
+            count = len(known_tensor)
+            for field in new_tensor:
+                if count >= max_tensor:
+                    raise TooManyFieldsError(
+                        f"Index {self.index.name} has {count} tensor "
+                        f"fields. Your request to add {field} as a tensor "
+                        f"field is rejected since it exceeds the limit of "
+                        f"{max_tensor}. Please set a larger limit in "
+                        f"MARQO_MAX_TENSOR_FIELD_COUNT_UNSTRUCTURED "
+                        f"environment variable.")
+                count += 1
         updated = self.index.model_copy(update={
             "lexical_fields": self.index.lexical_fields + list(new_lexical.values()),
             "tensor_fields": self.index.tensor_fields + list(new_tensor.values()),

@@ -64,6 +64,20 @@ class Document:
     def __init__(self, config):
         self.config = config
 
+    def add_documents(self, params, field_count_config=None) -> dict:
+        """Core-layer add-documents entry (reference core/document/
+        document.py Document.add_documents — takes an optional
+        SemiStructuredFieldCountConfig for dynamic-field caps)."""
+        from marqo_tpu.core.add_documents import AddDocumentsHandler
+        index = self.config.index_meta_cache.get_index(
+            params.index_name, force_refresh=True)
+        handler = AddDocumentsHandler(
+            index=index, engine=self.config.engine, params=params,
+            index_management=self.config.index_management,
+            meta_cache=self.config.index_meta_cache,
+            field_count_config=field_count_config)
+        return handler.add_documents()
+
     @staticmethod
     def remove_duplicated_documents(docs: List[dict]) -> Tuple[List[dict], set]:
         """Last occurrence of each _id wins (reference document.py:173-200)."""

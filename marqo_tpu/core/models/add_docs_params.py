@@ -57,8 +57,24 @@ class AddDocsParams(BaseModel):
     @field_validator("docs")
     @classmethod
     def _docs_not_empty(cls, docs):
+        # reference add_docs_params.py:78-94 validate_docs: BOTH the
+        # empty check and the max-batch check raise BadRequestError
+        # straight from the validator (not a pydantic ValueError), so
+        # direct AddDocsParams construction surfaces a 400
+        from marqo_tpu.api import configs
+        from marqo_tpu.api.exceptions import BadRequestError
         if not docs:
-            raise ValueError("Received empty add documents request")
+            raise BadRequestError("Received empty add documents request")
+        max_docs = configs.read_env_vars_and_defaults_ints(
+            "MARQO_MAX_DOCUMENTS_BATCH_SIZE") or \
+            configs.read_env_vars_and_defaults_ints(
+                "MARQO_MAX_ADD_DOCS_COUNT")
+        if max_docs is not None and len(docs) > max_docs:
+            raise BadRequestError(
+                f"Number of docs in add documents request ({len(docs)}) "
+                f"exceeds limit of {max_docs}. If using the Python client, "
+                f"break up your `add_documents` request into smaller "
+                f"batches using its `client_batch_size` parameter. ")
         return docs
 
     @field_validator("mappings")

@@ -68,11 +68,13 @@ class TestAddDocuments:
         assert doc["title"] == "second version"
 
     def test_missing_tensor_fields_param_raises(self, config):
-        from marqo_tpu.core.add_documents import AddDocumentsHandler
+        # request-level 400 (reference unstructured_validation.py:118-121)
+        from marqo_tpu.core.exceptions import InvalidArgumentError
         params = AddDocsParams(index_name="my-index",
                                docs=[{"_id": "x", "title": "y"}])
-        res = tensor_search.add_documents(config, params)
-        assert res["errors"] is True
+        with pytest.raises(InvalidArgumentError) as exc:
+            tensor_search.add_documents(config, params)
+        assert "tensor_fields must be explicitly provided" in str(exc.value)
 
     def test_auto_id_generated(self, config):
         res = _add_docs(config, docs=[{"title": "no id here"}])

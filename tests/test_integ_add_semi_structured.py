@@ -67,10 +67,9 @@ class TestAddBasics:
                 docs=[{"title": "x"}], tensor_fields=["title"]))
 
     def test_add_documents_empty(self, config):
-        # rejected at request-model construction (the API layer maps this
-        # to the reference's BadRequestError 400)
-        import pydantic
-        with pytest.raises(pydantic.ValidationError):
+        # reference add_docs_params.py:85 raises BadRequestError straight
+        # from the AddDocsParams validator
+        with pytest.raises(api_exceptions.BadRequestError):
             _add(config, [])
 
     def test_add_docs_response_format(self, config):
@@ -172,8 +171,9 @@ class TestDocSizeAndCounts:
 
     def test_exceeded_max_doc_count(self, config, monkeypatch):
         monkeypatch.setenv("MARQO_MAX_ADD_DOCS_COUNT", "4")
-        from marqo_tpu.core.exceptions import InvalidArgumentError
-        with pytest.raises(InvalidArgumentError):
+        # reference add_docs_params.py:86-93: over-limit is a
+        # BadRequestError from the AddDocsParams validator
+        with pytest.raises(api_exceptions.BadRequestError):
             _add(config, [{"title": f"d{i}"} for i in range(5)])
         res = _add(config, [{"title": f"d{i}"} for i in range(4)])
         assert res["errors"] is False
@@ -221,3 +221,105 @@ class TestNumbersAndDuplicates:
             assert len(res["items"]) == 1, docs
             stats = config.monitoring.get_index_stats(INDEX)
             assert stats["numberOfDocuments"] == expected_count, docs
+
+
+class TestUnstructuredResiduals:
+    """Round-4 additions (reference test_add_documents_unstructured.py:
+    177-200, 405-475, 695-710): whitespace docs, tensor_fields
+    requiredness, the full resilient per-item matrix — note `__chunks`-
+    style field names are VALID on unstructured (the schema prefixes
+    internals with `marqo__`, so plain `__...` user fields don't clash),
+    unlike structured where they 400."""
+
+    def test_add_documents_whitespace(self, config):
+        docs = [{"title": ""}, {"title": " "}, {"title": "  "},
+                {"title": "\r"}, {"title": "\r "}, {"title": "\r\r"},
+                {"title": "\r\t\n"}]
+        res = _add(config, docs, tensor_fields=[])
+        assert res["errors"] is False, res
+        index = config.index_meta_cache.get_index(INDEX)
+        assert config.engine.doc_count(index.schema_name) >= len(docs)
+
+    def test_bad_tensor_fields(self, config):
+        cases = [
+            ({"tensor_fields": None},
+             "tensor_fields must be explicitly provided"),
+            ({}, "tensor_fields must be explicitly provided"),
+            ({"tensor_fields": ["_id", "some"]},
+             "`_id` field cannot be a tensor field"),
+        ]
+        for kwargs, error_message in cases:
+            with pytest.raises(Exception) as exc:
+                tensor_search.add_documents(config, AddDocsParams(
+                    index_name=INDEX, docs=[{"some": "data"}], **kwargs))
+            assert error_message in str(exc.value), kwargs
+
+    def test_add_documents_resilient_doc_validation(self, config):
+        docs_results = [
+            ([{"_id": "123", "title": "legitimate text"}, {},
+              {"_id": "456", "title": "awesome stuff!"}],
+             [("123", 200), (None, 400), ("456", 200)]),
+            ([{}], [(None, 400)]),
+            ([{}, {}], [(None, 400), (None, 400)]),
+            ([{}, {}, {"title": "yep"}],
+             [(None, 400), (None, 400), (None, 200)]),
+            ([{"this is a set, lmao"}, "this is a string",
+              {"title": "yep"}],
+             [(None, 400), (None, 400), (None, 200)]),
+            ([1234], [(None, 400)]),
+            ([None], [(None, 400)]),
+            ([{123: "bad"}, {"_id": "cool"}],
+             [(None, 400), ("cool", 200)]),
+            # reference :423-426 — double-underscore names all succeed on
+            # unstructured
+            ([{"__chunks": "bad"},
+              {"_id": "1511", "__vector_a": "some content"},
+              {"_id": "cool"},
+              {"_id": "144451", "__field_content": "some content"}],
+             [(None, 200), ("1511", 200), ("cool", 200),
+              ("144451", 200)]),
+            ([{123: "bad", "_id": "12345"}, {"_id": "cool"}],
+             [("12345", 400), ("cool", 200)]),
+            ([{None: "bad", "_id": "12345"}, {"_id": "cool"}],
+             [("12345", 400), ("cool", 200)]),
+            ([{"title": None, "_id": "12345"}, {"_id": "cool"}],
+             [(None, 400), ("cool", 200)]),
+            ([{"tags": [1, 2, "3", 4], "_id": "12345"}, {"_id": "cool"}],
+             [("12345", 400), ("cool", 200)]),
+            ([{"title": ("cat", "dog"), "_id": "12345"}, {"_id": "cool"}],
+             [("12345", 400), ("cool", 200)]),
+            ([{"title": set(), "_id": "12345"}, {"_id": "cool"}],
+             [(None, 400), ("cool", 200)]),
+            ([{"bad": "hehehe", "_id": 12345}, {"_id": "cool"}],
+             [(None, 400), ("cool", 200)]),
+            ([{"bad": "hehehe", "_id": 12345}, {"_id": "cool"},
+              {"bad": "hehehe", "_id": None}, {"title": "yep"},
+              {"_id": (1, 2), "efgh": "abc"},
+              {"_id": 1.234, "cool": "wowowow"}],
+             [(None, 400), ("cool", 200), (None, 400), (None, 200),
+              (None, 400), (None, 400)]),
+            ([{(1, 2, 3): set(), "_id": "12345"}, {"_id": "cool"},
+              {"tags": [1, 2, 3], "_id": None}, {"title": "yep"}, {},
+              "abcdefgh"],
+             [(None, 400), ("cool", 200), (None, 400), (None, 200),
+              (None, 400), (None, 400)]),
+        ]
+        for docs, expected in docs_results:
+            res = _add(config, docs, tensor_fields=[])
+            assert len(res["items"]) == len(expected), (docs, res)
+            for i, item in enumerate(res["items"]):
+                if expected[i][0] is not None:
+                    assert item["_id"] == expected[i][0], (docs, res)
+                assert item["status"] == expected[i][1], (docs, res)
+
+    def test_add_document_with_tensor_fields(self, config):
+        """tensor_fields=['title'] embeds title but not desc."""
+        _add(config, [{"_id": "789", "title": "Story of Alice Appleseed",
+                       "desc": "Alice grew up in Houston, Texas."}],
+             tensor_fields=["title"])
+        resp = tensor_search.get_document_by_id(
+            config, INDEX, "789", show_vectors=True)
+        assert len(resp["_tensor_facets"]) == 1
+        assert "_embedding" in resp["_tensor_facets"][0]
+        assert "title" in resp["_tensor_facets"][0]
+        assert "desc" not in resp["_tensor_facets"][0]

@@ -295,8 +295,10 @@ class TestPartialUpdateGaps:
         """Add-documents enforces MARQO_MAX_DOCUMENTS_BATCH_SIZE too
         (reference add_docs_params.py:78-93)."""
         monkeypatch.setenv("MARQO_MAX_DOCUMENTS_BATCH_SIZE", "2")
-        from marqo_tpu.exceptions import InvalidArgumentError
-        with pytest.raises(InvalidArgumentError) as e:
+        # reference add_docs_params.py:86-93: BadRequestError from the
+        # AddDocsParams validator
+        from marqo_tpu.api.exceptions import BadRequestError
+        with pytest.raises(BadRequestError) as e:
             tensor_search.add_documents(config, AddDocsParams(
                 index_name=INDEX,
                 docs=[{"text_field": f"d{i}"} for i in range(3)]))
