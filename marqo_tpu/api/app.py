@@ -55,14 +55,22 @@ def install_exception_mappers(app: App) -> None:
          lambda e: api_exceptions.ModelNotInCacheError(e.message)),
         (core_exceptions.VectoriseError,
          lambda e: api_exceptions.VectoriseError(e.message)),
+        # reference api.py:110 — generic model errors are 400 bad_request
         (core_exceptions.ModelError,
-         lambda e: api_exceptions.InvalidArgError(e.message)),
+         lambda e: api_exceptions.BadRequestError(e.message)),
         (core_exceptions.UnsupportedFeatureError,
          lambda e: api_exceptions.BadRequestError(e.message)),
+        # reference api.py:108 — zero-magnitude is a 400 bad_request
         (core_exceptions.ZeroMagnitudeVectorError,
-         lambda e: api_exceptions.InvalidArgError(e.message)),
+         lambda e: api_exceptions.BadRequestError(e.message)),
         (core_exceptions.MarqoDocumentParsingError,
          lambda e: api_exceptions.InvalidArgError(e.message)),
+        # reference api.py:105 — Vespa/engine payload parse failures are a
+        # 500 backend_data_parsing envelope
+        (core_exceptions.VespaDocumentParsingError,
+         lambda e: api_exceptions.BackendDataParsingError(e.message)),
+        (core_exceptions.InternalError,
+         lambda e: api_exceptions.InternalError(e.message)),
         (core_exceptions.TooManyFieldsError,
          lambda e: api_exceptions.BadRequestError(e.message)),
         (core_exceptions.OperationConflictError,
@@ -97,15 +105,10 @@ def install_exception_mappers(app: App) -> None:
 
 
 def _validate_device(request: Request) -> Optional[str]:
-    device = request.query_param("device")
-    if device is None:
-        return None
-    d = device.lower()
-    if not (d.startswith("cpu") or d.startswith("cuda") or d.startswith("tpu")):
-        raise api_exceptions.InvalidArgError(
-            f"Given device `{device}` is invalid. Acceptable devices are "
-            f"cpu, tpu, or cuda (mapped to the TPU)")
-    return device
+    # reference web/api_validation.py:49 validate_device +
+    # api_utils.translate_api_device: "?device=cuda2" -> "cuda:2"
+    from marqo_tpu.api.api_utils import translate_api_device
+    return translate_api_device(request.query_param("device"))
 
 
 def build_app(config: Config) -> App:

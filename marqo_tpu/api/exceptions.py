@@ -169,6 +169,13 @@ class StartupSanitationError(InternalError):
     code = "startup_sanitation_error"
 
 
+class BackendDataParsingError(InternalError):
+    """Reference api/exceptions.py:228 — engine payloads that fail to
+    parse are a 500 distinct from generic internal errors."""
+    code = "backend_data_parsing_error"
+    status_code = int(HTTPStatus.INTERNAL_SERVER_ERROR)
+
+
 class BackendCommunicationError(InternalError):
     code = "backend_communication_error"
     status_code = int(HTTPStatus.INTERNAL_SERVER_ERROR)

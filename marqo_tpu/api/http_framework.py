@@ -114,10 +114,10 @@ class App:
                 return mapper(exc)
         if isinstance(exc, pydantic.ValidationError):
             return api_exceptions.ValidationError(_format_validation_error(exc))
-        # dispatch already logged the original exception with exc_info
-        if isinstance(exc, MarqoError):
-            return api_exceptions.InternalError(
-                f"Marqo encountered an error: {exc.message}")
+        # dispatch already logged the original exception with exc_info;
+        # an UNMAPPED MarqoError's message must NOT reach the client
+        # (reference api.py:137-140: "This should abstract away internal
+        # error", test_base_exception_handler_unhandled_error)
         return api_exceptions.InternalError(
             "Marqo encountered an unexpected internal error.")
 
