@@ -165,7 +165,8 @@ class JaxHFTextModel(EmbeddingModel):
             from marqo_tpu.inference.model_download import (
                 auth_for_location, download_model)
             localpath = download_model(
-                location, auth_for_location(location, self.model_auth))
+                repo_location=location,
+                auth=auth_for_location(location, self.model_auth))
         elif self.properties.get("url") and not localpath:
             # public checkpoint URL (reference custom-model "url" flow,
             # model_download.py:102-140; zips extract to a directory)

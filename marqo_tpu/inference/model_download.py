@@ -18,6 +18,16 @@ CACHE_DIR = os.environ.get("MARQO_MODEL_CACHE_DIR",
                            os.path.expanduser("~/.cache/marqo_tpu/models"))
 
 
+class ModelCache:
+    """Cache directory layout (reference s2_inference/configs.py
+    ModelCache — clip checkpoints and HF snapshots cache separately;
+    CLIP_SAVE_PATH overrides like the reference's env var)."""
+    clip_cache_path = os.environ.get("CLIP_SAVE_PATH",
+                                     os.path.join(CACHE_DIR, "clip"))
+    hf_cache_path = os.environ.get("HF_SAVE_PATH",
+                                   os.path.join(CACHE_DIR, "hf"))
+
+
 def validate_model_auth(model_auth: Optional[Dict[str, Any]]) -> None:
     """At least one of s3/hf; both together is accepted (reference
     private_models.py:21-26 errors only when BOTH are missing)."""
@@ -38,23 +48,83 @@ def auth_for_location(model_location: Dict[str, Any],
     return model_auth if model_location.get("auth_required") else None
 
 
-def download_model(model_location: Dict[str, Any],
-                   model_auth: Optional[Dict[str, Any]] = None) -> str:
-    """Resolve a model_location to a local directory/file path.
+def download_model(repo_location=None, url: Optional[str] = None,
+                   auth=None, download_dir: Optional[str] = None) -> str:
+    """Resolve a checkpoint location to a local directory/file path
+    (reference model_download.py:20-61 download_model — exactly one of
+    repo_location/url; s3 goes through the presigned-URL flow, hf
+    through download_model_from_hf).
 
-    model_location forms (reference ModelLocation, private_models.py:38):
+    repo_location forms (reference ModelLocation, private_models.py:38):
       {"s3": {"Bucket": ..., "Key": ...}, "auth_required": bool}
       {"hf": {"repo_id": ..., "filename": optional}, "auth_required": bool}
+    auth: {"s3": {...}} / {"hf": {"token": ...}} dict (or None).
     """
-    validate_model_auth(model_auth)
+    single_weight_location_validation_msg = (
+        "only exactly one of parameters (repo_location, url) is allowed "
+        "to be specified.")
+    if repo_location is None and url is None:
+        raise InvalidModelPropertiesError(
+            single_weight_location_validation_msg)
+    if repo_location is not None and url is not None:
+        raise InvalidModelPropertiesError(
+            single_weight_location_validation_msg)
+    if url:
+        return download_pretrained_from_url(url=url, cache_dir=download_dir)
+    validate_model_auth(auth if isinstance(auth, dict) else None)
     os.makedirs(CACHE_DIR, exist_ok=True)
-    if model_location.get("s3"):
-        return _download_s3(model_location["s3"],
-                            (model_auth or {}).get("s3"))
-    if model_location.get("hf"):
-        return _download_hf(model_location["hf"], (model_auth or {}).get("hf"))
+    loc_s3 = repo_location.get("s3") if isinstance(repo_location, dict) \
+        else getattr(repo_location, "s3", None)
+    loc_hf = repo_location.get("hf") if isinstance(repo_location, dict) \
+        else getattr(repo_location, "hf", None)
+    auth_s3 = (auth or {}).get("s3") if isinstance(auth, dict) \
+        else getattr(auth, "s3", None)
+    auth_hf = (auth or {}).get("hf") if isinstance(auth, dict) \
+        else getattr(auth, "hf", None)
+    if loc_s3:
+        return download_pretrained_from_s3(location=loc_s3, auth=auth_s3,
+                                           download_dir=download_dir)
+    if loc_hf:
+        from marqo_tpu.inference.download_model_from_hf import \
+            download_model_from_hf
+        return _maybe_extract(download_model_from_hf(
+            location=loc_hf, auth=auth_hf, download_dir=download_dir))
     raise InvalidArgumentError(
         "model_location must specify one of `s3` or `hf`")
+
+
+class InvalidModelPropertiesError(InvalidArgumentError):
+    """Reference s2_inference/errors.py InvalidModelPropertiesError —
+    a 400 at the API boundary."""
+
+
+def download_pretrained_from_s3(location, auth=None,
+                                download_dir: Optional[str] = None) -> str:
+    """Reference model_download.py:64-101: serve from the Key-basename
+    cache when present, else presign + download; a 403 on the download
+    is the credentials error with the reference's exact wording."""
+    from urllib.error import HTTPError
+
+    from marqo_tpu.inference.download_model_from_s3 import (
+        check_s3_model_already_exists, get_presigned_s3_url,
+        get_s3_model_absolute_cache_path, get_s3_model_cache_filename)
+    if check_s3_model_already_exists(location=location,
+                                     download_dir=download_dir):
+        return _maybe_extract(get_s3_model_absolute_cache_path(
+            location=location, download_dir=download_dir))
+    url = get_presigned_s3_url(location=location, auth=auth)
+    try:
+        return download_pretrained_from_url(
+            url=url, cache_dir=download_dir,
+            cache_file_name=get_s3_model_cache_filename(location))
+    except HTTPError as e:
+        if e.code == 403:
+            # reference model_download.py:93-97
+            raise ModelDownloadError(
+                "Received 403 error when trying to retrieve model from s3 "
+                "storage. Please check the request's s3 credentials and "
+                "try again. ") from e
+        raise
 
 
 def download_pretrained_from_url(url: str,
@@ -66,7 +136,8 @@ def download_pretrained_from_url(url: str,
     Archives extract next to the download (the reference extracts via its
     ModelCache); callers get the file or extracted directory."""
     import urllib.request
-    cache_dir = cache_dir or os.path.join(CACHE_DIR, "url")
+    from urllib.error import HTTPError
+    cache_dir = os.path.expanduser(cache_dir or ModelCache.clip_cache_path)
     os.makedirs(cache_dir, exist_ok=True)
     filename = cache_file_name or os.path.basename(
         url.split("?")[0]) or "model.bin"
@@ -82,76 +153,13 @@ def download_pretrained_from_url(url: str,
                 if not chunk:
                     break
                 f.write(chunk)
+    except HTTPError:
+        # propagate: download_pretrained_from_s3 maps 403 to the
+        # credentials error (reference model_download.py:91-101)
+        raise
     except Exception as e:
         raise ModelDownloadError(
             f"Could not download model from url `{url}`: {e}") from e
-    os.replace(tmp, target)
-    return _maybe_extract(target)
-
-
-def _download_s3(location: Dict[str, Any],
-                 auth: Optional[Dict[str, Any]]) -> str:
-    """S3 object download. boto3 when present; otherwise the stdlib SigV4
-    signer (inference/s3_sigv4.py) — no extra dependency needed for the
-    reference's private-checkpoint flow."""
-    bucket, key = location.get("Bucket"), location.get("Key")
-    if not bucket or not key:
-        raise InvalidArgumentError("s3 model_location needs Bucket and Key")
-    target = os.path.join(CACHE_DIR, "s3", bucket, key.replace("/", "_"))
-    if os.path.exists(target):
-        return _maybe_extract(target)
-    os.makedirs(os.path.dirname(target), exist_ok=True)
-    auth = auth or {}
-    access_key = auth.get("aws_access_key_id") or \
-        os.environ.get("AWS_ACCESS_KEY_ID")
-    secret_key = auth.get("aws_secret_access_key") or \
-        os.environ.get("AWS_SECRET_ACCESS_KEY")
-    session_token = auth.get("aws_session_token") or \
-        os.environ.get("AWS_SESSION_TOKEN")
-    region = auth.get("region") or os.environ.get("AWS_REGION") or \
-        "us-east-1"
-    try:
-        import boto3  # preferred when available
-
-        kwargs = {}
-        if access_key:
-            kwargs = dict(aws_access_key_id=access_key,
-                          aws_secret_access_key=secret_key,
-                          aws_session_token=session_token)
-        client = boto3.client("s3", **kwargs)
-        client.download_file(bucket, key, target)
-        return _maybe_extract(target)
-    except ImportError:
-        pass
-    except Exception as e:
-        raise ModelDownloadError(
-            f"Could not download s3://{bucket}/{key}: {e}") from e
-    if not access_key or not secret_key:
-        raise ModelDownloadError(
-            f"s3://{bucket}/{key} needs credentials: provide model_auth.s3 "
-            "(aws_access_key_id/aws_secret_access_key) or AWS_* env vars")
-    from urllib.error import HTTPError
-
-    from marqo_tpu.inference.s3_sigv4 import s3_get
-    try:
-        blob = s3_get(bucket, key, access_key, secret_key,
-                      session_token=session_token, region=region,
-                      endpoint=os.environ.get("MARQO_S3_ENDPOINT"))
-    except HTTPError as e:
-        if e.code == 403:
-            # reference model_download.py:93-97
-            raise ModelDownloadError(
-                "Received 403 error when trying to retrieve model from s3 "
-                "storage. Please check the request's s3 credentials and "
-                "try again. ") from e
-        raise ModelDownloadError(
-            f"Could not download s3://{bucket}/{key}: {e}") from e
-    except Exception as e:
-        raise ModelDownloadError(
-            f"Could not download s3://{bucket}/{key}: {e}") from e
-    tmp = target + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
     os.replace(tmp, target)
     return _maybe_extract(target)
 
@@ -185,21 +193,3 @@ def _maybe_extract(path: str) -> str:
     else:
         return path
     return _resolve(out_dir)
-
-
-def _download_hf(location: Dict[str, Any],
-                 auth: Optional[Dict[str, Any]]) -> str:
-    from huggingface_hub import hf_hub_download, snapshot_download
-    repo_id = location.get("repo_id")
-    if not repo_id:
-        raise InvalidArgumentError("hf model_location needs repo_id")
-    token = (auth or {}).get("token")
-    try:
-        if location.get("filename"):
-            return hf_hub_download(repo_id=repo_id,
-                                   filename=location["filename"],
-                                   token=token)
-        return snapshot_download(repo_id=repo_id, token=token)
-    except Exception as e:
-        raise ModelDownloadError(
-            f"Could not download HF repo `{repo_id}`: {e}") from e

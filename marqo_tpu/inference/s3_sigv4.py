@@ -86,6 +86,54 @@ def sign_request(method: str, host: str, path: str,
     return out
 
 
+def presign_url(bucket: str, key: str, access_key: str, secret_key: str,
+                session_token: Optional[str] = None,
+                region: str = "us-east-1",
+                endpoint: Optional[str] = None,
+                expires: int = 3600,
+                timestamp: Optional[datetime.datetime] = None) -> str:
+    """SigV4 presigned GET URL (query-string auth) — the native stand-in
+    for boto3's generate_presigned_url('get_object') that the reference
+    uses (download_model_from_s3.py:10-28). Payload hash is
+    UNSIGNED-PAYLOAD per the AWS presign spec."""
+    now = timestamp or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date = now.strftime("%Y%m%d")
+    if endpoint:
+        base = endpoint.rstrip("/")
+        host = urllib.parse.urlparse(base).netloc
+        path = f"/{bucket}/{key}"
+        url_base = f"{base}/{bucket}/{urllib.parse.quote(key)}"
+    else:
+        host = (f"{bucket}.s3.amazonaws.com" if region == "us-east-1"
+                else f"{bucket}.s3.{region}.amazonaws.com")
+        path = f"/{key}"
+        url_base = f"https://{host}/{urllib.parse.quote(key)}"
+    scope = f"{date}/{region}/s3/aws4_request"
+    query = {
+        "X-Amz-Algorithm": "AWS4-HMAC-SHA256",
+        "X-Amz-Credential": f"{access_key}/{scope}",
+        "X-Amz-Date": amz_date,
+        "X-Amz-Expires": str(expires),
+        "X-Amz-SignedHeaders": "host",
+    }
+    if session_token:
+        query["X-Amz-Security-Token"] = session_token
+    canonical_query = "&".join(
+        f"{_uri_encode(k)}={_uri_encode(v)}"
+        for k, v in sorted(query.items()))
+    canonical_request = "\n".join([
+        "GET", _uri_encode(path, encode_slash=False), canonical_query,
+        f"host:{host}\n", "host", "UNSIGNED-PAYLOAD"])
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256", amz_date, scope,
+        hashlib.sha256(canonical_request.encode("utf-8")).hexdigest()])
+    signature = hmac.new(
+        signing_key(secret_key, date, region, "s3"),
+        string_to_sign.encode("utf-8"), hashlib.sha256).hexdigest()
+    return f"{url_base}?{canonical_query}&X-Amz-Signature={signature}"
+
+
 def s3_get(bucket: str, key: str, access_key: str, secret_key: str,
            session_token: Optional[str] = None,
            region: str = "us-east-1",

@@ -448,8 +448,9 @@ class JaxEVA02Model:
             from marqo_tpu.inference.model_download import (
                 auth_for_location, download_model)
             loc = self.properties["model_location"]
-            path = download_model(loc, auth_for_location(loc,
-                                                         self.model_auth))
+            path = download_model(
+                repo_location=loc,
+                auth=auth_for_location(loc, self.model_auth))
         self.text_config, self.vision_config = self._configs_for_name()
         if os.path.isdir(path):
             for fname in ("open_clip_pytorch_model.bin",

@@ -10,12 +10,13 @@ flows end-to-end against an in-process fake S3 (HTTP server validating
 SigV4 signatures) serving a REAL tiny HF checkpoint the loader loads.
 
 Adapted expectations (PARITY.md round-4):
-- The reference signs via boto3 presigned URLs; this image has no boto3,
-  so the stdlib SigV4 signer issues the authenticated GET directly — the
-  same credential check, asserted on the Authorization header.
+- The reference presigns via boto3 generate_presigned_url; this image has
+  no boto3, so the stdlib SigV4 presigner (s3_sigv4.presign_url) builds
+  the same query-string-authenticated URL — the credential check is
+  asserted on the X-Amz-Credential/X-Amz-Signature query params.
 - no-creds: the reference's live path raises through boto3
-  NoCredentialsError; here the download layer raises the explicit
-  "needs credentials" ModelDownloadError (same 400 envelope).
+  NoCredentialsError; here get_presigned_s3_url raises the reference's
+  "AWS credentials were not accepted" ModelDownloadError (same 400).
 """
 
 import os
@@ -75,8 +76,11 @@ class _FakeS3(BaseHTTPRequestHandler):
             {"path": self.path,
              "authorization": self.headers.get("Authorization", "")})
         is_public = self.path.startswith("/public/")
-        if type(self).reject_all or (not is_public and
-                "Signature=" not in self.headers.get("Authorization", "")):
+        # presigned-URL flow (reference get_presigned_s3_url): the SigV4
+        # signature rides the query string, not the Authorization header
+        signed = ("X-Amz-Signature=" in self.path
+                  and "X-Amz-Credential=" in self.path)
+        if type(self).reject_all or (not is_public and not signed):
             self.send_response(403)
             self.end_headers()
             return
@@ -121,6 +125,8 @@ AUTH = {"s3": {"aws_access_key_id": "12345",
 def config(monkeypatch, fake_s3, tmp_path):
     import marqo_tpu.inference.model_download as md
     monkeypatch.setattr(md, "CACHE_DIR", str(tmp_path / "model-cache"))
+    monkeypatch.setattr(md.ModelCache, "clip_cache_path",
+                        str(tmp_path / "model-cache" / "clip"))
     monkeypatch.setenv("MARQO_S3_ENDPOINT", fake_s3)
     inference.clear_loaded_models()
     cfg = Config()
@@ -141,9 +147,9 @@ class TestModelAuthS3:
             index_name=INDEX, docs=[{"a": "b"}], tensor_fields=["a"],
             model_auth=AUTH))
         assert not res["errors"], res["items"]
-        # the signed GET carried the request credentials
+        # the presigned GET carried the request credentials in the query
         seen = _FakeS3.requests_seen[-1]
-        assert "Credential=12345/" in seen["authorization"]
+        assert "X-Amz-Credential=12345%2F" in seen["path"]
         assert f"/{S3_BUCKET}/" in seen["path"]
 
     def test_after_downloading_auth_doesnt_matter(self, config):
@@ -286,6 +292,8 @@ class TestUrlAndHfLocations:
                                                  tmp_path, monkeypatch):
         import marqo_tpu.inference.model_download as md
         monkeypatch.setattr(md, "CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setattr(md.ModelCache, "clip_cache_path",
+                            str(tmp_path / "cache" / "clip"))
         inference.clear_loaded_models()
 
         server = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3)
@@ -320,12 +328,28 @@ class TestUrlAndHfLocations:
             inference.clear_loaded_models()
 
     def test_non_existent_hf_location(self, tmp_path, monkeypatch):
+        import marqo_tpu.inference.download_model_from_hf as hf_mod
         import marqo_tpu.inference.model_download as md
         monkeypatch.setattr(md, "CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setattr(md.ModelCache, "clip_cache_path",
+                            str(tmp_path / "cache" / "clip"))
+        # no hub egress: a nonexistent repo surfaces as the reference's
+        # RepositoryNotFoundError -> ModelDownloadError with the exact
+        # reference wording (download_model_from_hf.py:29-42)
+        from huggingface_hub.errors import RepositoryNotFoundError
+
+        def fake_hf_hub_download(**kwargs):
+            raise RepositoryNotFoundError("404: repo not found")
+
+        monkeypatch.setattr(hf_mod, "_real_hf_hub_download",
+                            fake_hf_hub_download, raising=False)
+        monkeypatch.setattr("huggingface_hub.hf_hub_download",
+                            fake_hf_hub_download)
         with pytest.raises(ModelDownloadError,
-                           match="Could not download HF repo"):
+                           match="Could not find the specified Hugging "
+                                 "Face model repository"):
             md.download_model(
-                {"hf": {"repo_id": "MyRepo/test-private",
-                        "filename": "some_model.pt"},
-                 "auth_required": True},
-                model_auth={"hf": {"token": "hf_some_secret_key"}})
+                repo_location={"hf": {"repo_id": "MyRepo/test-private",
+                                      "filename": "some_model.pt"},
+                               "auth_required": True},
+                auth={"hf": {"token": "hf_some_secret_key"}})

@@ -51,7 +51,8 @@ class _FakeS3(BaseHTTPRequestHandler):
             {"path": self.path,
              "authorization": self.headers.get("Authorization", ""),
              "amz_date": self.headers.get("X-Amz-Date", "")})
-        if "Signature=" not in self.headers.get("Authorization", ""):
+        # presigned-URL flow: SigV4 signature rides the query string
+        if "X-Amz-Signature=" not in self.path:
             self.send_response(403)
             self.end_headers()
             return
@@ -77,41 +78,50 @@ class TestS3Download:
     def test_download_via_stdlib_signer(self, fake_s3, tmp_path,
                                         monkeypatch):
         import marqo_tpu.inference.model_download as md
-        monkeypatch.setattr(md, "CACHE_DIR", str(tmp_path))
+        monkeypatch.setattr(md.ModelCache, "clip_cache_path",
+                            str(tmp_path))
         monkeypatch.setenv("MARQO_S3_ENDPOINT", fake_s3)
         path = md.download_model(
-            {"s3": {"Bucket": "models", "Key": "weights/model.bin"}},
-            model_auth={"s3": {"aws_access_key_id": "AK",
-                               "aws_secret_access_key": "SK"}})
+            repo_location={"s3": {"Bucket": "models",
+                                  "Key": "weights/model.bin"}},
+            auth={"s3": {"aws_access_key_id": "AK",
+                         "aws_secret_access_key": "SK"}})
         with open(path, "rb") as f:
             assert f.read() == _FakeS3.payload
         seen = _FakeS3.requests_seen[-1]
-        assert seen["path"] == "/models/weights/model.bin"
-        assert "Credential=AK/" in seen["authorization"]
-        assert "SignedHeaders=" in seen["authorization"]
+        # presigned query-string auth (reference get_presigned_s3_url)
+        assert seen["path"].startswith("/models/weights/model.bin?")
+        assert "X-Amz-Credential=AK%2F" in seen["path"]
+        assert "X-Amz-Signature=" in seen["path"]
         # second call is served from the on-disk cache: no new request
         before = len(_FakeS3.requests_seen)
         again = md.download_model(
-            {"s3": {"Bucket": "models", "Key": "weights/model.bin"}},
-            model_auth={"s3": {"aws_access_key_id": "AK",
-                               "aws_secret_access_key": "SK"}})
+            repo_location={"s3": {"Bucket": "models",
+                                  "Key": "weights/model.bin"}},
+            auth={"s3": {"aws_access_key_id": "AK",
+                         "aws_secret_access_key": "SK"}})
         assert again == path
         assert len(_FakeS3.requests_seen) == before
 
     def test_missing_credentials_clear_error(self, tmp_path, monkeypatch):
         import marqo_tpu.inference.model_download as md
-        monkeypatch.setattr(md, "CACHE_DIR", str(tmp_path))
+        monkeypatch.setattr(md.ModelCache, "clip_cache_path",
+                            str(tmp_path))
         for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
             monkeypatch.delenv(var, raising=False)
-        with pytest.raises(ModelDownloadError, match="credentials"):
-            md.download_model({"s3": {"Bucket": "b", "Key": "k"}})
+        # reference download_model_from_s3.py:24-27 wording
+        with pytest.raises(ModelDownloadError,
+                           match="AWS credentials were not accepted"):
+            md.download_model(
+                repo_location={"s3": {"Bucket": "b", "Key": "k"}})
 
     def test_unreachable_endpoint_wrapped(self, tmp_path, monkeypatch):
         import marqo_tpu.inference.model_download as md
-        monkeypatch.setattr(md, "CACHE_DIR", str(tmp_path))
+        monkeypatch.setattr(md.ModelCache, "clip_cache_path",
+                            str(tmp_path))
         monkeypatch.setenv("MARQO_S3_ENDPOINT", "http://127.0.0.1:1")
         with pytest.raises(ModelDownloadError, match="Could not download"):
             md.download_model(
-                {"s3": {"Bucket": "b", "Key": "k"}},
-                model_auth={"s3": {"aws_access_key_id": "AK",
-                                   "aws_secret_access_key": "SK"}})
+                repo_location={"s3": {"Bucket": "b", "Key": "k"}},
+                auth={"s3": {"aws_access_key_id": "AK",
+                             "aws_secret_access_key": "SK"}})
