@@ -341,3 +341,77 @@ class TestGridBoxGoldens:
 
 # heavy model/parity suite - excluded from the fast subset (pytest -m 'not slow')
 pytestmark = pytest.mark.slow
+
+
+class TestChunkImageCounts:
+    """Reference tests/processing/test_image_chunking.py residuals:
+    chunk_image patch counts per method, first patch = whole image
+    (:232-320 test_chunk_image_simple/overlap/pytorch/yolox/dino,
+    PatchifySimple/Patchify* invariants :27-120)."""
+
+    def _img(self, h=256, w=384):
+        rng = np.random.default_rng(0)
+        return rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+
+    def test_chunk_image_simple(self):
+        from marqo_tpu.inference.image_patching import chunk_image
+        img = self._img()
+        patches, bboxes = chunk_image(img, "simple")
+        assert len(patches) == 3 * 3 + 1
+        assert len(patches) == len(bboxes)
+        assert patches[0].shape == img.shape  # first patch = whole image
+        np.testing.assert_array_equal(patches[0], img)
+
+        patches, bboxes = chunk_image(img, "simple?hn=2&wn=3")
+        assert len(patches) == 2 * 3 + 1
+        assert patches[0].shape == img.shape
+
+    def test_chunk_image_overlap(self):
+        from marqo_tpu.inference.image_patching import chunk_image
+        img = self._img()
+        patches, bboxes = chunk_image(img, "overlap")
+        assert len(patches) == 3 * 3 + (3 - 1) * (3 - 1) + 1
+        assert patches[0].shape == img.shape
+
+        patches, bboxes = chunk_image(img, "overlap?wn=4&hn=2")
+        assert len(patches) == 4 * 2 + (4 - 1) * (2 - 1) + 1
+        assert patches[0].shape == img.shape
+
+    @pytest.mark.parametrize("method", ["frcnn", "yolox", "dino-v1",
+                                        "dino-v2"])
+    def test_chunk_image_detectors(self, method, monkeypatch):
+        monkeypatch.setenv("MARQO_PATCH_MODELS_RANDOM_INIT", "TRUE")
+        from marqo_tpu.inference.image_patching import chunk_image
+        img = self._img()
+        patches, bboxes = chunk_image(img, method)
+        assert len(patches) >= 1
+        assert len(patches) == len(bboxes)
+        assert patches[0].shape == img.shape
+
+    def test_patches_match_bboxes(self):
+        """Every patch slices exactly its bbox string (PatchifySimple
+        invariant len(patches)==len(bboxes), patch == crop)."""
+        import ast
+
+        from marqo_tpu.inference.image_patching import chunk_image
+        img = self._img(120, 150)
+        patches, bboxes = chunk_image(img, "simple?hn=2&wn=2")
+        for patch, bbox in zip(patches, bboxes):
+            left, top, right, bottom = ast.literal_eval(bbox)
+            np.testing.assert_array_equal(patch, img[top:bottom,
+                                                     left:right])
+
+
+class TestAttentionToBboxes:
+    """Reference tests/processing/test_image_DINO_utils.py
+    test_attention_to_boxes golden: two binary squares -> two exact
+    boxes (DINO_utils.py:146-173 attention_to_bboxs)."""
+
+    def test_attention_to_boxes(self):
+        from marqo_tpu.inference.image_patching import _DinoPatcher
+        attention = np.zeros((224, 224))
+        attention[100:120, 100:120] = 1
+        attention[20:40, 20:40] = 1
+        boxes = _DinoPatcher._attention_to_bboxes(attention)
+        assert len(boxes) == 2
+        assert set(boxes) == {(100, 100, 120, 120), (20, 20, 40, 40)}
