@@ -85,6 +85,15 @@ class ModelError(MarqoError):
     pass
 
 
+class RerankerError(ModelError):
+    """Reference s2_inference/errors.py RerankerError — reranking
+    failures surface as 400s at the search layer."""
+
+
+class RerankerNameError(RerankerError):
+    """Reference RerankerNameError — unknown reranker model name."""
+
+
 class ModelNotInCacheError(ModelError):
     pass
 

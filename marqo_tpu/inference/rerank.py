@@ -18,7 +18,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from marqo_tpu.core.exceptions import InvalidArgumentError, ModelLoadError
+from marqo_tpu.core.exceptions import (InvalidArgumentError, ModelLoadError,
+                                       RerankerError, RerankerNameError)
 from marqo_tpu.inference.types import Device
 from marqo_tpu.models.cross_encoder import JaxCrossEncoder
 
@@ -230,29 +231,55 @@ def clear_rerankers() -> None:
     _rerankers.clear()
 
 
+def _check_searchable_fields_in_results(search_result: dict,
+                                        searchable_fields) -> bool:
+    """None is allowed (text rerankers concat all fields); otherwise at
+    least one hit must carry one of the fields, else reranking is
+    SKIPPED silently (reference rerank.py:27-31, 57-72)."""
+    if searchable_fields is None:
+        return True
+    return any(any(s in hit for s in searchable_fields)
+               for hit in search_result.get("hits", []))
+
+
 def rerank_search_results(search_result: dict, query: str, model_name: str,
                           device: Optional[str] = None,
                           searchable_attributes: Optional[List[str]] = None,
                           properties: Optional[dict] = None) -> None:
-    """Re-scores ``search_result['hits']`` in place."""
-    if searchable_attributes is None:
-        raise InvalidArgumentError(
-            "searchable_attributes cannot be None when re-ranking. Specify "
-            "which fields to extract content from.")
+    """Re-scores ``search_result['hits']`` in place (reference
+    rerank.py:12-54: no-hit-has-the-field skips reranking; owl requires
+    a non-empty searchable_attributes list and reranks over the FIRST
+    attribute only; text rerankers accept None = all fields)."""
     if not isinstance(query, str):
         raise InvalidArgumentError(
             "Re-ranking requires a string query")
+    if not _check_searchable_fields_in_results(search_result,
+                                               searchable_attributes):
+        return
     hits = search_result.get("hits", [])
     if not hits:
         return
     if "owl" in model_name.lower():
-        _rerank_images(search_result, query, model_name, device,
-                       searchable_attributes, properties)
+        if searchable_attributes in (None, [], (), ""):
+            # reference rerank.py:34-36 exact wording
+            raise RerankerError(
+                f"found searchable_attributes={searchable_attributes} but "
+                f"expected list of strings for {model_name}")
+        try:
+            _rerank_images(search_result, query, model_name, device,
+                           [searchable_attributes[0]], properties)
+        except RerankerError:
+            raise
+        except (ModelLoadError, InvalidArgumentError) as e:
+            # reference rerank.py:44-45 wraps loader errors
+            raise RerankerError(str(e)) from e
         return
     model = _get_reranker(model_name, Device.normalize(device), properties)
     texts = []
     for hit in hits:
-        parts = [str(hit[attr]) for attr in searchable_attributes
+        attrs = searchable_attributes if searchable_attributes is not None \
+            else [k for k in hit if not k.startswith("_")]
+        parts = [str(hit[attr]) for attr in attrs
                  if attr in hit and isinstance(hit.get(attr), (str, int, float))]
         texts.append(" ".join(parts) if parts else "")
     scores = model.score(query, texts)
@@ -265,25 +292,28 @@ def _rerank_images(search_result: dict, query: str, model_name: str,
                    device: Optional[str],
                    searchable_attributes: List[str],
                    properties: Optional[dict]) -> None:
-    """OWL-ViT image leg (reference rerank.py:32-44: owl requires
-    searchable_attributes; only the FIRST attribute is reranked over)."""
-    if not searchable_attributes:
-        raise InvalidArgumentError(
-            f"found searchable_attributes={searchable_attributes} but "
-            f"expected list of strings for {model_name}")
+    """OWL-ViT image leg. Hits WITHOUT the image attribute are REMOVED
+    from the reranked results (reference ReRankerOwl formats only rows
+    carrying the field and merges back on it —
+    test_reranking_images_owl_inconsistent asserts N_out == N_in)."""
+    if model_name not in OWL_MODEL_MAP:
+        # reference cross_encoders.py:364 exact wording
+        raise RerankerNameError(
+            f"could not find model_name={model_name} in mappings "
+            f"{list(OWL_MODEL_MAP.keys())}")
     attribute = searchable_attributes[0]
     hits = search_result["hits"]
     model = _get_reranker(model_name, Device.normalize(device), properties)
     pointers = [hit.get(attribute) for hit in hits]
     scorable = [i for i, p in enumerate(pointers) if isinstance(p, str)]
     outcomes = model.score_images(query, [pointers[i] for i in scorable])
-    unscored = set(range(len(hits))) - set(scorable)
+    kept = []
     for i, outcome in zip(scorable, outcomes):
         if outcome.get("error"):
             hits[i]["_score"] = 0.0
         else:
             hits[i]["_score"] = outcome["score"]
             hits[i]["_highlights"] = [{attribute: outcome["box"]}]
-    for i in unscored:  # hits without the image field rank last
-        hits[i]["_score"] = 0.0
-    hits.sort(key=lambda h: -h.get("_score", 0.0))
+        kept.append(hits[i])
+    kept.sort(key=lambda h: -h.get("_score", 0.0))
+    search_result["hits"] = kept

@@ -384,7 +384,13 @@ def search(config: Config, index_name: str,
                                 media_download_headers)
 
     if reranker is not None:
-        # optional cross-encoder rerank (reference tensor_search.py:1619-1637)
+        # optional cross-encoder rerank (reference tensor_search.py:1619-1637;
+        # rerank_query:1443-1456 — None searchable_attributes is a 400 with
+        # this exact wording, and any rerank failure wraps as BadRequest)
+        if searchable_attributes is None:
+            raise api_exceptions.InvalidArgError(
+                "searchable_attributes cannot be None when re-ranking. "
+                "Specify which fields to search and rerank over.")
         from marqo_tpu.inference.rerank import rerank_search_results
         rerank_search_results(result, text if isinstance(text, str) else "",
                               reranker, device=device,

@@ -51,11 +51,47 @@ class TestRerankIntegration:
         # scores are cross-encoder logits now, not the original 0.1/0.9
         assert set(scores) != {0.1, 0.9}
 
-    def test_requires_searchable_attributes(self):
-        with pytest.raises(InvalidArgumentError):
-            rerank_search_results({"hits": [{"_id": "a"}]}, "q",
-                                  "test-reranker", searchable_attributes=None,
-                                  properties=PROPS)
+    def test_none_searchable_attributes_uses_all_fields(self):
+        # module-level None = concat all non-underscore fields (reference
+        # rerank.py ReRankerText; the API layer rejects None separately)
+        result = {"hits": [
+            {"_id": "a", "title": "red apple pie", "_score": 0.1},
+            {"_id": "b", "title": "green pear tart", "_score": 0.9},
+        ]}
+        rerank_search_results(result, "red apple", "test-reranker",
+                              device="cpu", searchable_attributes=None,
+                              properties=PROPS)
+        scores = [h["_score"] for h in result["hits"]]
+        assert scores == sorted(scores, reverse=True)
+        assert set(scores) != {0.1, 0.9}
+
+    def test_search_layer_rejects_none_searchable_attributes(self):
+        # reference tensor_search.py:1446-1447 exact wording
+        from marqo_tpu.api import exceptions as api_exceptions
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.config import Config
+        from marqo_tpu.inference import vectorise as inference
+        from marqo_tpu.tensor_search import tensor_search
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="test").to_marqo_index("rr-none-index"))
+        cfg.index_meta_cache.populate()
+        with pytest.raises(api_exceptions.InvalidArgError,
+                           match="cannot be None when re-ranking"):
+            tensor_search.search(cfg, "rr-none-index", text="q",
+                                 reranker="test-reranker",
+                                 reranker_properties=PROPS)
+        inference.clear_loaded_models()
+
+    def test_skips_when_no_hit_has_the_field(self):
+        # reference rerank.py:27-31 — silently skip, scores untouched
+        result = {"hits": [{"_id": "a", "other": "x", "_score": 0.7}]}
+        rerank_search_results(result, "q", "test-reranker", device="cpu",
+                              searchable_attributes=["title"],
+                              properties=PROPS)
+        assert result["hits"][0]["_score"] == 0.7
 
     def test_search_with_reranker_e2e(self):
         from marqo_tpu.api.models.index_settings import IndexSettings
@@ -118,18 +154,32 @@ class TestOwlImageReranker:
             assert len(box) == 4
             x1, y1, x2, y2 = box
             assert 0 <= x1 <= x2 <= 64 and 0 <= y1 <= y2 <= 48
-        # the no-image hit ranks last with score 0
-        assert hits["c"]["_score"] == 0.0
-        assert result["hits"][-1]["_id"] == "c"
+        # hits WITHOUT the image field are REMOVED (reference
+        # test_reranking_images_owl_inconsistent: N_out == N_in)
+        assert "c" not in hits
+        assert len(result["hits"]) == 2
         scores = [h["_score"] for h in result["hits"]]
         assert scores == sorted(scores, reverse=True)
 
     def test_requires_searchable_attributes(self):
-        with pytest.raises(InvalidArgumentError, match="searchable_attributes"):
-            rerank_search_results({"hits": [{"_id": "x"}]}, "q",
+        # reference rerank.py:34-36 — RerankerError with exact wording
+        from marqo_tpu.core.exceptions import RerankerError
+        with pytest.raises(RerankerError,
+                           match="found searchable_attributes"):
+            rerank_search_results({"hits": [{"_id": "x", "f": 1}]}, "q",
                                   "owl/ViT-B/32", device="cpu",
-                                  searchable_attributes=[],
+                                  searchable_attributes=None,
                                   properties=self.OWL_PROPS)
+
+    def test_unknown_owl_model_name(self):
+        # reference cross_encoders.py:364 via RerankerNameError
+        from marqo_tpu.core.exceptions import RerankerError
+        with pytest.raises(RerankerError,
+                           match="could not find model_name="):
+            rerank_search_results(
+                {"hits": [{"_id": "x", "img": "a.png"}]}, "q",
+                "google/owlvt-base-patch32", device="cpu",
+                searchable_attributes=["img"], properties=self.OWL_PROPS)
 
     def test_unreadable_image_scores_zero(self, tmp_path):
         img = self._image(tmp_path, "ok.png", 3)
