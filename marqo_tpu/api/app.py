@@ -204,8 +204,10 @@ def build_app(config: Config) -> App:
         # api.py:240-243 @utils.enable_ops_api)
         _feature_gate("MARQO_ENABLE_OPS_API", "ops")
         index_name = request.path_params["index_name"]
-        settings = bind_body(request, IndexSettings)
-        settings.to_marqo_index(index_name)  # raises on invalid
+        from marqo_tpu.core.index_management.index_management import \
+            IndexManagement
+        IndexManagement.validate_index_settings(
+            index_name, request.body or {})  # raises on invalid
         return {"validated": True, "index": index_name}
 
     # --- search / recommend / embed --------------------------------------

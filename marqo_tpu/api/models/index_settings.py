@@ -255,10 +255,10 @@ class IndexSettings(BaseModel):
             }
         if index.model.custom and index.model.properties:
             result["modelProperties"] = index.model.properties
-        if index.model.text_query_prefix is not None:
-            result["textQueryPrefix"] = index.model.text_query_prefix
-        if index.model.text_chunk_prefix is not None:
-            result["textChunkPrefix"] = index.model.text_chunk_prefix
+        # NB: textQueryPrefix/textChunkPrefix are intentionally ABSENT —
+        # the reference's from_marqo_index (index_settings.py:202-242)
+        # never renders them back, even when user-set (test_get_settings
+        # default-settings goldens pin the exact dict)
         if isinstance(index, core.StructuredMarqoIndex):
             result["allFields"] = [
                 {

@@ -35,6 +35,17 @@ class IndexManagement:
     def settings_store(self) -> IndexSettingsStore:
         return self._store
 
+    @classmethod
+    def validate_index_settings(cls, index_name: str,
+                                settings_dict: dict) -> None:
+        """Validate a settings dict without creating anything (reference
+        index_management.py:62-80: parse IndexSettings, then build the
+        index request; raises pydantic ValidationError / InvalidArgError,
+        returns None when valid)."""
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        index_settings = IndexSettings(**settings_dict)
+        index_settings.to_marqo_index(index_name)
+
     def bootstrap(self) -> bool:
         """Initialize the settings store and re-deploy persisted indexes
         into the engine (reference bootstrap_vespa). A held cross-replica

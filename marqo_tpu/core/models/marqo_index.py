@@ -371,8 +371,18 @@ class StructuredMarqoIndex(MarqoIndex):
 
     @cached_property
     def filterable_fields_names(self) -> Set[str]:
-        return ({f.name for f in self.fields if FieldFeature.Filter in f.features}
-                | {constants.MARQO_DOC_ID})
+        # `_id` became filterable in 2.2.0 (reference marqo_index.py
+        # filterable_fields_names version gate; test_marqo_index.py:12-72)
+        names = {f.name for f in self.fields
+                 if FieldFeature.Filter in f.features}
+        try:
+            major, minor = (int(x) for x in
+                            str(self.marqo_version).split(".")[:2])
+            if (major, minor) >= (2, 2):
+                names |= {constants.MARQO_DOC_ID}
+        except ValueError:
+            names |= {constants.MARQO_DOC_ID}
+        return names
 
     @cached_property
     def score_modifier_fields_names(self) -> Set[str]:

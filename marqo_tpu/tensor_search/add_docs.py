@@ -83,6 +83,19 @@ class MediaDownloadError(InvalidArgumentError):
     pass
 
 
+def encode_url(url: str) -> str:
+    """Percent-encode a URL the way the reference does (clip_utils.py:196-215
+    encode_url = requests.utils.requote_uri: spaces/unicode encoded,
+    existing %-escapes and reserved characters preserved)."""
+    import requests.utils
+    return requests.utils.requote_uri(url)
+
+
+# reference clip_utils.py:148-193 download_image_from_url sends a default
+# bot User-Agent; request-supplied headers may override it
+DEFAULT_MEDIA_HEADERS = {"User-Agent": "Marqobot/1.0"}
+
+
 def fetch_content(pointer: str,
                   media_download_headers: Optional[Dict[str, str]] = None,
                   timeout: float = 3.0) -> bytes:
@@ -95,8 +108,9 @@ def fetch_content(pointer: str,
             raise MediaDownloadError(f"Invalid data URI: {e}")
     if _URL_RE.match(pointer):
         import requests
+        headers = {**DEFAULT_MEDIA_HEADERS, **(media_download_headers or {})}
         try:
-            resp = requests.get(pointer, headers=media_download_headers or {},
+            resp = requests.get(encode_url(pointer), headers=headers,
                                 timeout=timeout)
             resp.raise_for_status()
             return resp.content
