@@ -37,6 +37,48 @@ def _mods_json(mods: Optional[List[ScoreModifier]]):
             for m in mods]
 
 
+# engine-shard HTTP status → per-document API (status, message), the role
+# of the reference's VespaClient.translate_vespa_document_response
+# (vespa_client.py:579-607; matrix pinned by tests/vespa/
+# test_vespa_client.py:433-457)
+_ENGINE_DOC_STATUS_MAP = {
+    200: (200, None),
+    404: (404, "Document does not exist in the index"),
+    # conditional updates report missing docs as 412
+    412: (404, "Document does not exist in the index"),
+    429: (429, "Marqo vector store receives too many requests. "
+               "Please try again later"),
+    507: (400, "Marqo vector store is out of memory or disk space"),
+}
+
+
+class EngineHTTPError(BackendCommunicationError):
+    """Engine-shard HTTP error carrying the upstream status for per-doc
+    translation (role of httpx.HTTPStatusError in the reference client)."""
+
+    def __init__(self, status: int, body: str):
+        self.status = status
+        self.body = body
+        super().__init__(f"Engine error {status}: {body}")
+
+
+def translate_engine_document_response(status: int,
+                                       message: Optional[str] = None):
+    """Translate an engine-shard document response to the API's
+    per-document (status, message). Unexpected statuses log an error and
+    become a 500."""
+    if status in _ENGINE_DOC_STATUS_MAP:
+        return _ENGINE_DOC_STATUS_MAP[status]
+    if status == 400 and isinstance(message, str) and \
+            "could not parse field" in message.lower():
+        return 400, (f"The document contains invalid characters in the "
+                     f"fields. Original error: {message} ")
+    logger.error(f"An unexpected error occurred from the engine document "
+                 f"response. status: {status}, message: {message}")
+    return 500, ("Marqo vector store returns an unexpected error with "
+                 "this document")
+
+
 class RemoteStoreEngine:
     """StoreEngine-compatible facade over an engine shard server."""
 
@@ -71,8 +113,7 @@ class RemoteStoreEngine:
         if resp.status_code == 409:
             raise IndexExistsError(resp.json().get("message", "conflict"))
         if resp.status_code >= 400:
-            raise BackendCommunicationError(
-                f"Engine error {resp.status_code}: {resp.text[:500]}")
+            raise EngineHTTPError(resp.status_code, resp.text[:500])
         return resp.json()
 
     # -- DDL --
@@ -119,6 +160,13 @@ class RemoteStoreEngine:
                 self.feed(index_name, doc["id"], doc.get("fields", {}),
                           doc.get("tensors"))
                 return i, {"id": doc["id"], "status": 200}
+            except EngineHTTPError as e:
+                # per-doc status translation (reference vespa_client.py:
+                # 579-607 translate_vespa_document_response)
+                status, message = translate_engine_document_response(
+                    e.status, e.body)
+                return i, {"id": doc.get("id"), "status": status,
+                           "message": message}
             except Exception as e:
                 return i, {"id": doc.get("id"), "status": 500,
                            "message": str(e)}

@@ -143,3 +143,64 @@ class TestSearchTimeout:
             engine.query_lexical("x", ["a"], [], limit=5)
         assert _time.monotonic() - start < 0.9  # aborted before the 1s sleep
         server.shutdown()
+
+
+class TestDocumentResponseTranslation:
+    """Ported reference tests/vespa/test_vespa_client.py:433-464 —
+    engine-shard HTTP status -> per-document API (status, message)."""
+
+    CASES = [
+        (200, None, 200, None),
+        (404, None, 404, "Document does not exist in the index"),
+        (412, None, 404, "Document does not exist in the index"),
+        (429, None, 429, "Marqo vector store receives too many requests. "
+                         "Please try again later"),
+        (507, None, 400, "Marqo vector store is out of memory or disk "
+                         "space"),
+        (123, None, 500, "Marqo vector store returns an unexpected error "
+                         "with this document"),
+        (400, None, 500, "Marqo vector store returns an unexpected error "
+                         "with this document"),
+        (400, "could not parse field", 400,
+         "The document contains invalid characters in the fields. "
+         "Original error: could not parse field"),
+    ]
+
+    def test_translate_engine_document_response_status(self):
+        from marqo_tpu.engine.client import \
+            translate_engine_document_response
+        for status, message, want_status, want_message in self.CASES:
+            got_status, got_message = translate_engine_document_response(
+                status, message)
+            assert got_status == want_status, (status, message)
+            if want_message:
+                assert want_message in got_message, (status, message)
+
+    def test_translate_engine_document_response_logging(self, monkeypatch):
+        """Unexpected statuses log an error once (reference :458-463)."""
+        import marqo_tpu.engine.client as client_mod
+        calls = []
+        monkeypatch.setattr(client_mod.logger, "error",
+                            lambda *a, **k: calls.append(a))
+        client_mod.translate_engine_document_response(400, None)
+        assert len(calls) == 1
+
+    def test_feed_batch_translates_shard_statuses(self, monkeypatch):
+        """A shard 507 surfaces as a per-doc 400 out-of-space item, not a
+        batch failure."""
+        from marqo_tpu.engine.client import (EngineHTTPError,
+                                             RemoteStoreEngine)
+        engine = RemoteStoreEngine("http://127.0.0.1:1")
+
+        def fake_feed(index_name, doc_id, fields, tensors=None):
+            if doc_id == "full":
+                raise EngineHTTPError(507, "disk full")
+
+        monkeypatch.setattr(engine, "feed", fake_feed)
+        results = engine.feed_batch("idx", [
+            {"id": "ok", "fields": {}},
+            {"id": "full", "fields": {}},
+        ])
+        assert results[0]["status"] == 200
+        assert results[1]["status"] == 400
+        assert "out of memory or disk space" in results[1]["message"]
