@@ -40,6 +40,28 @@ def translate_api_device(device: Optional[str]) -> Optional[str]:
             f"Acceptable device types: {ACCEPTABLE_DEVICES}")
 
 
+def validate_api_device_string(device: Optional[str]) -> Optional[str]:
+    """Validate (without translating) an API device string (reference
+    web/api_validation.py:10-46 validate_api_device_string: non-strings
+    and colon forms are InvalidArgError; valid forms return unchanged)."""
+    if device is None:
+        return device
+    if not isinstance(device, str):
+        raise InvalidArgError(
+            f"Device must be a str! Given "
+            f"device `{device}` of type {type(device).__name__}")
+    lowered = device.lower()
+    for acceptable in ACCEPTABLE_DEVICES:
+        if lowered.startswith(acceptable):
+            suffix = lowered.replace(acceptable, "", 1)
+            if not suffix or suffix.isdigit():
+                return device
+            break
+    raise InvalidArgError(
+        f"Given device `{device}` isn't  a known device type. "
+        f"Acceptable device types: {ACCEPTABLE_DEVICES}")
+
+
 def decode_image_download_headers(image_download_headers: Optional[str]
                                   = None) -> dict:
     """URL-encoded JSON dict -> dict; empty -> {} (reference :53-73)."""
