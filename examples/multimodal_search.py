@@ -24,6 +24,12 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if "--cpu" in sys.argv:
+    # force the CPU backend (e.g. when the TPU tunnel is unavailable);
+    # must happen before any jax-importing module loads
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from PIL import Image
 
 from marqo_tpu.api.models.index_settings import IndexSettings
