@@ -88,13 +88,11 @@ def install_exception_mappers(app: App) -> None:
          lambda e: api_exceptions.InternalError(e.message)),
         (core_exceptions.DeviceError,
          lambda e: api_exceptions.InternalError(e.message)),
-        # private-model download failures (bad/missing creds, 403s) are a
-        # 400 BadRequestError, as the reference's model-auth suite asserts
-        # (test_model_auth.py:705-751), not an internal error
-        (core_exceptions.ModelDownloadError,
-         lambda e: api_exceptions.BadRequestError(e.message)),
-        (core_exceptions.ModelLoadError,
-         lambda e: api_exceptions.ModelLoadError(e.message)),
+        # NB: ModelDownloadError / ModelLoadError are ModelError
+        # subclasses, so the (ModelError -> BadRequestError 400) entry
+        # above already covers them — exactly the reference's behavior
+        # (api.py:110 maps core ModelError before anything more specific;
+        # model-auth 403s surface as 400s, test_model_auth.py:705-751)
         (InvalidArgumentError,
          lambda e: api_exceptions.InvalidArgError(e.message)),
         (ValueError,
@@ -204,10 +202,14 @@ def build_app(config: Config) -> App:
         # api.py:240-243 @utils.enable_ops_api)
         _feature_gate("MARQO_ENABLE_OPS_API", "ops")
         index_name = request.path_params["index_name"]
+        if not isinstance(request.body, dict):
+            # missing or non-object bodies are a 400, not a 500/false-OK
+            raise api_exceptions.InvalidArgError(
+                "Request body must be a JSON object of index settings")
         from marqo_tpu.core.index_management.index_management import \
             IndexManagement
         IndexManagement.validate_index_settings(
-            index_name, request.body or {})  # raises on invalid
+            index_name, request.body)  # raises on invalid
         return {"validated": True, "index": index_name}
 
     # --- search / recommend / embed --------------------------------------

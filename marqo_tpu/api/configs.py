@@ -16,6 +16,9 @@ from typing import Any, Dict, Optional
 def default_env_vars() -> Dict[str, Any]:
     return {
         # --- request limits ---
+        # legacy v1 knob, not enforced (matches the reference: listed in
+        # api/configs.py:21 with no v2 reader; superseded by the per-kind
+        # MARQO_MAX_{TENSOR,LEXICAL}_FIELD_COUNT_UNSTRUCTURED caps)
         "MARQO_MAX_INDEX_FIELDS": None,
         "MARQO_MAX_DOC_BYTES": 100_000,
         "MARQO_MAX_RETRIEVABLE_DOCS": 10_000,

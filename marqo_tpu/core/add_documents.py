@@ -355,6 +355,10 @@ class AddDocumentsHandler:
             elif type_value == "array<float>" and isinstance(value, list):
                 fields[field] = [self._fp32(v) if isinstance(v, float)
                                  else v for v in value]
+            elif type_value == "map<text, float>" and \
+                    isinstance(value, dict):
+                fields[field] = {k: self._fp32(v) if isinstance(v, float)
+                                 else v for k, v in value.items()}
 
     @staticmethod
     def _fp32(value: float) -> float:
@@ -704,9 +708,17 @@ class AddDocumentsHandler:
                 collector.collect_success(
                     assigned_id, position=self._positions.get(assigned_id))
             except Exception as e:
+                status, code, message = 500, "backend_error", str(e)
+                from marqo_tpu.engine.client import (
+                    EngineHTTPError, translate_engine_document_response)
+                if isinstance(e, EngineHTTPError):
+                    # remote-shard statuses translate per document
+                    # (reference vespa_client.py:579-607 matrix)
+                    status, message = translate_engine_document_response(
+                        e.status, e.body)
                 collector.collect_error(
                     self._error_id(assigned_id),
-                    DocError(str(e), status=500, code="backend_error"),
+                    DocError(message, status=status, code=code),
                     position=self._positions.get(assigned_id))
 
     def _vectorise_plans(self, plans, existing_tensors, collector):

@@ -7,7 +7,7 @@ ModelDownloadError with the reference's message, and any other error
 propagates unchanged.
 """
 
-from typing import Any, Dict, Optional, Union
+from typing import Any, Dict, Optional
 
 from marqo_tpu.core.exceptions import ModelDownloadError
 from marqo_tpu.logging import get_logger
@@ -15,11 +15,11 @@ from marqo_tpu.logging import get_logger
 logger = get_logger(__name__)
 
 
-def _as_kwargs(obj: Union[Dict[str, Any], Any], fields) -> Dict[str, Any]:
+def _as_kwargs(obj, fields) -> Dict[str, Any]:
+    from marqo_tpu.inference.model_download import field_of
     out = {}
     for name in fields:
-        value = obj.get(name) if isinstance(obj, dict) else \
-            getattr(obj, name, None)
+        value = field_of(obj, name)
         if value is not None:
             out[name] = value
     return out

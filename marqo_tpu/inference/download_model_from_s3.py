@@ -10,16 +10,13 @@ ParamValidationError).
 """
 
 import os
-from typing import Any, Dict, Optional, Union
+from typing import Optional
 
 from marqo_tpu.core.exceptions import (InvalidArgumentError,
                                        ModelDownloadError)
 
 
-def _field(obj: Union[Dict[str, Any], Any], name: str):
-    if isinstance(obj, dict):
-        return obj.get(name)
-    return getattr(obj, name, None)
+from marqo_tpu.inference.model_download import field_of as _field
 
 
 def get_presigned_s3_url(location, auth=None) -> str:

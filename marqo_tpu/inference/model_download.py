@@ -18,6 +18,15 @@ CACHE_DIR = os.environ.get("MARQO_MODEL_CACHE_DIR",
                            os.path.expanduser("~/.cache/marqo_tpu/models"))
 
 
+def field_of(obj, name: str):
+    """dict-or-attribute accessor for location/auth objects (dicts from
+    model_properties, or pydantic-style objects) — the one shared copy
+    used by download_model and the s3/hf helper modules."""
+    if isinstance(obj, dict):
+        return obj.get(name)
+    return getattr(obj, name, None)
+
+
 class ModelCache:
     """Cache directory layout (reference s2_inference/configs.py
     ModelCache — clip checkpoints and HF snapshots cache separately;
@@ -73,14 +82,10 @@ def download_model(repo_location=None, url: Optional[str] = None,
         return download_pretrained_from_url(url=url, cache_dir=download_dir)
     validate_model_auth(auth if isinstance(auth, dict) else None)
     os.makedirs(CACHE_DIR, exist_ok=True)
-    loc_s3 = repo_location.get("s3") if isinstance(repo_location, dict) \
-        else getattr(repo_location, "s3", None)
-    loc_hf = repo_location.get("hf") if isinstance(repo_location, dict) \
-        else getattr(repo_location, "hf", None)
-    auth_s3 = (auth or {}).get("s3") if isinstance(auth, dict) \
-        else getattr(auth, "s3", None)
-    auth_hf = (auth or {}).get("hf") if isinstance(auth, dict) \
-        else getattr(auth, "hf", None)
+    loc_s3 = field_of(repo_location, "s3")
+    loc_hf = field_of(repo_location, "hf")
+    auth_s3 = field_of(auth, "s3") if auth is not None else None
+    auth_hf = field_of(auth, "hf") if auth is not None else None
     if loc_s3:
         return download_pretrained_from_s3(location=loc_s3, auth=auth_s3,
                                            download_dir=download_dir)
@@ -116,7 +121,8 @@ def download_pretrained_from_s3(location, auth=None,
     try:
         return download_pretrained_from_url(
             url=url, cache_dir=download_dir,
-            cache_file_name=get_s3_model_cache_filename(location))
+            cache_file_name=get_s3_model_cache_filename(location),
+            raise_http_errors=True)
     except HTTPError as e:
         if e.code == 403:
             # reference model_download.py:93-97
@@ -129,8 +135,8 @@ def download_pretrained_from_s3(location, auth=None,
 
 def download_pretrained_from_url(url: str,
                                  cache_dir: Optional[str] = None,
-                                 cache_file_name: Optional[str] = None
-                                 ) -> str:
+                                 cache_file_name: Optional[str] = None,
+                                 raise_http_errors: bool = False) -> str:
     """Public checkpoint URL download, cached by basename (reference
     core/inference/model_download.py:102-140 download_pretrained_from_url).
     Archives extract next to the download (the reference extracts via its
@@ -153,10 +159,13 @@ def download_pretrained_from_url(url: str,
                 if not chunk:
                     break
                 f.write(chunk)
-    except HTTPError:
-        # propagate: download_pretrained_from_s3 maps 403 to the
-        # credentials error (reference model_download.py:91-101)
-        raise
+    except HTTPError as e:
+        if raise_http_errors:
+            # download_pretrained_from_s3 maps 403 to the credentials
+            # error (reference model_download.py:91-101)
+            raise
+        raise ModelDownloadError(
+            f"Could not download model from url `{url}`: {e}") from e
     except Exception as e:
         raise ModelDownloadError(
             f"Could not download model from url `{url}`: {e}") from e

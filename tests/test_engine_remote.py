@@ -204,3 +204,41 @@ class TestDocumentResponseTranslation:
         assert results[0]["status"] == 200
         assert results[1]["status"] == 400
         assert "out of memory or disk space" in results[1]["message"]
+
+    def test_add_documents_path_translates_shard_statuses(self,
+                                                          monkeypatch):
+        """The REAL ingest path (AddDocumentsHandler._feed_plans ->
+        engine.feed) must apply the same translation: a shard 507
+        becomes a per-item 400 out-of-space error, not a generic 500."""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.config import Config
+        from marqo_tpu.core.models.add_docs_params import AddDocsParams
+        from marqo_tpu.engine.client import EngineHTTPError
+        from marqo_tpu.inference import vectorise as inference
+        from marqo_tpu.tensor_search import tensor_search
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="test").to_marqo_index("shard-status-ix"))
+        cfg.index_meta_cache.populate()
+
+        real_feed = cfg.engine.feed
+
+        def feed(schema, doc_id, fields, tensors=None):
+            if doc_id == "full":
+                raise EngineHTTPError(507, "disk full")
+            return real_feed(schema, doc_id, fields, tensors)
+
+        monkeypatch.setattr(cfg.engine, "feed", feed)
+        res = tensor_search.add_documents(cfg, AddDocsParams(
+            index_name="shard-status-ix",
+            docs=[{"_id": "ok", "t": "fine"}, {"_id": "full", "t": "big"}],
+            tensor_fields=["t"]))
+        items = {i["_id"]: i for i in res["items"]}
+        assert items["ok"]["status"] == 200
+        assert items["full"]["status"] == 400
+        assert "out of memory or disk space" in items["full"]["error"]
+        inference.clear_loaded_models()

@@ -49,6 +49,8 @@ FIELDS = [
                  features=[FieldFeature.Filter]),
     FieldRequest(name="array_double_field_1", type=FieldType.ArrayDouble,
                  features=[FieldFeature.Filter]),
+    FieldRequest(name="map_float_field_1", type=FieldType.MapFloat,
+                 features=[FieldFeature.ScoreModifier]),
 ]
 
 
@@ -488,7 +490,10 @@ class TestAddDocumentsStructured:
                 ({"_id": "1", "float_field_1": 1e-50},
                  {"_id": "1", "float_field_1": 0}),
                 ({"_id": "2", "float_field_1": -1e-50},
-                 {"_id": "2", "float_field_1": 0})]:
+                 {"_id": "2", "float_field_1": 0}),
+                # map<text, float> values are fp32 cells too
+                ({"_id": "3", "map_float_field_1": {"a": 1e-50}},
+                 {"_id": "3", "map_float_field_1": {"a": 0}})]:
             res = _add(config, INDEX_1, [doc])
             assert res["errors"] is False, res
             returned = tensor_search.get_document_by_id(

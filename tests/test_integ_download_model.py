@@ -112,7 +112,8 @@ class TestDownloadPretrainedFromS3:
         # the cache file name comes from the KEY, not the URL
         mock_dl.assert_called_once_with(url="http://example.com/model.pt",
                                         cache_dir=None,
-                                        cache_file_name="test_key.pt")
+                                        cache_file_name="test_key.pt",
+                                        raise_http_errors=True)
 
     def test_model_download_raises_403_error(self):
         with patch("marqo_tpu.inference.download_model_from_s3."
