@@ -234,11 +234,9 @@ def build_app(config: Config) -> App:
         text = query.q
         context = (query.context.model_dump() if query.context else None)
         if isinstance(text, CustomVectorQuery):
-            extra = {"tensor": [{"vector": text.customVector.vector,
-                                 "weight": 1.0}]}
-            context = ({"tensor": context["tensor"] + extra["tensor"]}
-                       if context else extra)
-            text = None
+            # tensor_search.search handles the vector/content split
+            # (vector → tensor leg, content → lexical leg)
+            text = {"customVector": text.customVector.model_dump()}
         return tensor_search.search(
             config, index_name, text=text,
             search_method=query.searchMethod,

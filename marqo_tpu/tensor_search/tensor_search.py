@@ -306,6 +306,31 @@ def search(config: Config, index_name: str,
         validate_searchable_attributes
     validate_searchable_attributes(searchable_attributes, method)
 
+    # custom-vector query normalisation (reference CustomVectorQuery,
+    # test_hybrid_search.py:315-434): the supplied VECTOR joins the
+    # context for the tensor leg (mean with any context vectors) while
+    # the CONTENT string drives the lexical leg
+    custom_vector_content = None
+    _cv = None
+    if isinstance(text, dict) and set(text.keys()) == {"customVector"} \
+            and isinstance(text["customVector"], dict):
+        _cv = text["customVector"]
+    elif hasattr(text, "customVector"):
+        _cv = text.customVector
+        if not isinstance(_cv, dict):
+            _cv = _cv.model_dump() if hasattr(_cv, "model_dump") else \
+                dict(_cv)
+    if _cv is not None:
+        if not isinstance(_cv, dict) or not _cv.get("vector"):
+            raise api_exceptions.InvalidArgError(
+                "Custom vector query must provide a non-empty `vector`")
+        extra = [{"vector": _cv["vector"], "weight": 1.0}]
+        context = ({"tensor": list((context or {}).get("tensor", []))
+                    + extra} if context else {"tensor": extra})
+        custom_vector_content = _cv.get("content")
+        text = custom_vector_content if method == SEARCH_METHOD_LEXICAL \
+            else None
+
     if attributes_to_retrieve is not None and \
             not isinstance(attributes_to_retrieve, (list, tuple)):
         # reference test_attributes_to_retrieve_non_list: strings/dicts/
@@ -381,7 +406,8 @@ def search(config: Config, index_name: str,
                                 attributes_to_retrieve, device,
                                 show_highlights, text_query_prefix,
                                 hybrid_parameters, model_auth, expose_facets,
-                                media_download_headers)
+                                media_download_headers,
+                                lexical_text=custom_vector_content)
 
     if reranker is not None:
         # optional cross-encoder rerank (reference tensor_search.py:1619-1637;
@@ -489,7 +515,10 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
                    approximate, search_filter, attributes_to_retrieve, device,
                    show_highlights, text_query_prefix, hybrid_parameters,
                    model_auth, expose_facets,
-                   media_download_headers=None) -> dict:
+                   media_download_headers=None, lexical_text=None) -> dict:
+    """``lexical_text``: a custom-vector query's CONTENT — the tensor leg
+    uses the supplied vector (via context) while the lexical leg matches
+    the content string (reference test_hybrid_search.py:315-434)."""
     params = HybridParameters(**(hybrid_parameters or {}))
     from marqo_tpu.core.models.marqo_index import (IndexType,
                                                    SemiStructuredMarqoIndex)
@@ -505,9 +534,10 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
             "support `searchableAttributesTensor` or "
             "`searchableAttributesLexical`. Please set these attributes "
             "to None.")
-    if text is None:
+    if text is None and lexical_text is None:
         # a None query is only a context-vector tensor search in disguise
-        # (reference hybrid_search.py:132-142)
+        # (reference hybrid_search.py:132-142); a custom-vector query with
+        # content still has a lexical leg and is exempt
         if not (params.retrievalMethod == RetrievalMethod.Tensor
                 and params.rankingMethod == RankingMethod.Tensor):
             raise InvalidArgumentError(
@@ -525,8 +555,9 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
         vector = compute_query_vector(index, text, context, device,
                                       text_query_prefix, model_auth,
                                       media_download_headers)
-    if isinstance(text, str):
-        and_phrases, or_terms = parse_lexical_query(text)
+    lexical_query = lexical_text if lexical_text is not None else text
+    if isinstance(lexical_query, str):
+        and_phrases, or_terms = parse_lexical_query(lexical_query)
     else:
         and_phrases, or_terms = [], []
 

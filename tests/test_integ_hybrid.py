@@ -351,3 +351,63 @@ class TestHybridResidual:
             hybrid_parameters={"retrievalMethod": "tensor",
                                "rankingMethod": "tensor"})
         assert len(res["hits"]) > 0
+
+
+class TestHybridCustomVectorQuery:
+    """Reference test_hybrid_search.py:315-560 (structured +
+    semi-structured custom-vector query): the query VECTOR drives the
+    tensor leg (mean with context), the CONTENT drives the lexical leg."""
+
+    @pytest.mark.parametrize("index_name", [STRUCTURED, UNSTRUCTURED])
+    def test_custom_vector_query_content_drives_lexical_leg(self, config,
+                                                            index_name):
+        _add(config, index_name)
+        dims = 16
+        # content matches doc12's distinctive lexical text
+        res = tensor_search.search(
+            config, index_name,
+            text={"customVector": {"content": "puppies",
+                                   "vector": [0.1] * dims}},
+            search_method="HYBRID",
+            hybrid_parameters={"retrievalMethod": "disjunction",
+                               "rankingMethod": "rrf", "alpha": 0.5})
+        ids = [h["_id"] for h in res["hits"]]
+        assert "doc12" in ids  # lexical leg found the content match
+
+    @pytest.mark.parametrize("index_name", [STRUCTURED, UNSTRUCTURED])
+    def test_custom_vector_query_no_content_tensor_tensor(self, config,
+                                                          index_name):
+        """No content + tensor/tensor: pure vector search, no None-query
+        error (reference :404-434)."""
+        _add(config, index_name)
+        dims = 16
+        res = tensor_search.search(
+            config, index_name,
+            text={"customVector": {"vector": [0.4] * dims}},
+            search_method="HYBRID",
+            hybrid_parameters={"retrievalMethod": "tensor",
+                               "rankingMethod": "tensor"})
+        assert len(res["hits"]) > 0
+
+    @pytest.mark.parametrize("index_name", [STRUCTURED, UNSTRUCTURED])
+    def test_custom_vector_query_vector_means_with_context(self, config,
+                                                           index_name):
+        """Vector [v] + context [2v] -> query embedding 1.5v (reference
+        :365-400 asserts the exact mean)."""
+        import numpy as np
+
+        from marqo_tpu.tensor_search.tensor_search import \
+            compute_query_vector
+        _add(config, index_name)
+        dims = 16
+        v = [0.5] * dims
+        index = config.index_meta_cache.get_index(index_name)
+        merged = compute_query_vector(
+            index, None,
+            {"tensor": [{"vector": v, "weight": 1.0},
+                        {"vector": [x * 2 for x in v], "weight": 1.0}]},
+            None, None, None, None)
+        expected = np.asarray(v) * 1.5
+        if index.normalize_embeddings:
+            expected = expected / np.linalg.norm(expected)
+        np.testing.assert_allclose(np.asarray(merged), expected, atol=1e-6)
