@@ -242,3 +242,53 @@ class TestDocumentResponseTranslation:
         assert items["full"]["status"] == 400
         assert "out of memory or disk space" in items["full"]["error"]
         inference.clear_loaded_models()
+
+
+class TestLocalRemoteParityFuzz:
+    """Property check: the SAME randomized feed/get/delete/query sequence
+    against the in-process StoreEngine and through the HTTP shard
+    transport must produce identical outcomes (role of the reference's
+    pyvespa-vs-VespaClient equivalence)."""
+
+    def test_randomized_sequence_parity(self, remote):
+        import random
+
+        from marqo_tpu.engine.descriptor import IndexDescriptor
+        rng = random.Random(42)
+        local = StoreEngine(n_shards=2)
+        local.create_index(IndexDescriptor(name="fuzz-par",
+                                           model_dimensions=8))
+        remote.create_index(IndexDescriptor(name="fuzz-par-remote",
+                                            model_dimensions=8))
+
+        ids = [f"d{i}" for i in range(30)]
+        for step in range(120):
+            op = rng.choice(["feed", "get", "delete", "query", "count"])
+            doc_id = rng.choice(ids)
+            if op == "feed":
+                vec = _unit([rng.uniform(-1, 1) for _ in range(8)])
+                fields = {"n": rng.randint(0, 9), "t": f"word{step % 7}"}
+                tensors = {"t": {"chunks": [fields["t"]],
+                                 "embeddings": [vec]}}
+                local.feed("fuzz-par", doc_id, dict(fields), tensors)
+                remote.feed("fuzz-par-remote", doc_id, dict(fields),
+                            tensors)
+            elif op == "get":
+                a = local.get("fuzz-par", doc_id)
+                b = remote.get("fuzz-par-remote", doc_id)
+                assert a == b, (step, doc_id, a, b)
+            elif op == "delete":
+                a = local.delete("fuzz-par", doc_id)
+                b = remote.delete("fuzz-par-remote", doc_id)
+                assert a == b, (step, doc_id)
+            elif op == "count":
+                assert local.doc_count("fuzz-par") == \
+                    remote.doc_count("fuzz-par-remote"), step
+            else:
+                qv = _unit([rng.uniform(-1, 1) for _ in range(8)])
+                ra = local.query_tensor("fuzz-par", qv, limit=5)
+                rb = remote.query_tensor("fuzz-par-remote", qv, limit=5)
+                assert [h.doc_id for h in ra.hits] == \
+                    [h.doc_id for h in rb.hits], step
+                for ha, hb in zip(ra.hits, rb.hits):
+                    assert abs(ha.score - hb.score) < 1e-5, step
