@@ -480,15 +480,23 @@ class AddDocumentsHandler:
             return declared is not None and declared.type in (
                 FieldType.ImagePointer, FieldType.VideoPointer,
                 FieldType.AudioPointer)
+        treat_images = getattr(self.index,
+                               "treat_urls_and_pointers_as_images", False)
+        treat_media = bool(getattr(self.index,
+                                   "treat_urls_and_pointers_as_media",
+                                   False))
+        if not (treat_images or treat_media):
+            # URL-as-text index: never classify (infer_modality may
+            # sample-fetch extension-less URLs — reference only sniffs
+            # when URLs are treated as media)
+            return False
         if not is_media_pointer(value):
             return False
         modality = infer_modality(value)
         if modality == Modality.IMAGE:
-            return getattr(self.index,
-                           "treat_urls_and_pointers_as_images", False)
+            return treat_images
         if modality in (Modality.AUDIO, Modality.VIDEO):
-            return bool(getattr(self.index,
-                                "treat_urls_and_pointers_as_media", False))
+            return treat_media
         return False
 
     # -- main entry --

@@ -76,6 +76,20 @@ def infer_modality(value: Any) -> Modality:
         return Modality.VIDEO
     if lowered.endswith(AUDIO_EXTENSIONS):
         return Modality.AUDIO
+    if _URL_RE.match(value):
+        # extension-less URL: sniff a content sample's magic bytes
+        # (reference multimodal_model_load.py:167-183 fetch_content_sample
+        # + libmagic; test_no_extension_image_url_infer_modality)
+        try:
+            import requests
+            with requests.get(encode_url(value), stream=True, timeout=3.0,
+                              headers=dict(DEFAULT_MEDIA_HEADERS)) as resp:
+                resp.raise_for_status()
+                sample = next(resp.iter_content(chunk_size=10240), b"")
+        except Exception as e:
+            raise MediaDownloadError(
+                f"Error downloading media file {value}: {e}") from e
+        return infer_modality(sample)
     return Modality.TEXT
 
 

@@ -199,3 +199,104 @@ class TestAddDocsVectorisePath:
         assert res["errors"] is True
         assert [i["status"] for i in res["items"]] == [200, 400, 200]
         assert res["items"][1]["code"] == "invalid_document_id"
+
+
+class TestCombinedResiduals:
+    """Round-4 additions (reference test_add_documents_combined.py:
+    204-239 truncated image, 470-567 image-embedded-as-image,
+    894-906 webp / extension-less URL modality)."""
+
+    CLIP_PROPS = {"type": "clip", "dimensions": 24, "random_init": True,
+                  "image_size": 32, "architecture": {"patch_size": 8}}
+
+    @pytest.fixture
+    def img_config(self):
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(IndexSettings(
+            model="my-test-clip", modelProperties=self.CLIP_PROPS,
+            treatUrlsAndPointersAsImages=True,
+        ).to_marqo_index("adc-img"))
+        cfg.index_meta_cache.populate()
+        yield cfg
+        inference.clear_loaded_models()
+
+    def test_add_documents_with_truncated_image(self, img_config,
+                                                tmp_path):
+        """A truncated image fails THAT doc with a media error; the batch
+        survives (reference :204-239)."""
+        from PIL import Image
+        good = tmp_path / "good.png"
+        Image.new("RGB", (32, 32), color=(10, 200, 10)).save(good)
+        truncated = tmp_path / "truncated.png"
+        truncated.write_bytes(good.read_bytes()[:60])  # cut mid-stream
+        res = tensor_search.add_documents(img_config, AddDocsParams(
+            index_name="adc-img",
+            docs=[{"_id": "good", "img": str(good)},
+                  {"_id": "bad", "img": str(truncated)}],
+            tensor_fields=["img"]))
+        items = {i["_id"]: i for i in res["items"]}
+        assert items["good"]["status"] == 200
+        assert items["bad"]["status"] == 400
+        assert "Could not process the media file found at" in \
+            items["bad"]["error"]
+
+    def test_image_url_is_embedded_as_image_not_text(self, img_config,
+                                                     tmp_path):
+        """The stored embedding for an image pointer equals the IMAGE
+        embedding, not the embedding of the URL string (reference
+        :470-507)."""
+        from PIL import Image
+        img = tmp_path / "thing.png"
+        Image.new("RGB", (32, 32), color=(200, 10, 10)).save(img)
+        res = tensor_search.add_documents(img_config, AddDocsParams(
+            index_name="adc-img", docs=[{"_id": "1", "img": str(img)}],
+            tensor_fields=["img"]))
+        assert res["errors"] is False, res
+        stored = np.asarray(tensor_search.get_document_by_id(
+            img_config, "adc-img", "1",
+            show_vectors=True)["_tensor_facets"][0]["_embedding"])
+        as_image = np.asarray(inference.vectorise(
+            "my-test-clip", [str(img)], model_properties=self.CLIP_PROPS,
+            device="cpu", modality="image", normalize=True))[0]
+        as_text = np.asarray(inference.vectorise(
+            "my-test-clip", [str(img)], model_properties=self.CLIP_PROPS,
+            device="cpu", normalize=True))[0]
+        np.testing.assert_allclose(stored, as_image, atol=1e-5)
+        assert np.abs(stored - as_text).sum() > 1e-3
+
+    def test_webp_url_infer_modality(self):
+        from marqo_tpu.inference.types import Modality
+        from marqo_tpu.tensor_search.add_docs import infer_modality
+        assert infer_modality(
+            "https://i.example.com/g/img/s-l1600.webp") == Modality.IMAGE
+
+    def test_no_extension_image_url_infer_modality(self):
+        """Extension-less URLs are sniffed via a content sample
+        (reference multimodal_model_load.py:167-183)."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from marqo_tpu.inference.types import Modality
+        from marqo_tpu.tensor_search.add_docs import infer_modality
+
+        class PngNoExt(BaseHTTPRequestHandler):
+            def do_GET(self):
+                body = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), PngNoExt)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            url = (f"http://127.0.0.1:{server.server_address[1]}"
+                   f"/catalogue/image/by-rb-work/157037551/simple-preview")
+            assert infer_modality(url) == Modality.IMAGE
+        finally:
+            server.shutdown()
