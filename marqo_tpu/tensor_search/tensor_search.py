@@ -291,6 +291,9 @@ def search(config: Config, index_name: str,
            reranker_properties: Optional[dict] = None,
            media_download_headers: Optional[dict] = None) -> dict:
     start = time.perf_counter()
+    original_query = text  # echoed verbatim in the response (reference
+    # tensor_search.py:1639 — None stays null, custom-vector queries echo
+    # their object form)
     _validate_pagination(limit, offset)
     method = str(search_method).upper()
     if method not in (SEARCH_METHOD_TENSOR, SEARCH_METHOD_LEXICAL,
@@ -423,7 +426,7 @@ def search(config: Config, index_name: str,
                               searchable_attributes=searchable_attributes,
                               properties=reranker_properties)
 
-    result["query"] = text if text is not None else ""
+    result["query"] = original_query
     result["limit"] = limit
     result["offset"] = offset
     result["processingTimeMs"] = round((time.perf_counter() - start) * 1000)
