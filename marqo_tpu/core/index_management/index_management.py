@@ -19,8 +19,19 @@ from marqo_tpu.logging import get_logger
 
 logger = get_logger(__name__)
 
-DEPLOYMENT_LOCK_TIMEOUT = 5.0  # seconds (reference: acquire timeout on ZK lock)
 BOOTSTRAP_LOCK_TIMEOUT = 15.0  # bounded wait at startup; never blocks boot
+
+
+def _deployment_lock_timeout() -> float:
+    """DDL lock acquire timeout, seconds. Reference api/configs.py:54
+    defaults MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT to 5 and config.py:46
+    reads it per-process."""
+    import os
+    raw = os.environ.get("MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT", "")
+    try:
+        return float(raw) if raw else 5.0
+    except ValueError:
+        return 5.0
 
 
 class IndexManagement:
@@ -70,7 +81,7 @@ class IndexManagement:
 
     def _ddl_lock(self):
         return self._lock.context(
-            timeout=DEPLOYMENT_LOCK_TIMEOUT,
+            timeout=_deployment_lock_timeout(),
             failure_message="Another index creation/deletion operation is in "
                             "progress. Your request is rejected. Please try "
                             "again later")

@@ -172,3 +172,36 @@ class TestIndexManagement:
         im.create_index(_index("im-list-2"))
         names = {i.name for i in im.get_all_indexes()}
         assert {"im-list-1", "im-list-2"} <= names
+
+
+class TestDeploymentLockTimeout:
+    """MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT is honored per-operation
+    (reference api/configs.py:54 default 5; config.py:46 reads the env)."""
+
+    def test_default_is_five_seconds(self, monkeypatch):
+        from marqo_tpu.core.index_management import index_management as im_mod
+        monkeypatch.delenv("MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT",
+                           raising=False)
+        assert im_mod._deployment_lock_timeout() == 5.0
+
+    def test_env_override_and_bad_values(self, monkeypatch):
+        from marqo_tpu.core.index_management import index_management as im_mod
+        monkeypatch.setenv("MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT", "2")
+        assert im_mod._deployment_lock_timeout() == 2.0
+        monkeypatch.setenv("MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT", "bogus")
+        assert im_mod._deployment_lock_timeout() == 5.0
+
+    def test_ddl_lock_uses_env_timeout(self, config, monkeypatch):
+        monkeypatch.setenv("MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT", "0.25")
+        im = config.index_management
+        seen = {}
+        real_context = im._lock.context
+
+        def spy(timeout, failure_message):
+            seen["timeout"] = timeout
+            return real_context(timeout=timeout,
+                                failure_message=failure_message)
+
+        monkeypatch.setattr(im._lock, "context", spy)
+        im.create_index(_index("im-lock-timeout"))
+        assert seen["timeout"] == 0.25
