@@ -324,6 +324,13 @@ def search(config: Config, index_name: str,
             _cv = _cv.model_dump() if hasattr(_cv, "model_dump") else \
                 dict(_cv)
     if _cv is not None:
+        # reference validation.py:35-40: custom-vector queries are only
+        # valid for HYBRID/TENSOR (message names HYBRID only)
+        if method not in (SEARCH_METHOD_TENSOR, SEARCH_METHOD_HYBRID):
+            raise api_exceptions.InvalidArgError(
+                'Custom vector search is currently only supported for '
+                'search_method="HYBRID" \nReceived search_method '
+                f'`{search_method}`.')
         if not isinstance(_cv, dict) or not _cv.get("vector"):
             raise api_exceptions.InvalidArgError(
                 "Custom vector query must provide a non-empty `vector`")
@@ -331,8 +338,13 @@ def search(config: Config, index_name: str,
         context = ({"tensor": list((context or {}).get("tensor", []))
                     + extra} if context else {"tensor": extra})
         custom_vector_content = _cv.get("content")
-        text = custom_vector_content if method == SEARCH_METHOD_LEXICAL \
-            else None
+        text = None
+    else:
+        # reference tensor_search.py:1517 validate_query: dict multi-
+        # queries only for TENSOR (with kv-type checks); non-str/dict/None
+        # q values are a 400
+        from marqo_tpu.tensor_search.validation import validate_query
+        validate_query(text, search_method)
 
     if attributes_to_retrieve is not None and \
             not isinstance(attributes_to_retrieve, (list, tuple)):

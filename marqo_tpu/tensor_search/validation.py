@@ -122,7 +122,7 @@ def validate_query(q, search_method) -> Optional[Union[dict, str]]:
                           SearchMethod.TENSOR.value):
             raise InvalidArgError(
                 'Custom vector search is currently only supported for '
-                f'search_method="HYBRID"\nReceived search_method '
+                f'search_method="HYBRID" \nReceived search_method '
                 f'`{search_method}`.')
         return q
     if isinstance(q, dict):

@@ -9,6 +9,7 @@ Runs over structured + semi-structured indexes like the reference.
 
 import pytest
 
+from marqo_tpu.api import exceptions as api_exceptions
 from marqo_tpu.api.models.index_settings import FieldRequest, IndexSettings
 from marqo_tpu.config import Config
 from marqo_tpu.core.models.add_docs_params import AddDocsParams
@@ -411,3 +412,57 @@ class TestHybridCustomVectorQuery:
         if index.normalize_embeddings:
             expected = expected / np.linalg.norm(expected)
         np.testing.assert_allclose(np.asarray(merged), expected, atol=1e-6)
+
+
+class TestValidateQueryMatrix:
+    """Reference validation.py:24-72 via tensor_search.py:1517 — the q
+    type/method matrix is enforced at the search entry."""
+
+    def test_custom_vector_rejected_for_lexical(self, config):
+        _add(config, UNSTRUCTURED)
+        with pytest.raises(api_exceptions.InvalidArgError,
+                           match='only supported for search_method="HYBRID"'):
+            tensor_search.search(
+                config, UNSTRUCTURED,
+                text={"customVector": {"content": "puppies",
+                                       "vector": [0.1] * 16}},
+                search_method="LEXICAL")
+
+    def test_custom_vector_allowed_for_tensor(self, config):
+        _add(config, UNSTRUCTURED)
+        res = tensor_search.search(
+            config, UNSTRUCTURED,
+            text={"customVector": {"vector": [0.1] * 16}},
+            search_method="TENSOR")
+        assert len(res["hits"]) > 0
+
+    @pytest.mark.parametrize("method", ["LEXICAL", "HYBRID"])
+    def test_multi_query_dict_only_for_tensor(self, config, method):
+        _add(config, UNSTRUCTURED)
+        with pytest.raises(api_exceptions.InvalidArgError,
+                           match='only supported for search_method="TENSOR"'):
+            tensor_search.search(config, UNSTRUCTURED,
+                                 text={"dogs": 1.0, "cats": -0.5},
+                                 search_method=method)
+
+    def test_empty_multi_query_dict_rejected(self, config):
+        _add(config, UNSTRUCTURED)
+        with pytest.raises(api_exceptions.InvalidArgError,
+                           match="at least one query"):
+            tensor_search.search(config, UNSTRUCTURED, text={},
+                                 search_method="TENSOR")
+
+    def test_multi_query_bad_value_type_rejected(self, config):
+        _add(config, UNSTRUCTURED)
+        with pytest.raises(api_exceptions.InvalidArgError,
+                           match="<string>:<float> pairs"):
+            tensor_search.search(config, UNSTRUCTURED,
+                                 text={"dogs": "high"},
+                                 search_method="TENSOR")
+
+    def test_non_str_dict_none_query_rejected(self, config):
+        _add(config, UNSTRUCTURED)
+        with pytest.raises(api_exceptions.InvalidArgError,
+                           match="must be a 'string', a 'dict', or 'None'"):
+            tensor_search.search(config, UNSTRUCTURED, text=12345,
+                                 search_method="TENSOR")
