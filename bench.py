@@ -342,7 +342,50 @@ SECTIONS = [
     ("ingest", ingest_bench, 540,
      ("add_documents_e2e_ingest", "min", 1500)),        # band ~2000-2100
 ]
+def chip_probe() -> None:
+    """Tiny conv-shaped matmul + fetch: a cheap liveness probe run before
+    the wedge-prone ViT-L section (round-4 saw three clip-section hangs),
+    so a clip timeout attributes itself — chip already wedged before clip
+    vs wedged BY the clip compile. Exit 0 = chip answered."""
+    import jax.numpy as jnp
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    y = float((x @ x).sum())
+    assert y == 256.0 * 256 * 256
+
+
 SECTION_FNS = {name: fn for name, fn, _, _ in SECTIONS}
+SECTION_FNS["chip_probe"] = chip_probe
+
+PROBE_TIMEOUT_S = 120  # process start + jax import + tiny compile + fetch
+
+
+def _preprobe_chip(events: list) -> bool:
+    """Run chip_probe as a subprocess. A clean fast probe stays silent
+    (bench_events must remain empty on healthy runs); slow or failed
+    probes are recorded. Returns False when the chip looks wedged."""
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section",
+             "chip_probe"],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        events.append({"event": "chip_preprobe_timeout",
+                       "timeout_s": PROBE_TIMEOUT_S,
+                       "note": "chip wedged BEFORE the clip section"})
+        return False
+    elapsed = time.perf_counter() - t0
+    if proc.returncode != 0:
+        events.append({"event": "chip_preprobe_failed", "rc": proc.returncode,
+                       "elapsed_s": round(elapsed, 1),
+                       "stderr_tail": (proc.stderr or "").strip()[-200:]})
+        return False
+    if elapsed > 60:
+        events.append({"event": "chip_preprobe_slow",
+                       "elapsed_s": round(elapsed, 1),
+                       "note": "probe answered but slowly; chip may be "
+                               "degrading"})
+    return True
 
 
 def _run_child(name: str) -> None:
@@ -414,6 +457,13 @@ def orchestrate() -> int:
                            "note": "skipped: global 40-min budget spent"})
             continue
         timeout = min(timeout, remaining)
+        if name == "clip" and not _preprobe_chip(events):
+            # chip is already unresponsive: skip the ViT-L section rather
+            # than burning its full timeout (later sections still run and
+            # may succeed if the wedge clears)
+            events.append({"event": "section_skipped", "section": name,
+                           "note": "chip_preprobe failed"})
+            continue
         metrics = _run_section(name, timeout, events)
         if _is_degraded(check, metrics) and \
                 budget_deadline - time.monotonic() > timeout:

@@ -29,9 +29,21 @@ def _deployment_lock_timeout() -> float:
     import os
     raw = os.environ.get("MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT", "")
     try:
-        return float(raw) if raw else 5.0
+        value = float(raw) if raw else 5.0
     except ValueError:
+        # the reference fails loudly on unparseable int env vars
+        # (config.py:46 read_env_vars_and_defaults_ints); we stay available
+        # but make the operator typo visible instead of silently ignoring it
+        logger.warning(
+            f"MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT={raw!r} is not a number; "
+            f"using default 5.0s")
         return 5.0
+    if value < 0:
+        logger.warning(
+            f"MARQO_INDEX_DEPLOYMENT_LOCK_TIMEOUT={raw!r} is negative; "
+            f"clamping to 0 (non-blocking acquire)")
+        return 0.0
+    return value
 
 
 class IndexManagement:

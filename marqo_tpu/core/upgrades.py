@@ -50,6 +50,26 @@ def _migrate_2_12_to_2_13(settings: dict) -> dict:
     return settings
 
 
+def find_migration_path(from_version: str, to_version: str):
+    """Compose registered single-step migrations into a multi-hop path
+    (2.12→2.14 = 2.12→2.13 then 2.13→2.14); BFS over the registered edges
+    so the shortest chain wins — the reference runner likewise selects a
+    per-version path (upgrades/upgrade.py:50). Returns an ordered list of
+    migration callables, or None when no path exists."""
+    from collections import deque
+    queue = deque([(from_version, [])])
+    seen = {from_version}
+    while queue:
+        current, path = queue.popleft()
+        if current == to_version:
+            return path
+        for (src, dst), fn in _MIGRATIONS.items():
+            if src == current and dst not in seen:
+                seen.add(dst)
+                queue.append((dst, path + [fn]))
+    return None
+
+
 class UpgradeRunner:
     """Applies pending migrations to every persisted index-settings doc
     (reference UpgradeRunner._for_version, upgrade.py:50)."""
@@ -63,11 +83,16 @@ class UpgradeRunner:
         to_version = _minor(__version__)
         if from_version == to_version:
             return {"from": from_version, "to": to_version, "migrated": 0}
-        migration = _MIGRATIONS.get((from_version, to_version))
-        if migration is None:
+        path = find_migration_path(from_version, to_version)
+        if path is None:
             raise InternalError(
                 f"No upgrade path registered from {from_version} to "
                 f"{to_version}")
+
+        def migration(doc: dict) -> dict:
+            for step in path:
+                doc = step(doc)
+            return doc
         # snapshot the whole application before mutating, so
         # /rollback-vespa's equivalent can undo a bad upgrade (reference
         # backs up the Vespa app package before deploying the new one,

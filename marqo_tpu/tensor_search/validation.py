@@ -129,7 +129,7 @@ def validate_query(q, search_method) -> Optional[Union[dict, str]]:
         if str(search_method).upper() != SearchMethod.TENSOR.value:
             raise InvalidArgError(
                 'Multi-query search is currently only supported for '
-                f'search_method="TENSOR"\nReceived search_method '
+                f'search_method="TENSOR" \nReceived search_method '
                 f'`{search_method}`.')
         if not len(q):
             raise InvalidArgError(

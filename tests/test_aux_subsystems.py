@@ -309,6 +309,71 @@ class TestUpgradeRunner:
         result = UpgradeRunner(cfg.index_management).upgrade()
         assert result["migrated"] == 0
 
+    def test_find_migration_path_multi_hop(self):
+        """2.11→2.13 composes 2.11→2.12 then 2.12→2.13 (reference
+        upgrade.py:50 selects a per-version path; multi-hop must chain)."""
+        from marqo_tpu.core import upgrades
+
+        def bump_a(doc):
+            doc = dict(doc)
+            doc["_hop_a"] = True
+            return doc
+
+        upgrades._MIGRATIONS[("2.11", "2.12")] = bump_a
+        try:
+            path = upgrades.find_migration_path("2.11", "2.13")
+            assert path is not None and len(path) == 2
+            assert path[0] is bump_a
+            # direct single-hop still wins when registered
+            assert upgrades.find_migration_path("2.12", "2.13") is not None
+            assert len(upgrades.find_migration_path("2.12", "2.13")) == 1
+            # no path → None (upgrade() turns this into InternalError)
+            assert upgrades.find_migration_path("1.0", "2.13") is None
+        finally:
+            del upgrades._MIGRATIONS[("2.11", "2.12")]
+
+    def test_upgrade_chains_across_versions(self, monkeypatch):
+        """A store stamped 2.11 upgrades through BOTH hops: the fake
+        2.11→2.12 marker migration and the real 2.12→2.13 one (which
+        defaults the video/audio preprocessing blocks)."""
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.config import Config
+        from marqo_tpu.core import upgrades
+        from marqo_tpu.core.upgrades import UpgradeRunner
+
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="random").to_marqo_index("up-chain-index"))
+        store = cfg.index_management.settings_store
+        store.set_marqo_version("2.11.2")
+        # make the persisted index look like it was created under 2.11
+        import json
+
+        from marqo_tpu.core.models.marqo_index import MarqoIndex
+        old_doc = json.loads(store.get("up-chain-index").model_dump_json())
+        old_doc["marqo_version"] = "2.11.2"
+        old_doc["version"] = (old_doc.get("version") or 1) + 1
+        store.save(MarqoIndex.parse_obj(old_doc), allow_existing=True)
+
+        def fake_2_11_to_2_12(doc):
+            doc = dict(doc)
+            if doc.get("marqo_version", "").startswith("2.11"):
+                doc["marqo_version"] = "2.12.0"
+            return doc
+
+        upgrades._MIGRATIONS[("2.11", "2.12")] = fake_2_11_to_2_12
+        try:
+            result = UpgradeRunner(cfg.index_management).upgrade()
+        finally:
+            del upgrades._MIGRATIONS[("2.11", "2.12")]
+        assert result["from"] == "2.11"
+        assert result["migrated"] == 1
+        migrated = store.get("up-chain-index")
+        # the second hop re-stamped the per-index version marker
+        assert upgrades._minor(migrated.marqo_version) == \
+            upgrades._minor(upgrades.__version__)
+
 
 class TestRequestLimits:
     def test_searchable_attributes_cap(self, monkeypatch):
