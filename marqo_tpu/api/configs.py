@@ -87,6 +87,18 @@ def default_env_vars() -> Dict[str, Any]:
         "MARQO_ENGINE_WAL": "TRUE",       # write-ahead log when data dir set
         "MARQO_ENGINE_WAL_FSYNC": "FALSE",  # fsync each record (durability
                                             # vs feed latency trade)
+        # feed-block watermarks (role of Vespa cluster-controller resource
+        # limits: feeds above these utilization fractions are refused with
+        # 507, reference services.xml resource-limits + the 507 row of the
+        # vespa_client.py:579-607 translate matrix)
+        "MARQO_ENGINE_MEMORY_WATERMARK": 0.95,
+        "MARQO_ENGINE_DISK_WATERMARK": 0.95,
+        # cluster anti-entropy sweep interval, seconds; 0 disables the
+        # background repair loop (manual /ops/heal still works)
+        "MARQO_CLUSTER_HEAL_INTERVAL": 0,
+        # vector cell storage for new tensor fields: float32 | bfloat16
+        # (Vespa tensor cell-type option; bfloat16 halves vector memory)
+        "MARQO_ENGINE_CELL_TYPE": "float32",
         "MARQO_TPU_DEFAULT_DTYPE": "bfloat16",
         "MARQO_TELEMETRY_ENABLED": "TRUE",
         "MARQO_DYNAMIC_BATCHING": "FALSE",  # coalesce concurrent embeds

@@ -717,6 +717,7 @@ class AddDocumentsHandler:
                     assigned_id, position=self._positions.get(assigned_id))
             except Exception as e:
                 status, code, message = 500, "backend_error", str(e)
+                from marqo_tpu.core.exceptions import EngineOutOfSpaceError
                 from marqo_tpu.engine.client import (
                     EngineHTTPError, translate_engine_document_response)
                 if isinstance(e, EngineHTTPError):
@@ -724,6 +725,10 @@ class AddDocumentsHandler:
                     # (reference vespa_client.py:579-607 matrix)
                     status, message = translate_engine_document_response(
                         e.status, e.body)
+                elif isinstance(e, EngineOutOfSpaceError):
+                    # in-process feed-block takes the same 507 row of the
+                    # translate matrix as a remote shard's 507
+                    status, message = translate_engine_document_response(507)
                 collector.collect_error(
                     self._error_id(assigned_id),
                     DocError(message, status=status, code=code),

@@ -28,6 +28,15 @@ class BackendTimeoutError(MarqoError):
     pass
 
 
+class EngineOutOfSpaceError(MarqoError):
+    """Feed refused: host memory/disk above the feed-block watermark
+    (role of Vespa refusing feeds over its resource limits; the engine
+    server surfaces this as HTTP 507 and the per-document translate
+    matrix maps it to 400 'out of memory or disk space',
+    vespa_client.py:579-607)."""
+    pass
+
+
 class ZeroMagnitudeVectorError(InvalidArgumentError):
     pass
 

@@ -17,23 +17,40 @@ class Monitoring:
     def __init__(self, config):
         self.config = config
 
+    _STATUS_RANK = {"green": 0, "yellow": 1, "red": 2}
+
     def get_health(self, index_name: Optional[str] = None) -> dict:
-        backend_status = "green"
+        """Aggregate REAL backend state (reference monitoring.py:89-154:
+        per-service Vespa status + feed-block metrics): engine reachability
+        (per shard/replica for a cluster) and host feed-block watermarks.
+        Overall status is the worst of inference and backend."""
         if index_name is not None:
             try:
                 self.config.index_meta_cache.get_index(index_name)
             except IndexNotFoundError:
                 raise api_exceptions.IndexNotFoundError(
                     f"Index {index_name} not found")
-        memory_available = True
-        try:
-            usage = shutil.disk_usage("/")
-            storage_is_available = usage.free > 1024 ** 3
-        except OSError:
-            storage_is_available = True
+        from marqo_tpu.engine.resources import watcher
+        w = watcher()
+        probe = getattr(self.config.engine, "engine_health", None)
+        if callable(probe):
+            try:
+                backend_status = probe().get("status", "red")
+            except Exception:
+                backend_status = "red"
+        else:
+            backend_status = "green"
+        memory_available = w.memory_is_available()
+        storage_is_available = w.storage_is_available()
+        if backend_status == "green" and not (memory_available and
+                                              storage_is_available):
+            backend_status = "yellow"  # reachable but feed-blocked
+        inference_status = "green"
+        overall = max(backend_status, inference_status,
+                      key=lambda s: self._STATUS_RANK.get(s, 2))
         return {
-            "status": backend_status,
-            "inference": {"status": "green"},
+            "status": overall,
+            "inference": {"status": inference_status},
             "backend": {
                 "status": backend_status,
                 "memoryIsAvailable": memory_available,
@@ -42,12 +59,16 @@ class Monitoring:
         }
 
     def get_index_stats(self, index_name: str) -> dict:
+        from marqo_tpu.engine.resources import watcher
         index = self.config.index_meta_cache.get_index(index_name)
         return {
             "numberOfDocuments": self.config.engine.doc_count(index.schema_name),
             "numberOfVectors": self.config.engine.vector_count(index.schema_name),
             "backend": {
-                "memoryUsedPercentage": 0.0,
+                # real host memory utilization (reference pulls content-node
+                # memory util from Vespa metrics, monitoring.py:27-74)
+                "memoryUsedPercentage": round(
+                    100.0 * watcher().memory_used_fraction(), 2),
                 "storageUsedPercentage": self._storage_used_percentage(),
             },
         }

@@ -266,6 +266,26 @@ class RemoteStoreEngine:
             "attributes_to_retrieve": attributes_to_retrieve,
             "expose_facets": expose_facets, "global_stats": global_stats})
 
+    def engine_health(self) -> dict:
+        """Probe the engine server (short timeout: a hung shard must not
+        hang /health). Red on any transport failure. Uses a FRESH
+        connection, never the keepalive pool — a node that stopped
+        accepting connections can still answer on an old socket, and a
+        liveness probe must not be fooled by that."""
+        try:
+            resp = httpx.get(f"{self.base_url}/engine/health", timeout=2.0)
+            body = resp.json() if resp.status_code < 400 else {}
+            status = body.get("status", "red") if resp.status_code < 400 \
+                else "red"
+        except Exception:
+            body, status = {}, "red"
+        node = {"url": self.base_url, "status": status}
+        for key in ("memoryIsAvailable", "storageIsAvailable",
+                    "feed_blocked"):
+            if key in body:
+                node[key] = body[key]
+        return {"status": status, "nodes": [node]}
+
     def dump_index(self, index_name: str) -> dict:
         return self._request("GET", f"/engine/indexes/{index_name}/dump")
 

@@ -300,6 +300,41 @@ class ClusterEngine:
             expose_facets=expose_facets)
         return self._merge(results, limit, offset)
 
+    # -- health --
+
+    def engine_health(self) -> dict:
+        """Aggregate per-replica reachability into green/yellow/red
+        (reference monitoring.py:89-154 aggregates Vespa node/service
+        state): a shard with every replica up is green, with some up is
+        yellow, with none up is red; the cluster reports the worst shard.
+        Probes run concurrently with short timeouts."""
+        rank = {"green": 0, "yellow": 1, "red": 2}
+
+        def probe(shard_index, replica):
+            report = replica.engine_health()
+            node = dict(report["nodes"][0])
+            node["shard"] = shard_index
+            return node
+
+        futures = [self._pool.submit(probe, i, replica)
+                   for i, shard in enumerate(self.shards)
+                   for replica in shard.replicas]
+        nodes = [f.result() for f in futures]
+        worst = "green"
+        for shard_index in range(len(self.shards)):
+            shard_nodes = [n for n in nodes if n["shard"] == shard_index]
+            up = [n for n in shard_nodes if n["status"] != "red"]
+            if not up:
+                shard_status = "red"
+            elif len(up) < len(shard_nodes) or \
+                    any(n["status"] == "yellow" for n in up):
+                shard_status = "yellow"
+            else:
+                shard_status = "green"
+            if rank[shard_status] > rank[worst]:
+                worst = shard_status
+        return {"status": worst, "nodes": nodes}
+
     # -- replica anti-entropy --
 
     def heal(self, index_name: str) -> dict:

@@ -61,16 +61,34 @@ def build_engine_app(engine: StoreEngine):
     app = App(title="marqo-tpu-engine")
 
     from marqo_tpu.api import exceptions as api_exceptions
+    from marqo_tpu.core.exceptions import EngineOutOfSpaceError
     app.map_exception(IndexExistsError,
                       lambda e: api_exceptions.IndexAlreadyExistsError(e.message))
     app.map_exception(IndexNotFoundError,
                       lambda e: api_exceptions.IndexNotFoundError(e.message))
     app.map_exception(InvalidArgumentError,
                       lambda e: api_exceptions.InvalidArgError(e.message))
+    # feed-block → HTTP 507 (the status Vespa's feed API returns above its
+    # resource limits; the API-side translate matrix maps it per document)
+    app.map_exception(
+        EngineOutOfSpaceError,
+        lambda e: api_exceptions.MarqoWebError(
+            e.message, code="engine_out_of_space", status_code=507))
 
     @app.get("/engine/health")
     def health(request: Request):
-        return {"status": "green", "indexes": len(engine.list_indexes())}
+        from marqo_tpu.engine.resources import watcher
+        w = watcher()
+        blocked = w.feed_block_reason()
+        return {"status": "yellow" if blocked else "green",
+                "indexes": len(engine.list_indexes()),
+                "memoryIsAvailable": w.memory_is_available(),
+                "storageIsAvailable": w.storage_is_available(),
+                "memoryUsedPercentage": round(
+                    100.0 * w.memory_used_fraction(), 2),
+                "storageUsedPercentage": round(
+                    100.0 * w.disk_used_fraction(), 2),
+                **({"feed_blocked": blocked} if blocked else {})}
 
     @app.post("/engine/indexes")
     def create_index(request: Request):

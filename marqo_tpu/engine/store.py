@@ -362,6 +362,11 @@ class StoreEngine:
         # optional write-ahead log (engine/wal.py): Vespa-transactionlog
         # role — acknowledged mutations survive a crash between snapshots
         self._wal = None
+        # >0 while replaying the WAL / loading a peer dump / restoring a
+        # snapshot: recovery paths must never be refused by the feed-block
+        # watermark (Vespa likewise replays its transaction log above the
+        # feed resource limits)
+        self._recovery_depth = 0
 
     def _mutated(self, name: str) -> None:
         with self._lock:
@@ -380,6 +385,15 @@ class StoreEngine:
     def replay_wal(self, wal) -> int:
         """Apply logged mutations over restored snapshot state (idempotent:
         feed is an upsert, deletes/DDL tolerate already-applied records)."""
+        applied = 0
+        self._recovery_depth += 1
+        try:
+            applied = self._replay_wal_records(wal)
+        finally:
+            self._recovery_depth -= 1
+        return applied
+
+    def _replay_wal_records(self, wal) -> int:
         applied = 0
         for rec in wal.replay():
             try:
@@ -467,6 +481,16 @@ class StoreEngine:
 
     def feed(self, index_name: str, doc_id: str, fields: dict,
              tensors: Optional[dict] = None) -> None:
+        if self._recovery_depth == 0:
+            # feed-block: refuse writes above the resource watermarks
+            # (Vespa cluster-controller resource limits → HTTP 507 → the
+            # per-doc 400 of the translate matrix). Cached probe: ~2 dict
+            # lookups per doc on the hot path.
+            from marqo_tpu.core.exceptions import EngineOutOfSpaceError
+            from marqo_tpu.engine.resources import watcher
+            reason = watcher().feed_block_reason()
+            if reason is not None:
+                raise EngineOutOfSpaceError(f"Feed blocked: {reason}")
         shard = self._shard_for(index_name, doc_id)
         # log under the shard lock (RLock): WAL order must match apply
         # order per document, else a crash replay can resurrect a deleted
@@ -559,12 +583,16 @@ class StoreEngine:
         if self.has_index(descriptor.name):
             self.delete_index(descriptor.name)
         self.create_index(descriptor)
-        for doc in dump["docs"]:
-            tensors = {
-                field: {"chunks": [e["chunk"] for e in entries],
-                        "embeddings": [e["embedding"] for e in entries]}
-                for field, entries in (doc.get("tensors") or {}).items()}
-            self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
+        self._recovery_depth += 1
+        try:
+            for doc in dump["docs"]:
+                tensors = {
+                    field: {"chunks": [e["chunk"] for e in entries],
+                            "embeddings": [e["embedding"] for e in entries]}
+                    for field, entries in (doc.get("tensors") or {}).items()}
+                self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
+        finally:
+            self._recovery_depth -= 1
         return len(dump["docs"])
 
     def visit_all(self, index_name: str) -> Iterable[Tuple[str, dict]]:
@@ -669,13 +697,17 @@ class StoreEngine:
         import json as _json
         import os
         total = 0
-        for path in sorted(glob.glob(os.path.join(directory,
-                                                  "*.engine.json"))):
-            try:
-                total += self._restore_one(path, _json, os)
-            except Exception:
-                logger.exception(f"Failed to restore snapshot {path}; "
-                                 "skipping this index")
+        self._recovery_depth += 1
+        try:
+            for path in sorted(glob.glob(os.path.join(directory,
+                                                      "*.engine.json"))):
+                try:
+                    total += self._restore_one(path, _json, os)
+                except Exception:
+                    logger.exception(f"Failed to restore snapshot {path}; "
+                                     "skipping this index")
+        finally:
+            self._recovery_depth -= 1
         return total
 
     def _restore_one(self, path: str, _json, os) -> int:
@@ -765,6 +797,19 @@ class StoreEngine:
                 ts._hnsw_params = tuple(meta["hnsw_params"])
                 ts.add(doc_id, [meta["chunks"][r] for r in rows],
                        matrix[rows])
+
+    def engine_health(self) -> dict:
+        """Backend health for /health aggregation (reference
+        monitoring.py:89-154 aggregates per-service Vespa state). The
+        in-process engine is reachable by construction; feed-block state
+        is surfaced so health can degrade to yellow under resource
+        pressure."""
+        from marqo_tpu.engine.resources import watcher
+        blocked = watcher().feed_block_reason()
+        status = "yellow" if blocked else "green"
+        return {"status": status,
+                "nodes": [{"url": "in-process", "status": status,
+                           **({"feed_blocked": blocked} if blocked else {})}]}
 
     def doc_count(self, index_name: str) -> int:
         return sum(len(s.docs) for s in self._shards(index_name))
