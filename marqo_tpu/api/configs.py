@@ -93,8 +93,9 @@ def default_env_vars() -> Dict[str, Any]:
         # vespa_client.py:579-607 translate matrix)
         "MARQO_ENGINE_MEMORY_WATERMARK": 0.95,
         "MARQO_ENGINE_DISK_WATERMARK": 0.95,
-        # cluster anti-entropy sweep interval, seconds; 0 disables the
-        # background repair loop (manual /ops/heal still works)
+        # cluster anti-entropy: >0 = failover-triggered repair + a full
+        # digest sweep every N seconds; 0 (default) = failover-triggered
+        # repair only; <0 = fully disabled (manual /ops/heal still works)
         "MARQO_CLUSTER_HEAL_INTERVAL": 0,
         # vector cell storage for new tensor fields: float32 | bfloat16
         # (Vespa tensor cell-type option; bfloat16 halves vector memory)

@@ -38,10 +38,15 @@ class _ShardGroup:
         self.replicas = [RemoteStoreEngine(url) for url in replica_urls]
         self._rr = itertools.cycle(range(len(self.replicas)))
         self._lock = threading.Lock()
+        # set when a write reached only SOME replicas — the auto-heal sweep
+        # (ClusterEngine._heal_loop) prioritizes flagged shards, the way
+        # Vespa's distributor reacts to a node coming back after missing
+        # feeds rather than waiting for a periodic scan
+        self.degraded = False
 
     def write_all(self, fn_name: str, *args, **kwargs):
         """Apply a mutation on every replica; succeed if ≥1 replica acks
-        (failed replicas log and heal on the next full write)."""
+        (failed replicas are flagged for the auto-heal sweep)."""
         errors = []
         ok = 0
         for replica in self.replicas:
@@ -55,6 +60,8 @@ class _ShardGroup:
         if ok == 0:
             raise BackendCommunicationError(
                 f"All replicas failed {fn_name}: {errors[0]}")
+        if errors:
+            self.degraded = True
         return ok
 
     def read_one(self, fn_name: str, *args, **kwargs):
@@ -79,12 +86,53 @@ class _ShardGroup:
 
 
 class ClusterEngine:
-    def __init__(self, topology: List[List[str]], pool_size: int = 8):
+    def __init__(self, topology: List[List[str]], pool_size: int = 8,
+                 heal_interval_s: Optional[float] = None):
         if not topology or not all(topology):
             raise ValueError("Cluster topology needs ≥1 shard with ≥1 replica")
         self.shards = [_ShardGroup(urls) for urls in topology]
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=max(pool_size, len(self.shards)))
+        # continuous anti-entropy (the Vespa distributor repairs replicas
+        # continuously; reference services.xml redundancy contract):
+        #   interval > 0 — degraded-flagged shards heal within ~2s of the
+        #                  failed write, plus a full digest sweep every
+        #                  interval seconds as a backstop
+        #   interval = 0 — failover-triggered repair only (default: flagged
+        #                  shards heal, no periodic digest cost)
+        #   interval < 0 — fully disabled (manual /ops/heal still works)
+        if heal_interval_s is None:
+            from marqo_tpu.api import configs
+            heal_interval_s = float(configs.read_env_vars_and_defaults(
+                "MARQO_CLUSTER_HEAL_INTERVAL") or 0)
+        self._heal_interval_s = heal_interval_s
+        self._stop_heal = threading.Event()
+        if heal_interval_s >= 0:
+            threading.Thread(target=self._heal_loop, daemon=True,
+                             name="cluster-anti-entropy").start()
+
+    def _heal_loop(self):
+        tick = min(2.0, self._heal_interval_s) if self._heal_interval_s > 0 \
+            else 2.0
+        since_full = 0.0
+        while not self._stop_heal.wait(tick):
+            since_full += tick
+            flagged = [s for s in self.shards if s.degraded]
+            full_due = (self._heal_interval_s > 0 and
+                        since_full >= self._heal_interval_s)
+            if not flagged and not full_due:
+                continue
+            since_full = 0.0
+            for shard in flagged:
+                shard.degraded = False  # new failures re-flag during heal
+            try:
+                report = self.heal_all()
+                for name, out in report.items():
+                    if out.get("healed"):
+                        logger.info(f"auto-heal repaired {name}: "
+                                    f"{out['healed']}")
+            except Exception as e:
+                logger.warning(f"auto-heal sweep failed: {e}")
 
     # -- routing --
 
@@ -341,10 +389,19 @@ class ClusterEngine:
         """Re-sync diverged replicas within each shard group (role of
         Vespa's internal replica redistribution when a content node missed
         writes while down). Divergence is detected with an
-        order-independent content digest; the replica holding the most
-        documents is taken as the source of truth (best effort — with
-        write-all semantics the ahead replica is the one that accepted the
-        writes the lagging one missed)."""
+        order-independent content digest; the source of truth is elected by
+        the durable MUTATION SEQUENCE (store.index_digest "seq": advanced
+        per applied mutation, persisted in snapshots, adopted on sync) with
+        doc count only as a tiebreak. Doc-count-first election resurrects
+        missed DELETES: the replica that missed a delete holds MORE docs,
+        wins, and pushes the deleted doc back onto the healthy replica.
+
+        Known limit (documented, matches redundancy-without-vector-clocks):
+        if BOTH replicas independently accepted writes the other missed
+        (split acceptance during a partition), the higher-seq side wins and
+        the loser's unique writes are dropped — per-document reconciliation
+        needs per-doc versions, which Vespa likewise scopes to its
+        distributor timestamps."""
         healed = []
         for shard_index, shard in enumerate(self.shards):
             if len(shard.replicas) < 2:
@@ -362,7 +419,8 @@ class ClusterEngine:
                 continue  # replicas agree (or only one answered)
             source_index = max(
                 (i for i, d in enumerate(digests) if d is not None),
-                key=lambda i: digests[i]["doc_count"])
+                key=lambda i: (digests[i].get("seq", 0),
+                               digests[i]["doc_count"]))
             source = shard.replicas[source_index]
             for i, replica in enumerate(shard.replicas):
                 if i == source_index or digests[i] is None:
@@ -389,6 +447,7 @@ class ClusterEngine:
         return out
 
     def close(self):
+        self._stop_heal.set()
         for shard in self.shards:
             shard.close()
         self._pool.shutdown(wait=False)

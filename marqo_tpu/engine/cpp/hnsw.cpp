@@ -1,16 +1,30 @@
-// HNSW approximate-nearest-neighbor index.
+// HNSW approximate-nearest-neighbor index over EXTERNAL vector storage.
 //
 // Role parity: Vespa's per-tensor-field in-memory HNSW (the reference
 // delegates ANN to Vespa content nodes; schema knobs max-links-per-node (M)
 // and neighbors-to-explore-at-insert (efConstruction),
 // structured_vespa_schema.py:145-146). This is a fresh implementation of
-// the standard HNSW algorithm (Malkov & Yashunin 2016) with:
+// the standard HNSW algorithm (Malkov & Yashunin 2016).
+//
+// ABI v2 — single-copy vector storage. The index owns ONLY the graph
+// (links, levels, tombstones, norm cache); the vectors live in the caller's
+// contiguous buffer (the Python tensor store, engine/store.py) and every
+// entry point takes the base pointer. Cell types: float32 and bfloat16
+// (Vespa's tensor cell-type option — bfloat16 halves vector memory,
+// structured_vespa_schema.py cell type / marqo vectorNumericType).
+// Callers hold the shard lock for every call, so the base pointer is
+// stable for the duration of each call even though the Python store
+// reallocates on growth between calls.
+//
+// Features:
 //   - metrics: prenormalized-angular (1-dot), euclidean (L2^2 internally),
-//     dotproduct (-dot)
+//     dotproduct (-dot), angular (1-cos with a per-node norm cache — raw
+//     vectors stay raw in the shared store)
 //   - filtered search: optional caller-provided bitset evaluated during
 //     graph traversal (post-filtering with ef widening happens in Python)
 //   - tombstone deletes with live-count tracking
-//   - save/load to a flat binary blob
+//   - save/load of the GRAPH ONLY to a flat binary blob (vectors are
+//     snapshotted separately by the Python store)
 // C ABI at the bottom; Python binds via ctypes (engine/native.py).
 
 #include <algorithm>
@@ -29,11 +43,53 @@
 
 namespace {
 
+constexpr int32_t kAbiVersion = 2;
+constexpr int32_t kBlobMagic = -2;  // v2 graph-only blob marker
+
 enum Metric : int32_t {
   METRIC_PRENORM_ANGULAR = 0,  // distance = 1 - dot
   METRIC_EUCLIDEAN = 1,        // distance = squared L2 (monotone in L2)
   METRIC_DOTPRODUCT = 2,       // distance = -dot
+  METRIC_ANGULAR = 3,          // distance = 1 - cos (norm cache)
 };
+
+enum CellType : int32_t {
+  CELL_F32 = 0,
+  CELL_BF16 = 1,  // uint16 = top half of the fp32 bit pattern
+};
+
+inline float bf16_to_f32(uint16_t x) {
+  uint32_t u = uint32_t(x) << 16;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+// fp32-query vs cell-row kernels; -O3 -march=native auto-vectorizes the
+// decode+accumulate (AVX-512 on this fleet).
+template <typename Cell>
+inline float load_cell(Cell x);
+template <>
+inline float load_cell(float x) { return x; }
+template <>
+inline float load_cell(uint16_t x) { return bf16_to_f32(x); }
+
+template <typename Cell>
+float dot_q(const float* q, const Cell* v, int n) {
+  float acc = 0.f;
+  for (int i = 0; i < n; ++i) acc += q[i] * load_cell(v[i]);
+  return acc;
+}
+
+template <typename Cell>
+float l2sq_q(const float* q, const Cell* v, int n) {
+  float acc = 0.f;
+  for (int i = 0; i < n; ++i) {
+    float d = q[i] - load_cell(v[i]);
+    acc += d * d;
+  }
+  return acc;
+}
 
 struct SearchResult {
   int32_t id;
@@ -42,76 +98,127 @@ struct SearchResult {
 
 class HnswIndex {
  public:
-  HnswIndex(int dim, int M, int ef_construction, int metric, uint64_t seed)
+  HnswIndex(int dim, int M, int ef_construction, int metric, int cell_type,
+            uint64_t seed)
       : dim_(dim),
         M_(std::max(2, M)),
         M0_(2 * std::max(2, M)),
         ef_construction_(std::max(ef_construction, M)),
         metric_(metric),
+        cell_type_(cell_type),
         level_mult_(1.0 / std::log(double(std::max(2, M)))),
         rng_(seed) {}
 
   int dim() const { return dim_; }
   int32_t size() const { return int32_t(live_count_); }
-  int32_t capacity() const { return int32_t(vectors_.size() / dim_); }
+  int32_t capacity() const { return int32_t(levels_.size()); }
 
-  float distance(const float* a, const float* b) const {
+  // --- external vector access (base_ set at the top of each public op) ---
+
+  const float* row_f32(int32_t id) const {
+    return static_cast<const float*>(base_) + size_t(id) * dim_;
+  }
+  const uint16_t* row_bf16(int32_t id) const {
+    return static_cast<const uint16_t*>(base_) + size_t(id) * dim_;
+  }
+
+  // Decode one row into a caller-provided fp32 buffer (query-side decode:
+  // node-as-query during build, and node-node distances).
+  void decode_row(int32_t id, float* out) const {
+    if (cell_type_ == CELL_F32) {
+      std::memcpy(out, row_f32(id), size_t(dim_) * 4);
+    } else {
+      const uint16_t* v = row_bf16(id);
+      for (int i = 0; i < dim_; ++i) out[i] = bf16_to_f32(v[i]);
+    }
+  }
+
+  float row_norm(int32_t id) const {
+    float acc = (cell_type_ == CELL_F32)
+                    ? dot_q(row_f32(id), row_f32(id), dim_)
+                    : [&] {
+                        float a = 0.f;
+                        const uint16_t* v = row_bf16(id);
+                        for (int i = 0; i < dim_; ++i) {
+                          float f = bf16_to_f32(v[i]);
+                          a += f * f;
+                        }
+                        return a;
+                      }();
+    return std::sqrt(std::max(acc, 0.f));
+  }
+
+  // Distance from an fp32 query to a stored row. qnorm is only read for
+  // the angular metric (callers pass 1.0 otherwise).
+  float dist_q(const float* q, float qnorm, int32_t id) const {
     switch (metric_) {
-      case METRIC_EUCLIDEAN: {
-        float acc = 0.f;
-        for (int i = 0; i < dim_; ++i) {
-          float d = a[i] - b[i];
-          acc += d * d;
-        }
-        return acc;
-      }
-      case METRIC_DOTPRODUCT: {
-        float acc = 0.f;
-        for (int i = 0; i < dim_; ++i) acc += a[i] * b[i];
-        return -acc;
+      case METRIC_EUCLIDEAN:
+        return cell_type_ == CELL_F32 ? l2sq_q(q, row_f32(id), dim_)
+                                      : l2sq_q(q, row_bf16(id), dim_);
+      case METRIC_DOTPRODUCT:
+        return -(cell_type_ == CELL_F32 ? dot_q(q, row_f32(id), dim_)
+                                        : dot_q(q, row_bf16(id), dim_));
+      case METRIC_ANGULAR: {
+        float dot = cell_type_ == CELL_F32 ? dot_q(q, row_f32(id), dim_)
+                                           : dot_q(q, row_bf16(id), dim_);
+        float denom = std::max(qnorm * norms_[id], 1e-12f);
+        float cos = dot / denom;
+        return 1.f - std::max(-1.f, std::min(1.f, cos));
       }
       default: {  // prenormalized-angular
-        float acc = 0.f;
-        for (int i = 0; i < dim_; ++i) acc += a[i] * b[i];
-        return 1.f - acc;
+        float dot = cell_type_ == CELL_F32 ? dot_q(q, row_f32(id), dim_)
+                                           : dot_q(q, row_bf16(id), dim_);
+        return 1.f - dot;
       }
     }
   }
 
-  // Add a vector; returns the internal node id. (Serial path — lock-free.)
-  int32_t add(const float* vec) {
-    int32_t id = alloc_node(vec);
-    link_node(id, /*locked=*/false);
-    return id;
+  // Node-node distance (neighbor selection / shrink): decode `a` into a
+  // thread-local scratch, then reuse the query kernel. These are O(M^2)
+  // per insert vs O(ef·degree) query distances — the decode is off the
+  // hot path.
+  float dist_nn(int32_t a, int32_t b) const {
+    if (cell_type_ == CELL_F32 && metric_ != METRIC_ANGULAR) {
+      return dist_q(row_f32(a), 1.f, b);
+    }
+    thread_local std::vector<float> scratch;
+    scratch.resize(dim_);
+    decode_row(a, scratch.data());
+    return dist_q(scratch.data(), metric_ == METRIC_ANGULAR ? norms_[a] : 1.f,
+                  b);
   }
 
-  // Parallel batch insert (Vespa builds its HNSW on multiple feed threads;
-  // hnswlib-style design: per-node lock pool for link lists, one global
-  // mutex for the entry point). Phase 1 pre-allocates every node (vector
-  // storage is stable during phase 2 — no reallocation under readers),
-  // phase 2 links nodes from a work queue across n_threads. NOT safe
-  // against concurrent search on the same index — callers (engine/store.py)
-  // hold the shard lock for builds, as they do for single adds.
-  int32_t add_batch(const float* vecs, int32_t n, int n_threads) {
-    if (n <= 0) return capacity();
+  // Link every un-linked node [capacity, n_total) into the graph, reading
+  // vectors from `base`. Returns the first new id (ids are contiguous —
+  // they ARE the caller's row indices). Parallel across n_threads with a
+  // per-node lock pool (hnswlib-style; Vespa builds its HNSW on multiple
+  // feed threads the same way). NOT safe against concurrent search on the
+  // same index — callers (engine/store.py) hold the shard lock.
+  int32_t link(const void* base, int32_t n_total, int n_threads) {
+    base_ = base;
     int32_t first = capacity();
-    vectors_.reserve(vectors_.size() + size_t(n) * dim_);
-    for (int32_t i = 0; i < n; ++i) alloc_node(vecs + size_t(i) * dim_);
+    int32_t n_new = n_total - first;
+    if (n_new <= 0) return first;
+    levels_.reserve(n_total);
+    links_.reserve(n_total);
+    deleted_.reserve(n_total);
+    // phase 1: allocate node storage serially (stable during phase 2)
+    for (int32_t i = first; i < n_total; ++i) alloc_node(i);
 
-    int32_t start = 0;
+    int32_t start = first;
     if (entry_point_ < 0) {  // seed the graph serially so workers can route
       link_node(first, /*locked=*/false);
-      start = 1;
+      start = first + 1;
     }
     n_threads = std::max(1, n_threads);
-    if (n_threads == 1 || n - start < 2) {
-      for (int32_t i = start; i < n; ++i) link_node(first + i, false);
+    if (n_threads == 1 || n_total - start < 2) {
+      for (int32_t i = start; i < n_total; ++i) link_node(i, false);
       return first;
     }
     std::atomic<int32_t> next(start);
     auto worker = [&]() {
-      for (int32_t i; (i = next.fetch_add(1)) < n;) {
-        link_node(first + i, /*locked=*/true);
+      for (int32_t i; (i = next.fetch_add(1)) < n_total;) {
+        link_node(i, /*locked=*/true);
       }
     };
     std::vector<std::thread> threads;
@@ -127,18 +234,21 @@ class HnswIndex {
     live_count_--;
   }
 
-  bool is_deleted(int32_t id) const { return deleted_[id] != 0; }
-
   // k-NN search. filter: optional byte mask over internal ids (1 = allowed).
-  int search(const float* q, int k, int ef, const uint8_t* filter,
-             int32_t* out_ids, float* out_dists) const {
+  int search(const void* base, const float* q, int k, int ef,
+             const uint8_t* filter, int32_t* out_ids, float* out_dists) {
+    base_ = base;
     if (entry_point_ < 0 || live_count_ == 0) return 0;
+    float qnorm = 1.f;
+    if (metric_ == METRIC_ANGULAR) {
+      qnorm = std::max(std::sqrt(dot_q(q, q, dim_)), 1e-12f);
+    }
     ef = std::max(ef, k);
     int32_t cur = entry_point_;
     for (int lc = max_level_; lc > 0; --lc) {
-      cur = greedy_closest(q, cur, lc);
+      cur = greedy_closest(q, qnorm, cur, lc);
     }
-    auto candidates = search_layer(q, cur, ef, 0, filter);
+    auto candidates = search_layer(q, qnorm, cur, ef, 0, filter);
     int n = std::min<int>(k, candidates.size());
     for (int i = 0; i < n; ++i) {
       out_ids[i] = candidates[i].id;
@@ -147,9 +257,7 @@ class HnswIndex {
     return n;
   }
 
-  const float* node_vec(int32_t id) const { return &vectors_[size_t(id) * dim_]; }
-
-  // --- serialization (flat blob) ---
+  // --- serialization (flat graph-only blob, format v2) ---
   std::vector<uint8_t> save() const {
     std::vector<uint8_t> out;
     auto push = [&out](const void* p, size_t n) {
@@ -157,12 +265,13 @@ class HnswIndex {
       out.insert(out.end(), b, b + n);
     };
     int32_t n = capacity();
+    push(&kBlobMagic, 4); push(&kAbiVersion, 4);
     push(&dim_, 4); push(&M_, 4); push(&ef_construction_, 4);
-    push(&metric_, 4); push(&n, 4); push(&entry_point_, 4);
-    push(&max_level_, 4);
-    push(vectors_.data(), vectors_.size() * 4);
+    push(&metric_, 4); push(&cell_type_, 4); push(&n, 4);
+    push(&entry_point_, 4); push(&max_level_, 4);
     push(deleted_.data(), deleted_.size());
     push(levels_.data(), levels_.size() * 4);
+    if (metric_ == METRIC_ANGULAR) push(norms_.data(), norms_.size() * 4);
     for (int32_t i = 0; i < n; ++i) {
       int32_t nl = int32_t(links_[i].size());
       push(&nl, 4);
@@ -175,10 +284,10 @@ class HnswIndex {
     return out;
   }
 
-  // Returns nullptr on malformed/truncated input: every read is bounds-
-  // checked against len and header values are sanity-checked, so a corrupt
-  // snapshot blob degrades to a Python-side rebuild instead of an OOB read
-  // or a multi-GB allocation segfaulting the server process.
+  // Returns nullptr on malformed/truncated/legacy-format input: every read
+  // is bounds-checked against len and header values are sanity-checked, so
+  // a corrupt or pre-v2 snapshot blob degrades to a Python-side lazy
+  // rebuild instead of an OOB read or a bogus multi-GB allocation.
   static HnswIndex* load(const uint8_t* data, size_t len) {
     size_t off = 0;
     bool ok = true;
@@ -187,22 +296,28 @@ class HnswIndex {
       std::memcpy(p, data + off, n);
       off += n;
     };
-    int32_t dim, M, efc, metric, n, ep, ml;
+    int32_t magic, abi, dim, M, efc, metric, cell, n, ep, ml;
+    pull(&magic, 4); pull(&abi, 4);
+    if (!ok || magic != kBlobMagic || abi != kAbiVersion) return nullptr;
     pull(&dim, 4); pull(&M, 4); pull(&efc, 4); pull(&metric, 4);
-    pull(&n, 4); pull(&ep, 4); pull(&ml, 4);
+    pull(&cell, 4); pull(&n, 4); pull(&ep, 4); pull(&ml, 4);
     if (!ok || dim <= 0 || dim > (1 << 20) || M <= 0 || M > (1 << 16) ||
-        efc < 0 || metric < 0 || metric > 2 || n < 0)
+        efc < 0 || metric < 0 || metric > 3 || cell < 0 || cell > 1 || n < 0)
       return nullptr;
-    // vectors alone need n*dim*4 bytes — reject before allocating
-    if (size_t(n) * size_t(dim) * 4 > len - off) return nullptr;
+    // deleted + levels alone need n*5 bytes — reject before allocating
+    if (size_t(n) * 5 > len - off) return nullptr;
     if (n > 0 && (ep < 0 || ep >= n)) return nullptr;
-    std::unique_ptr<HnswIndex> idx(new HnswIndex(dim, M, efc, metric, 42));
-    idx->vectors_.resize(size_t(n) * dim);
-    pull(idx->vectors_.data(), idx->vectors_.size() * 4);
+    std::unique_ptr<HnswIndex> idx(
+        new HnswIndex(dim, M, efc, metric, cell, 42));
     idx->deleted_.resize(n);
     pull(idx->deleted_.data(), n);
     idx->levels_.resize(n);
     pull(idx->levels_.data(), size_t(n) * 4);
+    if (metric == METRIC_ANGULAR) {
+      if (size_t(n) * 4 > len - off) return nullptr;
+      idx->norms_.resize(n);
+      pull(idx->norms_.data(), size_t(n) * 4);
+    }
     if (!ok) return nullptr;
     idx->links_.resize(n);
     for (int32_t i = 0; i < n; ++i) {
@@ -237,18 +352,17 @@ class HnswIndex {
     return int(-std::log(r) * level_mult_);
   }
 
-  // Append a node's storage (vector, level, empty link lists). Serial-only:
-  // runs before any parallel linking so readers never see reallocation.
-  int32_t alloc_node(const float* vec) {
-    int32_t id = capacity();
-    vectors_.insert(vectors_.end(), vec, vec + dim_);
+  // Append a node's graph storage (level, empty link lists, norm cache).
+  // Serial-only: runs before any parallel linking so readers never see
+  // reallocation.
+  void alloc_node(int32_t id) {
     deleted_.push_back(0);
     int level = random_level();
     levels_.push_back(level);
     links_.emplace_back();
     links_.back().resize(level + 1);
+    if (metric_ == METRIC_ANGULAR) norms_.push_back(row_norm(id));
     live_count_++;
-    return id;
   }
 
   std::mutex& node_lock(int32_t id) const {
@@ -269,7 +383,7 @@ class HnswIndex {
   }
 
   // Wire a pre-allocated node into the graph. ``locked`` selects the
-  // thread-safe path used by add_batch workers.
+  // thread-safe path used by parallel link workers.
   void link_node(int32_t id, bool locked) {
     int level = levels_[id];
     int32_t cur;
@@ -286,15 +400,21 @@ class HnswIndex {
       top = max_level_;
     }
 
-    const float* q = node_vec(id);
+    // decode this node once; all distances below are fp32-query vs row
+    thread_local std::vector<float> qbuf;
+    qbuf.resize(dim_);
+    decode_row(id, qbuf.data());
+    const float* q = qbuf.data();
+    float qnorm = metric_ == METRIC_ANGULAR ? norms_[id] : 1.f;
+
     for (int lc = top; lc > level; --lc) {
-      cur = greedy_closest(q, cur, lc, locked);
+      cur = greedy_closest(q, qnorm, cur, lc, locked);
     }
     for (int lc = std::min(level, top); lc >= 0; --lc) {
-      auto candidates = search_layer(q, cur, ef_construction_, lc, nullptr,
-                                     locked, id);
+      auto candidates = search_layer(q, qnorm, cur, ef_construction_, lc,
+                                     nullptr, locked, id);
       int max_links = (lc == 0) ? M0_ : M_;
-      auto selected = select_neighbors(q, candidates, M_, /*backfill=*/true);
+      auto selected = select_neighbors(candidates, M_, /*backfill=*/true);
       {
         std::unique_lock<std::mutex> g(node_lock(id), std::defer_lock);
         if (locked) g.lock();
@@ -323,10 +443,10 @@ class HnswIndex {
     }
   }
 
-  int32_t greedy_closest(const float* q, int32_t start, int level,
-                         bool locked = false) const {
+  int32_t greedy_closest(const float* q, float qnorm, int32_t start,
+                         int level, bool locked = false) const {
     int32_t cur = start;
-    float cur_dist = distance(q, node_vec(cur));
+    float cur_dist = dist_q(q, qnorm, cur);
     bool improved = true;
     std::vector<int32_t> buf;
     while (improved) {
@@ -334,7 +454,7 @@ class HnswIndex {
       const std::vector<int32_t>* nbs = node_links(cur, level, locked, buf);
       if (nbs == nullptr) break;
       for (int32_t nb : *nbs) {
-        float d = distance(q, node_vec(nb));
+        float d = dist_q(q, qnorm, nb);
         if (d < cur_dist) {
           cur_dist = d;
           cur = nb;
@@ -351,8 +471,8 @@ class HnswIndex {
   // ``locked`` snapshots link lists under node locks (parallel build);
   // ``exclude`` drops a node from the results (a batch node must not pick
   // itself as neighbor once a concurrent insert has linked to it).
-  std::vector<SearchResult> search_layer(const float* q, int32_t entry,
-                                         int ef, int level,
+  std::vector<SearchResult> search_layer(const float* q, float qnorm,
+                                         int32_t entry, int ef, int level,
                                          const uint8_t* filter,
                                          bool locked = false,
                                          int32_t exclude = -1) const {
@@ -369,7 +489,7 @@ class HnswIndex {
                         decltype(better)> candidates(better);
     std::unordered_set<int32_t> visited;
 
-    float d0 = distance(q, node_vec(entry));
+    float d0 = dist_q(q, qnorm, entry);
     candidates.push({entry, d0});
     visited.insert(entry);
     if (entry != exclude && allowed(entry, filter)) results.push({entry, d0});
@@ -386,7 +506,7 @@ class HnswIndex {
       if (nbs == nullptr) continue;
       for (int32_t nb : *nbs) {
         if (!visited.insert(nb).second) continue;
-        float d = distance(q, node_vec(nb));
+        float d = dist_q(q, qnorm, nb);
         if (int(results.size()) < ef ||
             (!results.empty() && d < results.top().dist)) {
           candidates.push({nb, d});
@@ -416,15 +536,14 @@ class HnswIndex {
   // NOT when shrinking an existing node's list (backfilling there crowds
   // out the diverse long-range links and hurts recall at scale).
   std::vector<SearchResult> select_neighbors(
-      const float* q, const std::vector<SearchResult>& candidates,
-      int M, bool backfill) const {
-    (void)q;
+      const std::vector<SearchResult>& candidates, int M,
+      bool backfill) const {
     std::vector<SearchResult> selected;
     for (const auto& c : candidates) {
       if (int(selected.size()) >= M) break;
       bool keep = true;
       for (const auto& s : selected) {
-        if (distance(node_vec(c.id), node_vec(s.id)) < c.dist) {
+        if (dist_nn(c.id, s.id) < c.dist) {
           keep = false;
           break;
         }
@@ -447,13 +566,12 @@ class HnswIndex {
     auto& lst = links_[id][level];
     std::vector<SearchResult> cands;
     cands.reserve(lst.size());
-    const float* base = node_vec(id);
-    for (int32_t nb : lst) cands.push_back({nb, distance(base, node_vec(nb))});
+    for (int32_t nb : lst) cands.push_back({nb, dist_nn(id, nb)});
     std::sort(cands.begin(), cands.end(),
               [](const SearchResult& a, const SearchResult& b) {
                 return a.dist < b.dist;
               });
-    auto selected = select_neighbors(base, cands, max_links, /*backfill=*/false);
+    auto selected = select_neighbors(cands, max_links, /*backfill=*/false);
     lst.clear();
     for (auto& s : selected) lst.push_back(s.id);
   }
@@ -463,12 +581,14 @@ class HnswIndex {
   int M0_;
   int ef_construction_;
   int32_t metric_;
+  int32_t cell_type_;
   double level_mult_;
   std::mt19937_64 rng_;
 
-  std::vector<float> vectors_;
+  const void* base_ = nullptr;  // caller's vector buffer, set per call
   std::vector<uint8_t> deleted_;
   std::vector<int32_t> levels_;
+  std::vector<float> norms_;  // angular metric only
   std::vector<std::vector<std::vector<int32_t>>> links_;
   int32_t entry_point_ = -1;
   int max_level_ = 0;
@@ -483,20 +603,18 @@ class HnswIndex {
 
 extern "C" {
 
+int32_t engine_abi_version() { return kAbiVersion; }
+
 void* hnsw_create(int dim, int M, int ef_construction, int metric,
-                  uint64_t seed) {
-  return new HnswIndex(dim, M, ef_construction, metric, seed);
+                  int cell_type, uint64_t seed) {
+  return new HnswIndex(dim, M, ef_construction, metric, cell_type, seed);
 }
 
 void hnsw_free(void* handle) { delete static_cast<HnswIndex*>(handle); }
 
-int32_t hnsw_add(void* handle, const float* vec) {
-  return static_cast<HnswIndex*>(handle)->add(vec);
-}
-
-int32_t hnsw_add_batch(void* handle, const float* vecs, int32_t n,
-                       int32_t n_threads) {
-  return static_cast<HnswIndex*>(handle)->add_batch(vecs, n, n_threads);
+int32_t hnsw_link(void* handle, const void* base, int32_t n_total,
+                  int32_t n_threads) {
+  return static_cast<HnswIndex*>(handle)->link(base, n_total, n_threads);
 }
 
 void hnsw_remove(void* handle, int32_t id) {
@@ -511,9 +629,10 @@ int32_t hnsw_capacity(void* handle) {
   return static_cast<HnswIndex*>(handle)->capacity();
 }
 
-int hnsw_search(void* handle, const float* query, int k, int ef,
-                const uint8_t* filter, int32_t* out_ids, float* out_dists) {
-  return static_cast<HnswIndex*>(handle)->search(query, k, ef, filter,
+int hnsw_search(void* handle, const void* base, const float* query, int k,
+                int ef, const uint8_t* filter, int32_t* out_ids,
+                float* out_dists) {
+  return static_cast<HnswIndex*>(handle)->search(base, query, k, ef, filter,
                                                  out_ids, out_dists);
 }
 

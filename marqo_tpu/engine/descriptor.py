@@ -49,6 +49,10 @@ class IndexDescriptor:
     # searchable and (below the length cap) filterable
     dynamic_fields: bool = True
     filter_string_max_length: int = 50
+    # vector cell storage: "float32" | "bfloat16" (Vespa tensor cell-type /
+    # marqo vectorNumericType, reference marqo_index.py VectorNumericType —
+    # bfloat16 halves vector memory in both the store and the HNSW reads)
+    cell_dtype: str = "float32"
 
     def to_json(self) -> dict:
         return {
@@ -58,6 +62,7 @@ class IndexDescriptor:
             "normalize_embeddings": self.normalize_embeddings,
             "dynamic_fields": self.dynamic_fields,
             "filter_string_max_length": self.filter_string_max_length,
+            "cell_dtype": self.cell_dtype,
             "fields": [vars(f) for f in self.fields],
             "tensor_fields": [vars(t) for t in self.tensor_fields],
         }
@@ -71,6 +76,7 @@ class IndexDescriptor:
             normalize_embeddings=data.get("normalize_embeddings", True),
             dynamic_fields=data.get("dynamic_fields", True),
             filter_string_max_length=data.get("filter_string_max_length", 50),
+            cell_dtype=data.get("cell_dtype", "float32"),
             fields=[FieldDescriptor(**f) for f in data.get("fields", [])],
             tensor_fields=[TensorFieldDescriptor(**t)
                            for t in data.get("tensor_fields", [])],
@@ -94,6 +100,11 @@ def descriptor_from_marqo_index(index: MarqoIndex) -> IndexDescriptor:
         index_type=index.type.value,
         model_dimensions=dims,
         normalize_embeddings=index.normalize_embeddings,
+        # vectorNumericType → engine cell storage (bfloat16 halves memory)
+        cell_dtype=("bfloat16" if getattr(index, "vector_numeric_type", None)
+                    is not None and
+                    index.vector_numeric_type.value == "bfloat16"
+                    else "float32"),
     )
     metric = index.distance_metric.value
     hnsw = index.hnsw_config

@@ -25,10 +25,17 @@ _build_failed = False
 # descriptor metric → native metric id (hnsw.cpp Metric enum)
 METRIC_IDS = {
     "prenormalized-angular": 0,
-    "angular": 0,        # monotone-equivalent ordering on unit vectors
     "euclidean": 1,
     "dotproduct": 2,
+    "angular": 3,        # native 1-cos with a per-node norm cache
 }
+
+# vector cell type → native cell id (hnsw.cpp CellType enum; Vespa tensor
+# cell-type option / marqo vectorNumericType — bfloat16 halves vector memory)
+CELL_IDS = {"float32": 0, "bfloat16": 1}
+
+# the graph-only external-storage ABI; a stale .so is detected and rebuilt
+ENGINE_ABI_VERSION = 2
 
 
 def _build() -> bool:
@@ -60,13 +67,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             logger.warning(f"Could not load native engine: {e}")
             _build_failed = True
             return None
-        # a stale .so from an older build misses newer symbols: rebuild
-        # once and reload instead of raising AttributeError on every call
-        # (which would silently disable ANN/BM25 for the whole process)
-        if not hasattr(lib, "hnsw_add_batch") or \
-                not hasattr(lib, "bm25_add_raw"):
-            logger.warning("Native engine binary is stale (missing newer "
-                           "symbols); rebuilding")
+        # a stale .so from an older build misses newer symbols or speaks an
+        # older ABI: rebuild once and reload instead of raising
+        # AttributeError / silently corrupting memory on every call
+        def _stale(candidate) -> bool:
+            if not hasattr(candidate, "engine_abi_version") or \
+                    not hasattr(candidate, "bm25_add_raw"):
+                return True
+            candidate.engine_abi_version.restype = ctypes.c_int32
+            return candidate.engine_abi_version() != ENGINE_ABI_VERSION
+
+        if _stale(lib):
+            logger.warning("Native engine binary is stale (ABI mismatch); "
+                           "rebuilding")
             try:
                 os.remove(_LIB_PATH)
             except OSError:
@@ -75,23 +88,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 _build_failed = True
                 return None
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "hnsw_add_batch") or \
-                not hasattr(lib, "bm25_add_raw"):
-                logger.warning("Rebuilt native engine still missing "
-                               "symbols; using Python fallback paths")
+            if _stale(lib):
+                logger.warning("Rebuilt native engine still has an ABI "
+                               "mismatch; using Python fallback paths")
                 _build_failed = True
                 return None
         lib.hnsw_create.restype = ctypes.c_void_p
         lib.hnsw_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                                    ctypes.c_int, ctypes.c_uint64]
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_uint64]
         lib.hnsw_free.argtypes = [ctypes.c_void_p]
-        lib.hnsw_add.restype = ctypes.c_int32
-        lib.hnsw_add.argtypes = [ctypes.c_void_p,
-                                 ctypes.POINTER(ctypes.c_float)]
-        lib.hnsw_add_batch.restype = ctypes.c_int32
-        lib.hnsw_add_batch.argtypes = [ctypes.c_void_p,
-                                       ctypes.POINTER(ctypes.c_float),
-                                       ctypes.c_int32, ctypes.c_int32]
+        lib.hnsw_link.restype = ctypes.c_int32
+        lib.hnsw_link.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int32, ctypes.c_int32]
         lib.hnsw_remove.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.hnsw_size.restype = ctypes.c_int32
         lib.hnsw_size.argtypes = [ctypes.c_void_p]
@@ -99,7 +108,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hnsw_capacity.argtypes = [ctypes.c_void_p]
         lib.hnsw_search.restype = ctypes.c_int
         lib.hnsw_search.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
         lib.hnsw_save_size.restype = ctypes.c_int64
@@ -155,11 +165,22 @@ def native_available() -> bool:
 
 
 class NativeHnsw:
-    """One HNSW graph over float32 vectors. Not thread-safe; callers hold
-    the shard lock."""
+    """One HNSW graph over EXTERNAL vector storage (ABI v2).
+
+    The graph holds no vector data: the caller owns ONE contiguous
+    (capacity, dim) array — float32 or bfloat16 cells — and passes it to
+    every call. Node ids ARE row indices into that array, so the single
+    fp32 copy the Python store keeps is the only copy in the process
+    (Vespa's attribute store is likewise the one owner of tensor cells;
+    its HNSW references attribute ids). Not thread-safe; callers hold the
+    shard lock, which also guarantees the base pointer is stable for the
+    duration of each call even though the store reallocates on growth
+    between calls.
+    """
 
     def __init__(self, dim: int, m: int = 16, ef_construction: int = 512,
-                 metric: str = "prenormalized-angular", seed: int = 42,
+                 metric: str = "prenormalized-angular",
+                 cell_dtype: str = "float32", seed: int = 42,
                  _handle=None):
         lib = get_lib()
         if lib is None:
@@ -167,32 +188,39 @@ class NativeHnsw:
         self._lib = lib
         self.dim = dim
         self.metric = metric
+        self.cell_dtype = cell_dtype
+        if cell_dtype not in CELL_IDS:
+            raise ValueError(f"unsupported cell dtype: {cell_dtype}")
         if _handle is not None:
             self._handle = _handle
         else:
             self._handle = lib.hnsw_create(
                 dim, m, ef_construction,
-                METRIC_IDS.get(metric, 0), seed)
+                METRIC_IDS.get(metric, 0), CELL_IDS[cell_dtype], seed)
 
-    def add(self, vec: np.ndarray) -> int:
-        vec = np.ascontiguousarray(vec, dtype=np.float32)
-        return self._lib.hnsw_add(
-            self._handle, vec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    def _base_ptr(self, store: np.ndarray, min_rows: int):
+        if store.ndim != 2 or store.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) store array")
+        if not store.flags["C_CONTIGUOUS"]:
+            raise ValueError("store array must be C-contiguous")
+        if store.itemsize != (4 if self.cell_dtype == "float32" else 2):
+            raise ValueError(f"store dtype {store.dtype} does not match "
+                             f"cell dtype {self.cell_dtype}")
+        if store.shape[0] < min_rows:
+            raise ValueError(f"store has {store.shape[0]} rows; graph "
+                             f"needs {min_rows}")
+        return ctypes.c_void_p(store.ctypes.data)
 
-    def add_batch(self, vecs: np.ndarray, n_threads: int = 0) -> int:
-        """Parallel bulk insert of (n, dim) vectors (graph build fans out
-        across n_threads with per-node locks; role parity with Vespa's
-        multi-threaded feed into its HNSW). Returns the first node id;
-        ids are contiguous. Callers hold the shard lock (no concurrent
-        search on this graph during the build)."""
-        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
-        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
-            raise ValueError(f"expected (n, {self.dim}) array")
+    def link(self, store: np.ndarray, n_total: int, n_threads: int = 0
+             ) -> int:
+        """Link rows [capacity, n_total) of ``store`` into the graph
+        (parallel across n_threads with per-node locks; role parity with
+        Vespa's multi-threaded feed into its HNSW). Returns the first new
+        node id; ids are contiguous row indices."""
         if n_threads <= 0:
             n_threads = os.cpu_count() or 1
-        return self._lib.hnsw_add_batch(
-            self._handle, vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            vecs.shape[0], n_threads)
+        return self._lib.hnsw_link(
+            self._handle, self._base_ptr(store, n_total), n_total, n_threads)
 
     def remove(self, node_id: int) -> None:
         self._lib.hnsw_remove(self._handle, node_id)
@@ -200,10 +228,15 @@ class NativeHnsw:
     def __len__(self) -> int:
         return self._lib.hnsw_size(self._handle)
 
-    def search(self, query: np.ndarray, k: int, ef: int,
+    @property
+    def capacity(self) -> int:
+        return self._lib.hnsw_capacity(self._handle)
+
+    def search(self, store: np.ndarray, query: np.ndarray, k: int, ef: int,
                filter_mask: Optional[np.ndarray] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (node_ids, distances), ascending distance."""
+        """Returns (node_ids, distances), ascending distance. The query is
+        always float32 regardless of cell dtype."""
         query = np.ascontiguousarray(query, dtype=np.float32)
         out_ids = np.empty(k, dtype=np.int32)
         out_dists = np.empty(k, dtype=np.float32)
@@ -213,13 +246,15 @@ class NativeHnsw:
             mask_ptr = filter_mask.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8))
         n = self._lib.hnsw_search(
-            self._handle, query.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle, self._base_ptr(store, self.capacity),
+            query.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             k, ef, mask_ptr, out_ids.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int32)),
             out_dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out_ids[:n], out_dists[:n]
 
     def save(self) -> bytes:
+        """Graph-only blob (vectors are snapshotted by the owning store)."""
         size = self._lib.hnsw_save_size(self._handle)
         buf = np.empty(size, dtype=np.uint8)
         written = self._lib.hnsw_save(
@@ -232,19 +267,25 @@ class NativeHnsw:
     @classmethod
     def load(cls, blob: bytes, metric: str = "prenormalized-angular"
              ) -> "NativeHnsw":
+        """Rejects malformed/truncated blobs AND pre-v2 blobs (which embed
+        vectors the graph no longer owns) — callers fall back to a lazy
+        graph rebuild from the store's vectors."""
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native engine unavailable")
-        if len(blob) < 28:  # 7-int32 header
+        if len(blob) < 40:  # magic+abi+8-int32 header
             raise ValueError("HNSW snapshot blob truncated")
         buf = np.frombuffer(blob, dtype=np.uint8)
         handle = lib.hnsw_load(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(blob))
-        if not handle:  # native loader rejected a malformed/corrupt blob
-            raise ValueError("HNSW snapshot blob malformed; caller should "
-                             "fall back to a lazy graph rebuild")
-        dim = int(np.frombuffer(blob[:4], dtype=np.int32)[0])
-        return cls(dim, metric=metric, _handle=handle)
+        if not handle:  # malformed, corrupt, or legacy-format blob
+            raise ValueError("HNSW snapshot blob malformed or pre-v2; "
+                             "caller should fall back to a lazy rebuild")
+        header = np.frombuffer(blob[:40], dtype=np.int32)
+        dim = int(header[2])
+        cell = int(header[6])
+        cell_dtype = {v: k for k, v in CELL_IDS.items()}.get(cell, "float32")
+        return cls(dim, metric=metric, cell_dtype=cell_dtype, _handle=handle)
 
     def __del__(self):
         try:

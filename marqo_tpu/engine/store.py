@@ -44,6 +44,10 @@ def closeness(metric: str, query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     (rank feature closeness(field), reference embedding_similarity profile)."""
     if matrix.size == 0:
         return np.zeros((0,), dtype=np.float32)
+    if matrix.dtype != np.float32:
+        # bfloat16-cell stores: exact scoring upcasts once per scan (the
+        # exact path only runs on small fields or approximate=False)
+        matrix = matrix.astype(np.float32)
     if metric == "prenormalized-angular":
         dist = 1.0 - matrix @ query
     elif metric == "angular":
@@ -91,39 +95,66 @@ def _closeness_from_distance(metric: str, dists: np.ndarray) -> np.ndarray:
 
 # --- per-shard storage -------------------------------------------------------
 
+def np_cell_dtype(cell_dtype: str):
+    """numpy dtype for a vector cell type. bfloat16 comes from ml_dtypes
+    (a jax dependency — always present here); it registers a real numpy
+    dtype, so views/matmul/savez all work, with matmul upcasting to fp32."""
+    if cell_dtype == "bfloat16":
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
+
+
 class _FieldTensors:
     """Append-only chunk store for one tensor field (per shard).
 
-    Rows are append-only with a validity mask so row ids stay stable for
-    the native HNSW graph (engine/native.py); deletes are tombstones in
-    both structures (Vespa's HNSW behaves the same way).
+    SINGLE-COPY vector storage: one contiguous (capacity, dim) ndarray in
+    the index's cell dtype (float32 default; bfloat16 halves memory —
+    Vespa's bfloat16 tensor-cell option / marqo vectorNumericType). The
+    native HNSW is graph-only and reads rows straight out of this array
+    (engine/native.py ABI v2), so there is no second fp32 copy anywhere
+    in the process. Rows are append-only with a validity mask so row ids
+    stay stable for the HNSW graph; deletes are tombstones in both
+    structures (Vespa's HNSW behaves the same way).
     """
 
     def __init__(self, dimensions: int,
                  metric: str = "prenormalized-angular",
-                 hnsw_m: int = 16, hnsw_ef_construction: int = 512):
+                 hnsw_m: int = 16, hnsw_ef_construction: int = 512,
+                 cell_dtype: str = "float32"):
         self.dimensions = dimensions
         self.metric = metric
+        self.cell_dtype = cell_dtype
+        self._np_dtype = np_cell_dtype(cell_dtype)
+        self._store = np.empty((0, dimensions), dtype=self._np_dtype)
+        self._n = 0
         self._doc_ids: List[str] = []
         self._chunks: List[str] = []
-        self._vectors: List[np.ndarray] = []
         self._valid: List[bool] = []
         self._live_docs: Set[str] = set()
-        self._matrix: Optional[np.ndarray] = None
         self._rows_by_doc: Dict[str, List[int]] = defaultdict(list)
         self._hnsw = None
         self._hnsw_params = (hnsw_m, hnsw_ef_construction)
         self._version = 0
         self._jax_scorer = None
 
-    def _hnsw_vec(self, vec: np.ndarray) -> np.ndarray:
-        """The native HNSW only implements prenormalized (1-dot) angular
-        distance; for the true `angular` metric insert/query L2-normalized
-        copies — angle ordering equals 1-dot ordering on unit vectors."""
-        if self.metric != "angular":
-            return vec
-        norm = np.linalg.norm(vec)
-        return vec / norm if norm > 1e-12 else vec
+    def _ensure_capacity(self, extra: int) -> None:
+        need = self._n + extra
+        if need <= self._store.shape[0]:
+            return
+        cap = max(64, self._store.shape[0])
+        while cap < need:
+            cap *= 2
+        grown = np.empty((cap, self.dimensions), dtype=self._np_dtype)
+        grown[:self._n] = self._store[:self._n]
+        # callers hold the shard lock, so no native call is mid-flight on
+        # the old buffer; the next call passes the new base pointer
+        self._store = grown
+
+    def _build_threads(self) -> int:
+        from marqo_tpu.api import configs
+        return int(configs.read_env_vars_and_defaults(
+            "MARQO_HNSW_BUILD_THREADS") or 0)
 
     def _ensure_hnsw(self):
         if self._hnsw is None:
@@ -131,22 +162,21 @@ class _FieldTensors:
                 from marqo_tpu.engine.native import NativeHnsw, native_available
                 if native_available():
                     m, efc = self._hnsw_params
-                    self._hnsw = NativeHnsw(self.dimensions, m=m,
-                                            ef_construction=efc,
-                                            metric=self.metric)
-                    if self._vectors:
-                        # bulk parallel build (callers hold the field lock;
-                        # MARQO_HNSW_BUILD_THREADS=0 → all cores)
-                        from marqo_tpu.api import configs
-                        n_threads = int(configs.read_env_vars_and_defaults(
-                            "MARQO_HNSW_BUILD_THREADS") or 0)
-                        vecs = np.stack(
-                            [self._hnsw_vec(v) for v in self._vectors])
-                        first = self._hnsw.add_batch(vecs, n_threads)
+                    hnsw = NativeHnsw(self.dimensions, m=m,
+                                      ef_construction=efc,
+                                      metric=self.metric,
+                                      cell_dtype=self.cell_dtype)
+                    if self._n:
+                        # bulk parallel build over the store's rows (callers
+                        # hold the field lock; MARQO_HNSW_BUILD_THREADS=0 →
+                        # all cores)
+                        first = hnsw.link(self._store, self._n,
+                                          self._build_threads())
                         assert first == 0
                         for row, ok in enumerate(self._valid):
                             if not ok:
-                                self._hnsw.remove(row)
+                                hnsw.remove(row)
+                    self._hnsw = hnsw
             except Exception:
                 self._hnsw = None
         return self._hnsw
@@ -165,16 +195,19 @@ class _FieldTensors:
                 f"{emb.shape[1]}")
         self.remove(doc_id)
         self._live_docs.add(doc_id)
-        for chunk, vec in zip(chunks, emb):
-            row = len(self._doc_ids)
+        n_new = emb.shape[0]
+        if n_new:
+            self._ensure_capacity(n_new)
+            self._store[self._n:self._n + n_new] = emb  # cell-dtype cast
+        for chunk in chunks:
+            row = self._n
+            self._n += 1
             self._rows_by_doc[doc_id].append(row)
             self._doc_ids.append(doc_id)
             self._chunks.append(chunk)
-            self._vectors.append(vec)
             self._valid.append(True)
-            if self._hnsw is not None:
-                self._hnsw.add(self._hnsw_vec(vec))
-        self._matrix = None
+        if self._hnsw is not None and n_new:
+            self._hnsw.link(self._store, self._n, n_threads=1)
         self._version += 1
 
     def remove(self, doc_id: str) -> None:
@@ -189,12 +222,9 @@ class _FieldTensors:
         self._version += 1
 
     def matrix(self) -> Tuple[np.ndarray, List[str], List[str], np.ndarray]:
-        """(vectors, per-row doc ids, per-row chunks, validity mask)."""
-        if self._matrix is None:
-            self._matrix = (np.stack(self._vectors)
-                            if self._vectors else
-                            np.zeros((0, self.dimensions), dtype=np.float32))
-        return (self._matrix, self._doc_ids, self._chunks,
+        """(vectors view — cell dtype, no copy; per-row doc ids, per-row
+        chunks, validity mask)."""
+        return (self._store[:self._n], self._doc_ids, self._chunks,
                 np.asarray(self._valid, dtype=bool))
 
     def search_approximate(self, query: np.ndarray, k: int, ef: int,
@@ -211,7 +241,8 @@ class _FieldTensors:
                 for row in self._rows_by_doc.get(doc_id, ()):
                     mask[row] = 1
         k = min(k, len(self._doc_ids))
-        return hnsw.search(self._hnsw_vec(np.asarray(query, dtype=np.float32)),
+        return hnsw.search(self._store,
+                           np.asarray(query, dtype=np.float32),
                            k=k, ef=max(ef, k), filter_mask=mask)
 
     def search_exact_device(self, query: np.ndarray, k: int):
@@ -224,7 +255,8 @@ class _FieldTensors:
         return self._jax_scorer.top_k(matrix, self._version, query, k, valid)
 
     def doc_tensors(self, doc_id: str) -> List[Tuple[str, np.ndarray]]:
-        return [(self._chunks[i], self._vectors[i])
+        return [(self._chunks[i],
+                 np.asarray(self._store[i], dtype=np.float32))
                 for i in self._rows_by_doc.get(doc_id, [])]
 
     @property
@@ -249,7 +281,8 @@ class _Shard:
                 self.descriptor.model_dimensions,
                 metric=(tf.distance_metric if tf else "prenormalized-angular"),
                 hnsw_m=(tf.hnsw_m if tf else 16),
-                hnsw_ef_construction=(tf.hnsw_ef_construction if tf else 512))
+                hnsw_ef_construction=(tf.hnsw_ef_construction if tf else 512),
+                cell_dtype=getattr(self.descriptor, "cell_dtype", "float32"))
         return self.tensors[field]
 
     def _lexical_index(self, field: str) -> Bm25FieldIndex:
@@ -551,7 +584,15 @@ class StoreEngine:
         """Order-independent content digest for replica divergence checks:
         identical doc sets yield identical digests regardless of feed
         order. Cheap (one crc pass per doc), computed on demand by the
-        cluster heal operation."""
+        cluster heal operation.
+
+        ``seq`` is the durable per-index mutation sequence (advanced by
+        every applied mutation, persisted in snapshots, re-advanced by WAL
+        replay, adopted from the source on sync) — the heal election key.
+        With write-all semantics the replica that applied MORE mutations is
+        the one that was up for the writes its peer missed, including
+        DELETES — doc-count election would resurrect a missed delete
+        (the replica that missed it holds more docs and would win)."""
         import json as _json
         checksum = 0
         count = 0
@@ -560,7 +601,8 @@ class StoreEngine:
             checksum = (checksum + zlib.crc32(payload.encode("utf-8"))) \
                 % (2 ** 63)
             count += 1
-        return {"doc_count": count, "checksum": checksum}
+        return {"doc_count": count, "checksum": checksum,
+                "seq": self._mutations.get(index_name, 0)}
 
     def dump_index(self, index_name: str) -> dict:
         """Full JSON-serializable state of one index (descriptor + docs +
@@ -593,6 +635,12 @@ class StoreEngine:
                 self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
         finally:
             self._recovery_depth -= 1
+        # adopt the source's mutation sequence so a healed replica ties the
+        # election with its source instead of looking permanently behind
+        with self._lock:
+            self._mutations[descriptor.name] = max(
+                int(dump.get("version", 0)),
+                self._mutations.get(descriptor.name, 0))
         return len(dump["docs"])
 
     def visit_all(self, index_name: str) -> Iterable[Tuple[str, dict]]:
@@ -647,9 +695,15 @@ class StoreEngine:
                             "valid": [bool(v) for v in valid],
                             "metric": ts.metric,
                             "hnsw_params": list(ts._hnsw_params),
+                            # bfloat16 rows round-trip the npz as raw V2
+                            # bytes; restore views them back by this name
+                            "cell_dtype": ts.cell_dtype,
                         }
-                        binary[key + "::vectors"] = matrix
+                        binary[key + "::vectors"] = np.ascontiguousarray(
+                            matrix)
                         if ts._hnsw is not None:
+                            # graph-only blob (ABI v2) — the vectors above
+                            # are the single copy
                             binary[key + "::hnsw"] = np.frombuffer(
                                 ts._hnsw.save(), dtype=np.uint8)
             payload = {
@@ -658,6 +712,9 @@ class StoreEngine:
                 "descriptor": self._descriptors[name].to_json(),
                 "docs": docs,
                 "tensor_meta": tensor_meta,
+                # durable mutation sequence: restore resumes the counter so
+                # heal elections stay comparable across restarts
+                "seq": version,
             }
             binary["__snapshot_id__"] = np.frombuffer(
                 snapshot_id.encode("ascii"), dtype=np.uint8)
@@ -722,6 +779,13 @@ class StoreEngine:
         for doc in payload["docs"]:
             self.feed(descriptor.name, doc["id"], doc["fields"], {})
             count += 1
+        # resume the durable mutation sequence (heal election key — see
+        # index_digest); the restore feeds above only counted docs, not
+        # the full mutation history this snapshot represents
+        with self._lock:
+            self._mutations[descriptor.name] = max(
+                int(payload.get("seq", 0)),
+                self._mutations.get(descriptor.name, 0))
         # tensor stores from the binary sidecar
         bin_path = path[:-len(".engine.json")] + ".tensors.npz"
         if not os.path.exists(bin_path):
@@ -746,7 +810,11 @@ class StoreEngine:
                     "tensor rows per document (HNSW graphs rebuild lazily)")
             for key, meta in payload.get("tensor_meta", {}).items():
                 shard_idx_s, field = key.split("::", 1)
+                cell_dtype = meta.get("cell_dtype", "float32")
                 matrix = data[key + "::vectors"]
+                if matrix.dtype != np_cell_dtype(cell_dtype):
+                    # npz stores bfloat16 as raw V2 bytes — view back
+                    matrix = matrix.view(np_cell_dtype(cell_dtype))
                 if redistribute:
                     self._reroute_tensor_rows(descriptor.name, field, meta,
                                               matrix)
@@ -755,10 +823,12 @@ class StoreEngine:
                 ts = _FieldTensors(
                     descriptor.model_dimensions, metric=meta["metric"],
                     hnsw_m=meta["hnsw_params"][0],
-                    hnsw_ef_construction=meta["hnsw_params"][1])
+                    hnsw_ef_construction=meta["hnsw_params"][1],
+                    cell_dtype=cell_dtype)
                 ts._doc_ids = list(meta["doc_ids"])
                 ts._chunks = list(meta["chunks"])
-                ts._vectors = [matrix[i] for i in range(matrix.shape[0])]
+                ts._store = np.ascontiguousarray(matrix, dtype=ts._np_dtype)
+                ts._n = matrix.shape[0]
                 ts._valid = list(meta["valid"])
                 ts._live_docs = {d for d, v in zip(ts._doc_ids, ts._valid)
                                  if v}

@@ -19,6 +19,7 @@ GOLDEN_STRUCTURED = {
     "normalize_embeddings": True,
     "dynamic_fields": False,
     "filter_string_max_length": 50,
+    "cell_dtype": "float32",
     "fields": [
         {"name": "title", "type": "text", "lexical": True,
          "filterable": False, "score_modifier": False},
@@ -39,6 +40,20 @@ GOLDEN_SEMI = {
     "normalize_embeddings": True,
     "dynamic_fields": True,
     "filter_string_max_length": 30,
+    "cell_dtype": "float32",
+    "fields": [],
+    "tensor_fields": [],
+}
+
+
+GOLDEN_BF16 = {
+    "name": "golden-bf16",
+    "index_type": "semi-structured",
+    "model_dimensions": 16,
+    "normalize_embeddings": True,
+    "dynamic_fields": True,
+    "filter_string_max_length": 50,
+    "cell_dtype": "bfloat16",
     "fields": [],
     "tensor_fields": [],
 }
@@ -64,6 +79,14 @@ class TestDescriptorGolden:
         settings = IndexSettings(model="test", filterStringMaxLength=30)
         index = settings.to_marqo_index("golden-semi")
         assert descriptor_from_marqo_index(index).to_json() == GOLDEN_SEMI
+
+    def test_bfloat16_cells(self):
+        # vectorNumericType=bfloat16 (reference marqo_index.py
+        # VectorNumericType) → engine bfloat16 cell storage
+        settings = IndexSettings(model="test",
+                                 vectorNumericType="bfloat16")
+        index = settings.to_marqo_index("golden-bf16")
+        assert descriptor_from_marqo_index(index).to_json() == GOLDEN_BF16
 
     def test_roundtrip(self):
         from marqo_tpu.engine.descriptor import IndexDescriptor

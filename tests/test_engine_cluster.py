@@ -161,7 +161,8 @@ class TestGlobalRRF:
 
 class TestReplicaHealing:
     """Replica anti-entropy (cluster.heal): a replica that missed writes
-    re-syncs from the replica holding the most documents."""
+    re-syncs from the replica with the highest durable mutation sequence
+    (store.index_digest seq — NOT doc count, which resurrects deletes)."""
 
     def test_stale_replica_resynced(self):
         from marqo_tpu.engine.cluster import ClusterEngine
@@ -178,13 +179,17 @@ class TestReplicaHealing:
                                      "http://127.0.0.1:18601"]])
             engine.create_index(IndexDescriptor(name="heal-idx",
                                                 model_dimensions=4))
-            for i in range(10):
+            for i in range(4):
                 engine.feed("heal-idx", f"d{i}", {"n": i},
                             {"t": {"chunks": [f"c{i}"],
                                    "embeddings": [_unit([1, i + 1, 0, 0])]}})
-            # simulate replica 1 having been down for some writes
+            # simulate replica 1 having been down for writes 4..9: they
+            # reach only replica 0 (its mutation seq advances; 1's doesn't)
             for i in range(4, 10):
-                backends[1].delete("heal-idx", f"d{i}")
+                backends[0].feed("heal-idx", f"d{i}", {"n": i},
+                                 {"t": {"chunks": [f"c{i}"],
+                                        "embeddings":
+                                        [_unit([1, i + 1, 0, 0])]}})
             assert backends[1].doc_count("heal-idx") == 4
             report = engine.heal("heal-idx")
             assert len(report["healed"]) == 1
@@ -196,6 +201,93 @@ class TestReplicaHealing:
             assert res.hits[0].doc_id == "d7"
             # converged: heal again is a no-op
             assert engine.heal("heal-idx")["healed"] == []
+            engine.close()
+        finally:
+            for server in servers:
+                server.shutdown()
+
+    def test_missed_delete_is_not_resurrected(self):
+        """The round-4 verdict bug: replica 1 misses a DELETE, so it holds
+        MORE docs; doc-count election would crown it and push the deleted
+        doc back onto the healthy replica. Seq election must instead
+        propagate the delete to replica 1."""
+        from marqo_tpu.engine.cluster import ClusterEngine
+        from marqo_tpu.engine.server import build_engine_app
+        from marqo_tpu.engine.store import StoreEngine
+        from marqo_tpu.api.http_framework import serve
+
+        backends = [StoreEngine() for _ in range(2)]
+        servers = [serve(build_engine_app(b), host="127.0.0.1",
+                         port=18620 + i, background=True)
+                   for i, b in enumerate(backends)]
+        try:
+            engine = ClusterEngine([["http://127.0.0.1:18620",
+                                     "http://127.0.0.1:18621"]])
+            engine.create_index(IndexDescriptor(name="del-idx",
+                                                model_dimensions=4))
+            for i in range(6):
+                engine.feed("del-idx", f"d{i}", {"n": i}, {})
+            # the delete reaches only replica 0 (replica 1 was down)
+            assert backends[0].delete("del-idx", "d3") is True
+            assert backends[0].doc_count("del-idx") == 5
+            assert backends[1].doc_count("del-idx") == 6
+            report = engine.heal("del-idx")
+            assert len(report["healed"]) == 1
+            # the delete propagated — d3 stays dead on BOTH replicas
+            assert backends[0].get("del-idx", "d3") is None
+            assert backends[1].get("del-idx", "d3") is None
+            assert backends[0].doc_count("del-idx") == 5
+            assert backends[1].doc_count("del-idx") == 5
+            assert engine.heal("del-idx")["healed"] == []
+            engine.close()
+        finally:
+            for server in servers:
+                server.shutdown()
+
+    def test_auto_heal_after_failed_replica_write(self):
+        """Failover-triggered anti-entropy: a write that reaches only some
+        replicas flags the shard degraded; the background loop repairs it
+        without a manual /ops/heal call (Vespa distributor role)."""
+        import time
+        from marqo_tpu.engine.cluster import ClusterEngine
+        from marqo_tpu.engine.server import build_engine_app
+        from marqo_tpu.engine.store import StoreEngine
+        from marqo_tpu.api.http_framework import serve
+
+        backends = [StoreEngine() for _ in range(2)]
+        servers = [serve(build_engine_app(b), host="127.0.0.1",
+                         port=18630 + i, background=True)
+                   for i, b in enumerate(backends)]
+        try:
+            engine = ClusterEngine([["http://127.0.0.1:18630",
+                                     "http://127.0.0.1:18631"]],
+                                   heal_interval_s=3600)
+            engine.create_index(IndexDescriptor(name="auto-idx",
+                                                model_dimensions=4))
+            for i in range(3):
+                engine.feed("auto-idx", f"d{i}", {"n": i}, {})
+            # take replica 1 down. shutdown() only stops the accept loop —
+            # the client's keepalive socket would still reach the handler
+            # thread, so ALSO swap in a fresh client (in production the
+            # dead process's sockets RST; in-process we simulate that by
+            # dropping the pooled connections)
+            from marqo_tpu.engine.client import RemoteStoreEngine
+            servers[1].shutdown()
+            servers[1].server_close()
+            engine.shards[0].replicas[1].close()
+            engine.shards[0].replicas[1] = RemoteStoreEngine(
+                "http://127.0.0.1:18631")
+            engine.feed("auto-idx", "d3", {"n": 3}, {})
+            assert engine.shards[0].degraded is True
+            # replica 1 comes back empty-behind (server restart, same store)
+            servers[1] = serve(build_engine_app(backends[1]),
+                               host="127.0.0.1", port=18631, background=True)
+            deadline = time.time() + 10
+            while time.time() < deadline and \
+                    backends[1].get("auto-idx", "d3") is None:
+                time.sleep(0.2)
+            assert backends[1].get("auto-idx", "d3") == {"n": 3}
+            assert engine.shards[0].degraded is False
             engine.close()
         finally:
             for server in servers:

@@ -158,21 +158,30 @@ class TestCorruptHnswBlob:
         if not native_available():
             pytest.skip("native engine not built")
         rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 8)).astype(np.float32)
         idx = NativeHnsw(8, m=4, ef_construction=32)
-        for i in range(50):
-            idx.add(rng.standard_normal(8).astype(np.float32))
+        idx.link(x, 50, n_threads=1)
         blob = idx.save()
         with pytest.raises(ValueError):
             NativeHnsw.load(blob[: len(blob) // 2])
         with pytest.raises(ValueError):
             NativeHnsw.load(b"\x00" * 10)
         # absurd header values (4B rows) must be rejected, not allocated
-        garbage = np.zeros(7, dtype=np.int32)
-        garbage[0] = 8
-        garbage[1] = 4
-        garbage[4] = 2**31 - 1
+        garbage = np.zeros(10, dtype=np.int32)
+        garbage[0] = -2  # magic
+        garbage[1] = 2   # abi
+        garbage[2] = 8   # dim
+        garbage[3] = 4   # M
+        garbage[7] = 2**31 - 1  # n
         with pytest.raises(ValueError):
             NativeHnsw.load(garbage.tobytes() + b"\x00" * 64)
+        # legacy (pre-v2) blobs embed vectors the graph no longer owns —
+        # rejected so the store falls back to a lazy rebuild
+        legacy = np.zeros(7, dtype=np.int32)
+        legacy[0] = 8
+        legacy[1] = 4
+        with pytest.raises(ValueError):
+            NativeHnsw.load(legacy.tobytes() + b"\x00" * 64)
         # intact blob still loads
         assert len(NativeHnsw.load(blob)) == 50
 

@@ -192,3 +192,42 @@ class TestIncrementalSnapshots:
         os.unlink(tmp_path / "inc3.engine.json")
         eng.snapshot(str(tmp_path))
         assert (tmp_path / "inc3.engine.json").exists()
+
+
+class TestMutationSequenceDurability:
+    """The heal election key (index_digest seq) must survive restarts:
+    snapshot persists it, restore resumes it, sync adopts the source's."""
+
+    def test_seq_survives_snapshot_restore(self, tmp_path):
+        eng = StoreEngine()
+        eng.create_index(IndexDescriptor(name="seq-idx", model_dimensions=4))
+        for i in range(5):
+            eng.feed("seq-idx", f"d{i}", {"n": i}, {})
+        eng.delete("seq-idx", "d2")  # seq advances past doc count
+        seq_before = eng.index_digest("seq-idx")["seq"]
+        assert seq_before >= 7  # create + 5 feeds + delete
+        eng.snapshot(str(tmp_path))
+        fresh = StoreEngine()
+        fresh.restore(str(tmp_path))
+        digest = fresh.index_digest("seq-idx")
+        assert digest["doc_count"] == 4
+        assert digest["seq"] >= seq_before
+        # restarted replica must not LOSE the election to its old self: a
+        # peer that only saw the feeds (no delete) stays behind
+        peer = StoreEngine()
+        peer.create_index(IndexDescriptor(name="seq-idx",
+                                          model_dimensions=4))
+        for i in range(5):
+            peer.feed("seq-idx", f"d{i}", {"n": i}, {})
+        assert peer.index_digest("seq-idx")["seq"] < digest["seq"]
+
+    def test_sync_adopts_source_seq(self):
+        src = StoreEngine()
+        src.create_index(IndexDescriptor(name="s", model_dimensions=4))
+        for i in range(4):
+            src.feed("s", f"d{i}", {"n": i}, {})
+        src.delete("s", "d0")
+        dst = StoreEngine()
+        dst.load_index_dump(src.dump_index("s"))
+        assert dst.index_digest("s")["seq"] >= src.index_digest("s")["seq"]
+        assert dst.doc_count("s") == 3
