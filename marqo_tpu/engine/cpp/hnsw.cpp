@@ -96,6 +96,30 @@ struct SearchResult {
   float dist;
 };
 
+// Epoch-stamped visited tracker, pooled per thread (hnswlib's
+// VisitedListPool idea): marking a node visited is one array store and one
+// compare instead of an unordered_set hash+probe+possible rehash. The pool
+// is shared across index instances — a fresh epoch per search_layer call
+// makes earlier searches' stamps (same index or another) unreadable.
+struct VisitedPool {
+  std::vector<uint32_t> stamp;
+  uint32_t epoch = 0;
+
+  uint32_t begin_epoch(size_t capacity) {
+    if (stamp.size() < capacity) stamp.resize(capacity, 0);
+    if (++epoch == 0) {  // uint32 wrap: clear once every 4B searches
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+    return epoch;
+  }
+};
+
+inline VisitedPool& visited_pool() {
+  thread_local VisitedPool pool;
+  return pool;
+}
+
 class HnswIndex {
  public:
   HnswIndex(int dim, int M, int ef_construction, int metric, int cell_type,
@@ -130,6 +154,19 @@ class HnswIndex {
     } else {
       const uint16_t* v = row_bf16(id);
       for (int i = 0; i < dim_; ++i) out[i] = bf16_to_f32(v[i]);
+    }
+  }
+
+  // Pull a row toward the cache ahead of its distance computation. At
+  // dim=768 a row is 3 KiB fp32 / 1.5 KiB bf16 — DRAM latency on the
+  // first lines dominates the graph walk at 1M+ vectors, and the access
+  // pattern (graph neighbors) defeats the hardware prefetcher.
+  void prefetch_row(int32_t id) const {
+    const size_t row_bytes =
+        size_t(dim_) * (cell_type_ == CELL_F32 ? 4 : 2);
+    const char* p = static_cast<const char*>(base_) + size_t(id) * row_bytes;
+    for (size_t off = 0; off < row_bytes; off += 64) {
+      __builtin_prefetch(p + off, 0 /*read*/, 2);
     }
   }
 
@@ -487,14 +524,17 @@ class HnswIndex {
                         decltype(worse)> results(worse);
     std::priority_queue<SearchResult, std::vector<SearchResult>,
                         decltype(better)> candidates(better);
-    std::unordered_set<int32_t> visited;
+    VisitedPool& vp = visited_pool();
+    const uint32_t ep = vp.begin_epoch(levels_.size());
+    uint32_t* stamp = vp.stamp.data();
 
     float d0 = dist_q(q, qnorm, entry);
     candidates.push({entry, d0});
-    visited.insert(entry);
+    stamp[entry] = ep;
     if (entry != exclude && allowed(entry, filter)) results.push({entry, d0});
 
     std::vector<int32_t> buf;
+    std::vector<int32_t> fresh;  // unvisited neighbors of the current node
     while (!candidates.empty()) {
       SearchResult c = candidates.top();
       candidates.pop();
@@ -504,8 +544,19 @@ class HnswIndex {
       }
       const std::vector<int32_t>* nbs = node_links(c.id, level, locked, buf);
       if (nbs == nullptr) continue;
+      // Stamp first, then compute with a one-ahead row prefetch: the next
+      // neighbor's vector streams in from DRAM while this one's distance
+      // runs on the vector units.
+      fresh.clear();
       for (int32_t nb : *nbs) {
-        if (!visited.insert(nb).second) continue;
+        if (stamp[nb] == ep) continue;
+        stamp[nb] = ep;
+        fresh.push_back(nb);
+      }
+      if (!fresh.empty()) prefetch_row(fresh[0]);
+      for (size_t i = 0; i < fresh.size(); ++i) {
+        if (i + 1 < fresh.size()) prefetch_row(fresh[i + 1]);
+        int32_t nb = fresh[i];
         float d = dist_q(q, qnorm, nb);
         if (int(results.size()) < ef ||
             (!results.empty() && d < results.top().dist)) {

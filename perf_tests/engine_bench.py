@@ -76,7 +76,8 @@ def brute_force_topk(data: np.ndarray, queries: np.ndarray, k: int,
 
 def bench_hnsw(n: int, dim: int, k: int, ef_sweep, n_queries: int = 200,
                clustered: bool = True, cell: str = "float32",
-               m: int = 16, ef_construction: int = 512, threads: int = 0):
+               m: int = 16, ef_construction: int = 512, threads: int = 0,
+               save_path: str = "", load_path: str = ""):
     data, queries = make_corpus(n, dim, n_queries, clustered)
     store = np.ascontiguousarray(data, dtype=np_cell_dtype(cell))
     if cell != "float32":
@@ -84,12 +85,23 @@ def bench_hnsw(n: int, dim: int, k: int, ef_sweep, n_queries: int = 200,
         data = store
     rss_before = _rss_gb()
 
-    index = NativeHnsw(dim, m=m, ef_construction=ef_construction,
-                       cell_dtype=cell)
-    start = time.perf_counter()
-    index.link(store, n, n_threads=threads)
-    build_s = time.perf_counter() - start
+    if load_path:
+        # Search-only mode over a previously-built graph (same corpus seed):
+        # lets ef-sweep experiments skip the hours-long 1-core build.
+        with open(load_path, "rb") as f:
+            index = NativeHnsw.load(f.read())
+        assert len(index) == n, (len(index), n)
+        build_s = float("nan")
+    else:
+        index = NativeHnsw(dim, m=m, ef_construction=ef_construction,
+                           cell_dtype=cell)
+        start = time.perf_counter()
+        index.link(store, n, n_threads=threads)
+        build_s = time.perf_counter() - start
     rss_after_build = _rss_gb()
+    if save_path and not load_path:
+        with open(save_path, "wb") as f:
+            f.write(bytes(index.save()))
 
     truth = brute_force_topk(store, queries, k)
 
@@ -124,8 +136,9 @@ def bench_hnsw(n: int, dim: int, k: int, ef_sweep, n_queries: int = 200,
     return {
         "n_vectors": n, "dim": dim, "k": k, "cell_dtype": cell,
         "m": m, "ef_construction": ef_construction,
-        "build_s": round(build_s, 1),
-        "build_vectors_per_s": round(n / build_s, 1),
+        "build_s": round(build_s, 1) if build_s == build_s else None,
+        "build_vectors_per_s":
+            round(n / build_s, 1) if build_s == build_s else None,
         "vectors_gb": round(vec_gb, 3),
         "graph_blob_gb": round(graph_gb, 3),
         "rss_gb_before": round(rss_before, 3),
@@ -175,6 +188,11 @@ def main():
     parser.add_argument("--uniform", action="store_true",
                         help="worst-case uniform random vectors")
     parser.add_argument("--skip-bm25", action="store_true")
+    parser.add_argument("--save-path", type=str, default="",
+                        help="write the built graph blob here for reuse")
+    parser.add_argument("--load-path", type=str, default="",
+                        help="skip the build; load a graph blob built from "
+                             "the same corpus seed/config")
     args = parser.parse_args()
     if not native_available():
         print(json.dumps({"error": "native engine unavailable"}))
@@ -185,7 +203,8 @@ def main():
                            n_queries=args.queries,
                            clustered=not args.uniform, cell=args.cell,
                            m=args.m, ef_construction=args.efc,
-                           threads=args.threads),
+                           threads=args.threads, save_path=args.save_path,
+                           load_path=args.load_path),
     }
     if not args.skip_bm25:
         report["bm25"] = bench_bm25()
