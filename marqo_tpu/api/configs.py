@@ -97,8 +97,11 @@ def default_env_vars() -> Dict[str, Any]:
         # digest sweep every N seconds; 0 (default) = failover-triggered
         # repair only; <0 = fully disabled (manual /ops/heal still works)
         "MARQO_CLUSTER_HEAL_INTERVAL": 0,
-        # vector cell storage for new tensor fields: float32 | bfloat16
-        # (Vespa tensor cell-type option; bfloat16 halves vector memory)
+        # default vector cell storage for indexes created WITHOUT an
+        # explicit vectorNumericType: float32 | bfloat16 (Vespa tensor
+        # cell-type option; bfloat16 halves vector memory). Read by
+        # api/models/index_settings.py at create time; an explicit
+        # vectorNumericType in the settings document always wins.
         "MARQO_ENGINE_CELL_TYPE": "float32",
         "MARQO_TPU_DEFAULT_DTYPE": "bfloat16",
         "MARQO_TELEMETRY_ENABLED": "TRUE",

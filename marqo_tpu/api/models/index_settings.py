@@ -14,6 +14,19 @@ import marqo_tpu.core.models.marqo_index as core
 from marqo_tpu.version import __version__
 
 
+def _default_vector_numeric_type() -> "core.VectorNumericType":
+    """Operator-level default cell type for indexes created WITHOUT an
+    explicit vectorNumericType: MARQO_ENGINE_CELL_TYPE=float32|bfloat16
+    (api/configs.py). Lets a deployment halve vector memory fleet-wide
+    (Vespa bfloat16 tensor-cell option) without touching client settings
+    documents; an explicit vectorNumericType always wins."""
+    from marqo_tpu.api import configs
+    raw = str(configs.read_env_vars_and_defaults(
+        "MARQO_ENGINE_CELL_TYPE") or "float32").lower()
+    return (core.VectorNumericType.Bfloat16 if raw == "bfloat16"
+            else core.VectorNumericType.Float)
+
+
 class FieldRequest(BaseModel):
     model_config = ConfigDict(extra="forbid")
 
@@ -52,7 +65,12 @@ class IndexSettings(BaseModel):
         core.VideoPreProcessing(split_length=20, split_overlap=3)
     audioPreprocessing: Optional[core.AudioPreProcessing] = \
         core.AudioPreProcessing(split_length=10, split_overlap=3)
-    vectorNumericType: core.VectorNumericType = core.VectorNumericType.Float
+    # None = not specified by the caller: resolved at create time from
+    # MARQO_ENGINE_CELL_TYPE (operator default, float32 unless overridden)
+    # so a deployment can opt whole fleets into bfloat16 cells without
+    # clients changing their settings documents. Stored/rendered settings
+    # always carry the resolved value (reference default: "float").
+    vectorNumericType: Optional[core.VectorNumericType] = None
     annParameters: AnnParameters = AnnParameters()
     numberOfShards: Optional[int] = None
     numberOfReplicas: Optional[int] = None
@@ -163,7 +181,8 @@ class IndexSettings(BaseModel):
             video_preprocessing=self.videoPreprocessing,
             audio_preprocessing=self.audioPreprocessing,
             distance_metric=self.annParameters.spaceType,
-            vector_numeric_type=self.vectorNumericType,
+            vector_numeric_type=(self.vectorNumericType or
+                                 _default_vector_numeric_type()),
             hnsw_config=self.annParameters.parameters,
             marqo_version=__version__,
             created_at=now,

@@ -30,18 +30,33 @@ class Monitoring:
             except IndexNotFoundError:
                 raise api_exceptions.IndexNotFoundError(
                     f"Index {index_name} not found")
-        from marqo_tpu.engine.resources import watcher
-        w = watcher()
         probe = getattr(self.config.engine, "engine_health", None)
+        nodes = []
         if callable(probe):
             try:
-                backend_status = probe().get("status", "red")
+                report = probe()
+                backend_status = report.get("status", "red")
+                nodes = report.get("nodes") or []
             except Exception:
                 backend_status = "red"
         else:
             backend_status = "green"
-        memory_available = w.memory_is_available()
-        storage_is_available = w.storage_is_available()
+        if nodes:
+            # resource flags come from the CONTENT NODES' own watchers
+            # (remote/cluster: each /engine/health body; in-process: this
+            # host) — the API host's local memory pressure is not the
+            # backend's, and a remote node's feed-block must not be masked
+            # by a healthy API host (reference monitoring.py:89-154
+            # aggregates content-node feed-block metrics)
+            memory_available = all(
+                n.get("memoryIsAvailable", True) for n in nodes)
+            storage_is_available = all(
+                n.get("storageIsAvailable", True) for n in nodes)
+        else:
+            from marqo_tpu.engine.resources import watcher
+            w = watcher()
+            memory_available = w.memory_is_available()
+            storage_is_available = w.storage_is_available()
         if backend_status == "green" and not (memory_available and
                                               storage_is_available):
             backend_status = "yellow"  # reachable but feed-blocked

@@ -46,7 +46,15 @@ class _ShardGroup:
 
     def write_all(self, fn_name: str, *args, **kwargs):
         """Apply a mutation on every replica; succeed if ≥1 replica acks
-        (failed replicas are flagged for the auto-heal sweep)."""
+        (failed replicas are flagged for the auto-heal sweep).
+
+        Exception: a 507 feed-block from ANY replica fails the write with
+        that 507 — Vespa blocks the whole cluster's feed when one content
+        node exceeds a resource limit, rather than quietly writing short
+        and letting repair push the refused docs onto the full node. If
+        other replicas already applied the doc, the shard is flagged so
+        anti-entropy reconciles once space frees."""
+        from marqo_tpu.engine.client import EngineHTTPError
         errors = []
         ok = 0
         for replica in self.replicas:
@@ -57,6 +65,13 @@ class _ShardGroup:
                 errors.append(e)
                 logger.warning(f"Replica write {fn_name} failed on "
                                f"{replica.base_url}: {e}")
+        feed_block = next(
+            (e for e in errors
+             if isinstance(e, EngineHTTPError) and e.status == 507), None)
+        if feed_block is not None:
+            if ok:
+                self.degraded = True
+            raise feed_block
         if ok == 0:
             raise BackendCommunicationError(
                 f"All replicas failed {fn_name}: {errors[0]}")
@@ -131,7 +146,17 @@ class ClusterEngine:
                     if out.get("healed"):
                         logger.info(f"auto-heal repaired {name}: "
                                     f"{out['healed']}")
+                    # a sync that failed (unreachable / feed-blocked
+                    # destination) must keep its shard flagged, else the
+                    # repair signal is lost until the next failed write
+                    for failure in out.get("failed", ()):
+                        self.shards[failure["shard"]].degraded = True
             except Exception as e:
+                # the sweep itself died (e.g. list_indexes during a node
+                # flap) — restore the flags it consumed so the divergence
+                # is retried on the next tick instead of silently dropped
+                for shard in flagged:
+                    shard.degraded = True
                 logger.warning(f"auto-heal sweep failed: {e}")
 
     # -- routing --
@@ -403,6 +428,7 @@ class ClusterEngine:
         needs per-doc versions, which Vespa likewise scopes to its
         distributor timestamps."""
         healed = []
+        failed = []
         for shard_index, shard in enumerate(self.shards):
             if len(shard.replicas) < 2:
                 continue
@@ -438,7 +464,10 @@ class ClusterEngine:
                 except Exception as e:
                     logger.warning(f"heal: sync failed on "
                                    f"{replica.base_url}: {e}")
-        return {"healed": healed}
+                    failed.append({"shard": shard_index,
+                                   "replica": replica.base_url,
+                                   "error": str(e)})
+        return {"healed": healed, "failed": failed}
 
     def heal_all(self) -> dict:
         out = {}

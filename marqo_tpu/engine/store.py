@@ -15,6 +15,7 @@ documents by id-hash across content shards (reference services.xml
 distribution, SURVEY.md D1).
 """
 
+import contextlib
 import threading
 import zlib
 from collections import defaultdict
@@ -85,9 +86,9 @@ def _closeness_from_distance(metric: str, dists: np.ndarray) -> np.ndarray:
     if metric == "euclidean":
         return (1.0 / (1.0 + np.sqrt(np.maximum(dists, 0)))).astype(np.float32)
     if metric == "angular":
-        # HNSW holds L2-normalized copies for this metric, so the native
-        # distance is 1-cos; convert to the true-angle closeness the exact
-        # path reports (1/(1+arccos)).
+        # The native METRIC_ANGULAR kernel returns 1-cos (using its
+        # per-row norm cache over the store's cells); convert to the
+        # true-angle closeness the exact path reports (1/(1+arccos)).
         cos = np.clip(1.0 - dists, -1.0, 1.0)
         return (1.0 / (1.0 + np.arccos(cos))).astype(np.float32)
     return (1.0 / (1.0 + dists)).astype(np.float32)
@@ -395,15 +396,34 @@ class StoreEngine:
         # optional write-ahead log (engine/wal.py): Vespa-transactionlog
         # role — acknowledged mutations survive a crash between snapshots
         self._wal = None
-        # >0 while replaying the WAL / loading a peer dump / restoring a
-        # snapshot: recovery paths must never be refused by the feed-block
+        # >0 on a thread replaying the WAL or restoring a snapshot:
+        # BOOT-time recovery must never be refused by the feed-block
         # watermark (Vespa likewise replays its transaction log above the
-        # feed resource limits)
-        self._recovery_depth = 0
+        # feed resource limits). Thread-local: concurrent client feeds on
+        # other threads keep their watermark check, and parallel recovery
+        # calls can't corrupt a shared counter. Peer-dump sync
+        # (load_index_dump) deliberately does NOT bypass — an out-of-space
+        # node must refuse repair traffic too, else anti-entropy fills its
+        # disk to ENOSPC with exactly the writes the watermark refused.
+        self._recovery = threading.local()
 
     def _mutated(self, name: str) -> None:
         with self._lock:
             self._mutations[name] += 1
+
+    @contextlib.contextmanager
+    def _recovering(self):
+        """Mark THIS thread as inside boot-time recovery: its feeds skip
+        the feed-block watermark. Re-entrant; other threads unaffected."""
+        depth = getattr(self._recovery, "depth", 0)
+        self._recovery.depth = depth + 1
+        try:
+            yield
+        finally:
+            self._recovery.depth = depth
+
+    def _in_recovery(self) -> bool:
+        return getattr(self._recovery, "depth", 0) > 0
 
     # -- write-ahead log --
 
@@ -418,12 +438,8 @@ class StoreEngine:
     def replay_wal(self, wal) -> int:
         """Apply logged mutations over restored snapshot state (idempotent:
         feed is an upsert, deletes/DDL tolerate already-applied records)."""
-        applied = 0
-        self._recovery_depth += 1
-        try:
+        with self._recovering():
             applied = self._replay_wal_records(wal)
-        finally:
-            self._recovery_depth -= 1
         return applied
 
     def _replay_wal_records(self, wal) -> int:
@@ -514,7 +530,7 @@ class StoreEngine:
 
     def feed(self, index_name: str, doc_id: str, fields: dict,
              tensors: Optional[dict] = None) -> None:
-        if self._recovery_depth == 0:
+        if not self._in_recovery():
             # feed-block: refuse writes above the resource watermarks
             # (Vespa cluster-controller resource limits → HTTP 507 → the
             # per-doc 400 of the translate matrix). Cached probe: ~2 dict
@@ -622,19 +638,30 @@ class StoreEngine:
     def load_index_dump(self, dump: dict) -> int:
         """Replace this engine's copy of the index with a peer's dump."""
         descriptor = IndexDescriptor.from_json(dump["descriptor"])
+        # A feed-blocked node refuses the WHOLE sync up front — BEFORE
+        # deleting its current copy — so repair traffic can never fill an
+        # out-of-space node to ENOSPC with writes its watermark already
+        # refused (the healing peer gets the 507, the shard stays flagged,
+        # and the sync retries once space frees). Checked once here, then
+        # applied under the recovery bypass: a half-applied dump (partial
+        # replica serving reads with the old copy gone) would be worse
+        # than a bounded overshoot of the watermark.
+        from marqo_tpu.core.exceptions import EngineOutOfSpaceError
+        from marqo_tpu.engine.resources import watcher
+        reason = watcher().feed_block_reason()
+        if reason is not None:
+            raise EngineOutOfSpaceError(f"Sync refused: {reason}")
         if self.has_index(descriptor.name):
             self.delete_index(descriptor.name)
         self.create_index(descriptor)
-        self._recovery_depth += 1
-        try:
+        with self._recovering():
             for doc in dump["docs"]:
                 tensors = {
                     field: {"chunks": [e["chunk"] for e in entries],
                             "embeddings": [e["embedding"] for e in entries]}
                     for field, entries in (doc.get("tensors") or {}).items()}
-                self.feed(descriptor.name, doc["id"], doc["fields"], tensors)
-        finally:
-            self._recovery_depth -= 1
+                self.feed(descriptor.name, doc["id"], doc["fields"],
+                          tensors)
         # adopt the source's mutation sequence so a healed replica ties the
         # election with its source instead of looking permanently behind
         with self._lock:
@@ -754,8 +781,7 @@ class StoreEngine:
         import json as _json
         import os
         total = 0
-        self._recovery_depth += 1
-        try:
+        with self._recovering():
             for path in sorted(glob.glob(os.path.join(directory,
                                                       "*.engine.json"))):
                 try:
@@ -763,8 +789,6 @@ class StoreEngine:
                 except Exception:
                     logger.exception(f"Failed to restore snapshot {path}; "
                                      "skipping this index")
-        finally:
-            self._recovery_depth -= 1
         return total
 
     def _restore_one(self, path: str, _json, os) -> int:
@@ -875,10 +899,13 @@ class StoreEngine:
         is surfaced so health can degrade to yellow under resource
         pressure."""
         from marqo_tpu.engine.resources import watcher
-        blocked = watcher().feed_block_reason()
+        w = watcher()
+        blocked = w.feed_block_reason()
         status = "yellow" if blocked else "green"
         return {"status": status,
                 "nodes": [{"url": "in-process", "status": status,
+                           "memoryIsAvailable": w.memory_is_available(),
+                           "storageIsAvailable": w.storage_is_available(),
                            **({"feed_blocked": blocked} if blocked else {})}]}
 
     def doc_count(self, index_name: str) -> int:

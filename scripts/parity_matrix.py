@@ -292,7 +292,13 @@ def run_config(name: str, mode: str, weights_dir: str) -> dict:
                 metrics = eval_bert_family(model,
                                            AutoConfig.from_pretrained(source))
     except Exception as e:
-        return {"status": "blocked", "config": name,
+        # "blocked" is an ENVIRONMENT verdict (no egress / missing
+        # checkpoint), only possible in real-weights mode. Random-init
+        # mode has no external dependency: any exception there is a
+        # genuine regression (e.g. a broken converter) and must FAIL the
+        # gate, not exit 0 as blocked.
+        status = "blocked" if mode != "random-init" else "fail"
+        return {"status": status, "config": name,
                 "reason": f"{type(e).__name__}: {e}"}
 
     # topk under bf16 compute is only thresholded with REAL weights:
