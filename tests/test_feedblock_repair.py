@@ -269,3 +269,78 @@ class TestCellTypeOperatorDefault:
         # GET-settings rendering keeps the reference default
         from marqo_tpu.api.models.index_settings import IndexSettings as S
         assert S.from_marqo_index(index)["vectorNumericType"] == "float"
+
+
+class TestAutoHealLoopRetainsSignal:
+    """The sweep clears degraded flags before healing; a failed sweep (or
+    a failed per-replica sync) must re-flag, else the divergence is
+    silently dropped until the next failed write."""
+
+    def _cluster(self, ports):
+        backends = [StoreEngine(), StoreEngine()]
+        servers = [serve(build_engine_app(b), host="127.0.0.1",
+                         port=p, background=True)
+                   for b, p in zip(backends, ports)]
+        engine = ClusterEngine(
+            [[f"http://127.0.0.1:{p}" for p in ports]],
+            heal_interval_s=3600)  # flagged-only ticks every ~2s
+        return engine, backends, servers
+
+    def test_sweep_exception_restores_flags(self):
+        import time
+        ports = (BASE_PORT + 10, BASE_PORT + 11)
+        engine, backends, servers = self._cluster(ports)
+        try:
+            calls = []
+            original = engine.heal_all
+
+            def flaky_heal_all():
+                calls.append(time.time())
+                if len(calls) < 3:
+                    raise RuntimeError("node flap during sweep")
+                return original()
+
+            engine.heal_all = flaky_heal_all
+            engine.shards[0].degraded = True
+            deadline = time.time() + 15
+            while time.time() < deadline and len(calls) < 3:
+                time.sleep(0.2)
+            # ≥3 sweeps ran: the flag survived two failed sweeps (the old
+            # code cleared it before the first failure and never retried)
+            assert len(calls) >= 3
+            deadline = time.time() + 6
+            while time.time() < deadline and engine.shards[0].degraded:
+                time.sleep(0.2)
+            assert engine.shards[0].degraded is False  # success clears it
+        finally:
+            engine.close()
+            for server in servers:
+                server.shutdown()
+
+    def test_failed_sync_entries_reflag(self):
+        import time
+        ports = (BASE_PORT + 12, BASE_PORT + 13)
+        engine, backends, servers = self._cluster(ports)
+        try:
+            reports = []
+
+            def failing_sync_heal_all():
+                reports.append(1)
+                return {"idx": {"healed": [],
+                                "failed": [{"shard": 0,
+                                            "replica": "http://x",
+                                            "error": "507"}]}}
+
+            engine.heal_all = failing_sync_heal_all
+            engine.shards[0].degraded = True
+            deadline = time.time() + 15
+            while time.time() < deadline and len(reports) < 2:
+                time.sleep(0.2)
+            # the loop consumed the flag, saw the failed sync, re-flagged,
+            # and retried on the next tick
+            assert len(reports) >= 2
+            assert engine.shards[0].degraded is True
+        finally:
+            engine.close()
+            for server in servers:
+                server.shutdown()
