@@ -341,8 +341,10 @@ def build_app(config: Config) -> App:
             show_vectors=request.query_flag("expose_facets"))
 
     @app.post("/indexes/{index_name}/documents/delete-batch")
-    @throttle(RequestType.DELETE)
     def delete_docs(request: Request):
+        # NOT throttled: the reference decorates only SEARCH/INDEX/
+        # PARTIAL_UPDATE endpoints (api.py:266-344); RequestType.DELETE
+        # exists upstream but no throttle uses it
         if not isinstance(request.body, list):
             raise api_exceptions.InvalidArgError(
                 "Expected a JSON list of document IDs in the request body")

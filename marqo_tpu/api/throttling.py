@@ -20,6 +20,7 @@ request (reference redis_throttle.py:71-75).
 
 import os
 import threading
+import time
 import uuid
 from enum import Enum
 from functools import wraps
@@ -34,6 +35,10 @@ logger = get_logger(__name__)
 class RequestType(str, Enum):
     INDEX = "INDEX"
     SEARCH = "SEARCH"
+    # DELETE exists in the reference enum but NO endpoint throttles it
+    # (reference api.py decorates only SEARCH/INDEX/PARTIAL_UPDATE;
+    # redis_throttle's limit table has no DELETE key) — kept here for
+    # enum parity, deliberately absent from _ENV_BY_TYPE
     DELETE = "DELETE"
     PARTIAL_UPDATE = "PARTIAL_UPDATE"
 
@@ -41,7 +46,6 @@ class RequestType(str, Enum):
 _ENV_BY_TYPE = {
     RequestType.INDEX: "MARQO_MAX_CONCURRENT_INDEX",
     RequestType.SEARCH: "MARQO_MAX_CONCURRENT_SEARCH",
-    RequestType.DELETE: "MARQO_MAX_CONCURRENT_INDEX",
     RequestType.PARTIAL_UPDATE: "MARQO_MAX_CONCURRENT_PARTIAL_UPDATE",
 }
 
@@ -120,7 +124,20 @@ class _FileBackend:
                             holder = int(f.read().strip() or "0")
                     except (OSError, ValueError):
                         break  # concurrent writer; try next slot
-                    if holder and self._pid_alive(holder):
+                    if holder == 0:
+                        # pid not yet written: the creator is between its
+                        # O_EXCL create and write — stealing here would
+                        # double-admit the slot AND let whichever release
+                        # runs first free the other's live slot. Only if
+                        # the empty file is old (creator died in that
+                        # two-syscall window) is it genuinely stale.
+                        try:
+                            age = time.time() - os.path.getmtime(path)
+                        except OSError:
+                            break
+                        if age < 10.0:
+                            break  # in-progress create; try next slot
+                    elif self._pid_alive(holder):
                         break  # genuinely held; try next slot
                     # Stale slot from a dead process. Reclaim via atomic
                     # rename: exactly ONE contender wins the rename; a
@@ -173,6 +190,9 @@ class _EngineBackend:
             "/engine/coordination/semaphore/release",
             json={"name": f"throttle_{request_type.value}", "owner": token})
 
+    def close(self) -> None:
+        self._client.close()
+
 
 _backend = None
 _backend_lock = threading.Lock()
@@ -209,7 +229,13 @@ def reset_backend() -> None:
     """Re-read the backend env selection (tests / reconfiguration)."""
     global _backend
     with _backend_lock:
+        old = _backend
         _backend = None
+    if old is not None and hasattr(old, "close"):
+        try:
+            old.close()  # don't leak the engine backend's HTTP pool
+        except Exception:
+            pass
 
 
 def throttle(request_type: RequestType):
@@ -221,10 +247,16 @@ def throttle(request_type: RequestType):
             if not configs.read_env_vars_and_defaults_bool(
                     "MARQO_ENABLE_THROTTLING"):
                 return fn(*args, **kwargs)
-            limit = configs.read_env_vars_and_defaults_ints(
-                _ENV_BY_TYPE[request_type])
-            backend = _get_backend()
             try:
+                # the WHOLE limiter path fails open — including a
+                # malformed limit env var or a backend that won't
+                # construct — matching the reference's posture of
+                # admitting traffic on any limiter error
+                # (redis_throttle.py:71-75); a loud warning still tells
+                # the operator their config is broken
+                limit = configs.read_env_vars_and_defaults_ints(
+                    _ENV_BY_TYPE[request_type])
+                backend = _get_backend()
                 token = backend.try_acquire(request_type, limit)
             except Exception as e:  # fail open, never block traffic
                 logger.warning(f"Throttling check failed (fail-open): {e}")

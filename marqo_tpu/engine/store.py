@@ -484,8 +484,12 @@ class StoreEngine:
                 _Shard(descriptor) for _ in range(self.n_shards)]
             self._descriptors[descriptor.name] = descriptor
             self._mutations[descriptor.name] += 1
-        self._log({"op": "create_index",
-                   "descriptor": descriptor.to_json()})
+            # log under the same lock that ordered the application: DDL on
+            # the same name must hit the WAL in apply order, else replay
+            # can resurrect a deleted index (create applied before delete
+            # but logged after it)
+            self._log({"op": "create_index",
+                       "descriptor": descriptor.to_json()})
 
     def update_index(self, descriptor: IndexDescriptor) -> None:
         """Semi-structured schema growth: swap the descriptor in place."""
@@ -495,8 +499,8 @@ class StoreEngine:
             for shard in shards:
                 shard.descriptor = descriptor
             self._mutations[descriptor.name] += 1
-        self._log({"op": "update_index",
-                   "descriptor": descriptor.to_json()})
+            self._log({"op": "update_index",
+                       "descriptor": descriptor.to_json()})
 
     def delete_index(self, name: str) -> None:
         with self._lock:
@@ -506,7 +510,7 @@ class StoreEngine:
             del self._descriptors[name]
             self._mutations.pop(name, None)
             self._snapshotted.pop(name, None)
-        self._log({"op": "delete_index", "index": name})
+            self._log({"op": "delete_index", "index": name})
 
     def has_index(self, name: str) -> bool:
         return name in self._indexes
