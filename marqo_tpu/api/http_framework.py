@@ -198,20 +198,89 @@ def bind_body(request: Request, model: type) -> Any:
     errors as 422s (FastAPI behavior parity)."""
     if request.body is None:
         raise api_exceptions.BadRequestError("Request body is required")
+    if not isinstance(request.body, dict):
+        # FastAPI parity: a JSON array/string/number where an object model
+        # is expected is a 422 validation error, not a TypeError-shaped
+        # 500 (pydantic v2 models take no positional arguments)
+        raise api_exceptions.ValidationError(
+            f"body: Input should be a valid dictionary, got "
+            f"{type(request.body).__name__}")
     try:
-        return model(**request.body) if isinstance(request.body, dict) else \
-            model(request.body)
+        return model(**request.body)
     except pydantic.ValidationError as e:
         raise api_exceptions.ValidationError(_format_validation_error(e))
+
+
+class _BadRequestFraming(Exception):
+    """Malformed body framing (bad Content-Length, chunked-decode error)."""
 
 
 class _Handler(BaseHTTPRequestHandler):
     app: App = None  # set by serve()
     protocol_version = "HTTP/1.1"
 
+    # refuse absurd bodies outright rather than buffering them (uvicorn
+    # relies on the ASGI app for this; a stdlib server must bound reads)
+    MAX_BODY_BYTES = 1 << 30
+
+    def _read_body(self) -> bytes:
+        """Body per RFC 9112 framing: Transfer-Encoding: chunked wins over
+        Content-Length; a malformed/negative Content-Length is a 400, not
+        a hung thread (rfile.read(-n) blocks to EOF) or a raw socket
+        close with no response."""
+        te = (self.headers.get("Transfer-Encoding") or "").lower()
+        if "chunked" in te:
+            chunks = []
+            total = 0
+            while True:
+                size_line = self.rfile.readline(64).strip()
+                try:
+                    size = int(size_line.split(b";")[0], 16)
+                except ValueError:
+                    raise _BadRequestFraming("Malformed chunk size")
+                if size == 0:
+                    # consume trailer section up to the blank line
+                    while self.rfile.readline(1024).strip():
+                        pass
+                    return b"".join(chunks)
+                total += size
+                if total > self.MAX_BODY_BYTES:
+                    raise _BadRequestFraming("Request body too large")
+                chunk = self.rfile.read(size)
+                if len(chunk) < size:
+                    raise _BadRequestFraming("Truncated chunk")
+                chunks.append(chunk)
+                self.rfile.read(2)  # CRLF after each chunk
+        raw = self.headers.get("Content-Length")
+        if raw is None:
+            return b""
+        try:
+            length = int(raw)
+        except ValueError:
+            raise _BadRequestFraming(f"Invalid Content-Length: {raw!r}")
+        if length < 0:
+            raise _BadRequestFraming(f"Invalid Content-Length: {raw!r}")
+        if length > self.MAX_BODY_BYTES:
+            raise _BadRequestFraming("Request body too large")
+        return self.rfile.read(length) if length else b""
+
     def _handle(self, method: str):
-        length = int(self.headers.get("Content-Length") or 0)
-        body = self.rfile.read(length) if length else b""
+        try:
+            body = self._read_body()
+        except _BadRequestFraming as e:
+            payload = json.dumps({
+                "message": str(e), "code": "bad_request",
+                "type": "invalid_request", "link": ""}).encode()
+            self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            # framing is broken (unknown remaining body bytes): the
+            # connection cannot be reused safely
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.wfile.write(payload)
+            self.close_connection = True
+            return
         response = self.app.dispatch(method, self.path, body,
                                      dict(self.headers))
         payload = json.dumps(response.body).encode()

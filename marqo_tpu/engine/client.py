@@ -9,6 +9,7 @@ reference's co-deployed-vs-external Vespa split (run_marqo.sh:38-100).
 """
 
 import concurrent.futures
+import threading
 from typing import Dict, List, Optional
 from urllib.parse import quote
 
@@ -16,7 +17,9 @@ import httpx
 
 from marqo_tpu.api import configs
 from marqo_tpu.core.exceptions import (BackendCommunicationError,
-                                       IndexExistsError, IndexNotFoundError)
+                                       BackendTimeoutError,
+                                       IndexExistsError, IndexNotFoundError,
+                                       InvalidArgumentError)
 from marqo_tpu.core.models.score_modifier import ScoreModifier
 from marqo_tpu.core.search.search_filter import SearchFilter
 from marqo_tpu.engine.descriptor import IndexDescriptor
@@ -24,6 +27,15 @@ from marqo_tpu.engine.store import Hit, QueryResult
 from marqo_tpu.logging import get_logger
 
 logger = get_logger(__name__)
+
+
+def _error_message(body: str) -> str:
+    """Best-effort message extraction from an engine error body."""
+    try:
+        import json
+        return json.loads(body).get("message", body)
+    except Exception:
+        return body
 
 
 def _filter_str(search_filter: Optional[SearchFilter]) -> Optional[str]:
@@ -90,14 +102,29 @@ class RemoteStoreEngine:
             base_url=self.base_url, timeout=timeout,
             limits=httpx.Limits(max_connections=self._pool_size * 2,
                                 max_keepalive_connections=self._pool_size))
+        # long-lived like the httpx pool beside it: feed_batch runs once
+        # per ingest batch, and spawning+joining 10 threads per batch is
+        # measurable host-side cost on the host-bound ingest path
+        self._executor = None
+        self._executor_lock = threading.Lock()
+
+    def _feed_executor(self):
+        if self._executor is None:
+            with self._executor_lock:
+                if self._executor is None:
+                    self._executor = concurrent.futures.ThreadPoolExecutor(
+                        max_workers=self._pool_size,
+                        thread_name_prefix="engine-feed")
+        return self._executor
 
     # -- plumbing --
 
     def _request(self, method: str, path: str, json_body=None,
-                 params=None) -> dict:
+                 params=None, timeout=None) -> dict:
         try:
-            resp = self._client.request(method, path, json=json_body,
-                                        params=params)
+            resp = self._client.request(
+                method, path, json=json_body, params=params,
+                **({"timeout": timeout} if timeout is not None else {}))
         except httpx.HTTPError as e:
             raise BackendCommunicationError(
                 f"Engine request {method} {path} failed: {e}") from e
@@ -106,10 +133,20 @@ class RemoteStoreEngine:
     @staticmethod
     def _handle_response(resp) -> dict:
         if resp.status_code == 404:
-            body = resp.json()
+            try:
+                body = resp.json()
+            except Exception:
+                # an HTML 404 from a proxy/LB or a base_url mismatch is a
+                # broken backend, not a legitimately-absent resource
+                raise EngineHTTPError(404, resp.text[:500])
             if body.get("code") == "index_not_found":
                 raise IndexNotFoundError(body.get("message", "not found"))
-            return {}
+            if body.get("code") == "document_not_found":
+                return {}  # absent doc: callers read .get(...) as missing
+            # unknown-route/other 404s must fail loudly — silently
+            # returning {} here made use_existing_tensors re-embed every
+            # doc and cluster BM25 stats quietly degrade
+            raise EngineHTTPError(404, resp.text[:500])
         if resp.status_code == 409:
             raise IndexExistsError(resp.json().get("message", "conflict"))
         if resp.status_code >= 400:
@@ -171,10 +208,9 @@ class RemoteStoreEngine:
                 return i, {"id": doc.get("id"), "status": 500,
                            "message": str(e)}
 
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=self._pool_size) as pool:
-            for i, result in pool.map(lambda p: one(*p), enumerate(docs)):
-                results[i] = result
+        for i, result in self._feed_executor().map(lambda p: one(*p),
+                                                   enumerate(docs)):
+            results[i] = result
         return results
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:
@@ -213,23 +249,40 @@ class RemoteStoreEngine:
         on every Vespa search; here the read timeout plays that role — a
         slow/hung shard fails the query with BackendTimeoutError instead
         of hanging the API)."""
-        from marqo_tpu.api import configs
-        from marqo_tpu.core.exceptions import BackendTimeoutError
         timeout_ms = configs.read_env_vars_and_defaults_ints(
             "MARQO_SEARCH_TIMEOUT_MS") or 1000
         try:
             resp = self._client.request(
                 "POST", f"/engine/indexes/{index_name}/query", json=body,
                 timeout=httpx.Timeout(5.0, read=timeout_ms / 1000.0))
-        except httpx.TimeoutException as e:
+        except httpx.ReadTimeout as e:
+            # ONLY a read timeout is the search deadline; blaming pool
+            # exhaustion or connect failures on MARQO_SEARCH_TIMEOUT_MS
+            # sends operators to debug shard latency when the problem is
+            # client-side
             raise BackendTimeoutError(
                 f"Engine query on `{index_name}` exceeded the "
                 f"{timeout_ms}ms search timeout "
                 f"(MARQO_SEARCH_TIMEOUT_MS)") from e
+        except httpx.TimeoutException as e:
+            raise BackendCommunicationError(
+                f"Engine query on `{index_name}` failed before the search "
+                f"deadline ({type(e).__name__}: connect/pool/write "
+                f"timeout — check connectivity and client pool size)"
+            ) from e
         except httpx.HTTPError as e:
             raise BackendCommunicationError(
                 f"Engine query on `{index_name}` failed: {e}") from e
-        data = self._handle_response(resp)
+        try:
+            data = self._handle_response(resp)
+        except EngineHTTPError as e:
+            if e.status == 400:
+                # the engine rejected the query as invalid (its own 400
+                # invalid_argument) — surface the same 400 the in-process
+                # engine raises, and don't let read_one failover retry a
+                # deterministic client error on every replica
+                raise InvalidArgumentError(_error_message(e.body)) from e
+            raise
         hits = [Hit(h["id"], h["score"], h.get("fields", {}),
                     h.get("highlight"),
                     h.get("raw_tensor_score"), h.get("raw_lexical_score"))
@@ -286,13 +339,21 @@ class RemoteStoreEngine:
                 node[key] = body[key]
         return {"status": status, "nodes": [node]}
 
+    # Heal traffic moves whole indexes: the pooled client's 10s default
+    # would fail every sizeable dump/sync client-side while the server
+    # completes it, re-flagging the shard and relaunching full-index
+    # dumps every tick — an endless sync storm. Long explicit deadlines.
+    _HEAL_TIMEOUT_S = 300.0
+
     def dump_index(self, index_name: str) -> dict:
-        return self._request("GET", f"/engine/indexes/{index_name}/dump")
+        return self._request("GET", f"/engine/indexes/{index_name}/dump",
+                             timeout=self._HEAL_TIMEOUT_S)
 
     def sync_from(self, source_url: str, index_name: str) -> dict:
         return self._request("POST", "/engine/sync-from",
                              {"source_url": source_url,
-                              "index_name": index_name})
+                              "index_name": index_name},
+                             timeout=self._HEAL_TIMEOUT_S)
 
     def index_digest(self, index_name: str) -> dict:
         return self._request("GET", f"/engine/indexes/{index_name}/digest")
@@ -329,6 +390,8 @@ class RemoteStoreEngine:
 
     def close(self) -> None:
         self._client.close()
+        if self._executor is not None:
+            self._executor.shutdown(wait=False)
 
 
 def engine_from_env():

@@ -37,6 +37,25 @@ def _parse_filter(raw: Optional[str]):
     return MarqoFilterStringParser().parse(raw) if raw else None
 
 
+def _require(body, key: str):
+    """Client-input errors on this surface must be 400 invalid_argument,
+    not a KeyError-shaped opaque 500."""
+    if not isinstance(body, dict) or key not in body:
+        raise InvalidArgumentError(f"Missing required field `{key}`")
+    return body[key]
+
+
+def _int_arg(body: dict, key: str, default: int) -> int:
+    value = body.get(key, default)
+    if value is None:
+        return default
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        raise InvalidArgumentError(f"`{key}` must be an integer, got "
+                                   f"{value!r}")
+
+
 def _parse_mods(raw):
     if not raw:
         return None
@@ -92,6 +111,8 @@ def build_engine_app(engine: StoreEngine):
 
     @app.post("/engine/indexes")
     def create_index(request: Request):
+        if not isinstance(request.body, dict):
+            raise InvalidArgumentError("Index descriptor body required")
         engine.create_index(IndexDescriptor.from_json(request.body))
         return {"acknowledged": True}
 
@@ -106,15 +127,26 @@ def build_engine_app(engine: StoreEngine):
 
     @app.post("/engine/indexes/{name}/update")
     def update_index(request: Request):
-        engine.update_index(IndexDescriptor.from_json(request.body))
+        if not isinstance(request.body, dict):
+            raise InvalidArgumentError("Index descriptor body required")
+        descriptor = IndexDescriptor.from_json(request.body)
+        # REST parity: the path names the resource — a body naming a
+        # DIFFERENT index (client bug, stale retry) must not silently
+        # swap that other index's descriptor
+        if descriptor.name != request.path_params["name"]:
+            raise InvalidArgumentError(
+                f"Descriptor name `{descriptor.name}` does not match the "
+                f"path index `{request.path_params['name']}`")
+        engine.update_index(descriptor)
         return {"acknowledged": True}
 
     @app.post("/engine/indexes/{name}/docs")
     def feed(request: Request):
         body = request.body
-        engine.feed(request.path_params["name"], body["id"],
+        doc_id = _require(body, "id")
+        engine.feed(request.path_params["name"], doc_id,
                     body.get("fields", {}), body.get("tensors"))
-        return {"id": body["id"], "status": 200}
+        return {"id": doc_id, "status": 200}
 
     @app.get("/engine/indexes/{name}/docs/{doc_id}")
     def get_doc(request: Request):
@@ -151,15 +183,15 @@ def build_engine_app(engine: StoreEngine):
         body = request.body or {}
         qtype = body.get("type", "tensor")
         common = dict(
-            limit=int(body.get("limit", 10)),
-            offset=int(body.get("offset", 0)),
+            limit=_int_arg(body, "limit", 10),
+            offset=_int_arg(body, "offset", 0),
             search_filter=_parse_filter(body.get("filter")),
             attributes_to_retrieve=body.get("attributes_to_retrieve"),
             expose_facets=bool(body.get("expose_facets", False)),
         )
         if qtype == "tensor":
             res = engine.query_tensor(
-                name, body["vector"],
+                name, _require(body, "vector"),
                 searchable_fields=body.get("searchable_fields"),
                 score_modifiers=_parse_mods(body.get("score_modifiers")),
                 ef_search=body.get("ef_search"),
@@ -215,14 +247,29 @@ def build_engine_app(engine: StoreEngine):
         """Pull one index's state from a healthy peer engine and replace
         the local copy (reference role: Vespa's internal replica
         redistribution when a content node rejoins)."""
+        # Trust model: like Vespa's content-node ports, this surface is an
+        # INTERNAL unauthenticated API — deploy it on a private network.
+        # Still: only http(s) source URLs, and the fetched dump must name
+        # the index the caller asked to sync — a peer answering with a
+        # different index's dump (or a spoofed body) must not silently
+        # overwrite that other index.
         body = request.body or {}
-        source_url = str(body["source_url"]).rstrip("/")
-        index_name = str(body["index_name"])
+        source_url = str(_require(body, "source_url")).rstrip("/")
+        index_name = str(_require(body, "index_name"))
+        if not source_url.startswith(("http://", "https://")):
+            raise InvalidArgumentError(
+                f"source_url must be http(s), got `{source_url}`")
         import httpx
         response = httpx.get(
-            f"{source_url}/engine/indexes/{index_name}/dump", timeout=120.0)
+            f"{source_url}/engine/indexes/{index_name}/dump", timeout=300.0)
         response.raise_for_status()
-        loaded = engine.load_index_dump(response.json())
+        dump = response.json()
+        dump_name = (dump.get("descriptor") or {}).get("name")
+        if dump_name != index_name:
+            raise InvalidArgumentError(
+                f"Peer dump names index `{dump_name}`, expected "
+                f"`{index_name}` — refusing to overwrite")
+        loaded = engine.load_index_dump(dump)
         logger.info(f"Synced index {index_name} from {source_url}: "
                     f"{loaded} docs")
         return {"synced_docs": loaded}
