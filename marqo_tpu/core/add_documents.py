@@ -128,10 +128,9 @@ _ALLOWED_VALUE_TYPES = (str, int, float, bool, list, dict)
 
 
 def _validate_field_value(field: str, value: Any) -> None:
-    if isinstance(value, bool) or not isinstance(value, _ALLOWED_VALUE_TYPES):
-        if not isinstance(value, _ALLOWED_VALUE_TYPES):
-            raise DocError(
-                f"Field `{field}` has unsupported type `{type(value).__name__}`")
+    if not isinstance(value, _ALLOWED_VALUE_TYPES):
+        raise DocError(
+            f"Field `{field}` has unsupported type `{type(value).__name__}`")
     if isinstance(value, int) and not isinstance(value, bool) and             not (-(2 ** 63) <= value < 2 ** 63):
         # Vespa long fields are int64; overlarge python ints must fail the
         # document (reference test_supported_large_integer_and_float_number)
@@ -233,6 +232,8 @@ class AddDocumentsHandler:
     def _tensor_field_names(self, doc: dict) -> List[str]:
         if isinstance(self.index, StructuredMarqoIndex):
             if self.params.tensor_fields is not None:
+                # unreachable via add_documents() (request-level gate
+                # above, reference structured_add_document_handler.py:48)
                 raise DocError(
                     "Cannot specify 'tensorFields' when adding documents to a "
                     "structured index. Tensor fields are defined in the index "
@@ -457,6 +458,16 @@ class AddDocumentsHandler:
             raise DocError(
                 f"Invalid type {type(value)} for tensor field {field}")
         if self._treats_as_media(field, value):
+            if isinstance(self.index, StructuredMarqoIndex):
+                # the DECLARED pointer type routes the pipeline (reference
+                # chunker-by-FieldType): an image_pointer whose URL sniffs
+                # as video must still be processed as an image — and
+                # surface an image-decode error — not silently re-routed
+                declared = self.index.field_map[field].type
+                kind = {FieldType.ImagePointer: "image",
+                        FieldType.AudioPointer: "audio",
+                        FieldType.VideoPointer: "video"}[declared]
+                return {"kind": kind, "pointer": value, "chunks": [value]}
             from marqo_tpu.tensor_search.add_docs import infer_modality
             modality = infer_modality(value)
             if modality == Modality.AUDIO:
@@ -468,6 +479,38 @@ class AddDocumentsHandler:
         if not chunks:
             return None
         return {"kind": "text", "chunks": chunks, "content_key": value}
+
+    def _child_media_modality(self, child_field: str, content: str):
+        """Modality a multimodal SUBFIELD embeds as, or None for text.
+
+        Structured: the DECLARED child field type decides (reference
+        chunks subfields by FieldType — an image_pointer child must hit
+        the image tower regardless of treat-flags, which structured
+        indexes don't even define). Unstructured: the
+        treat_urls_and_pointers flags gate content sniffing, exactly like
+        top-level fields."""
+        from marqo_tpu.tensor_search.add_docs import (infer_modality,
+                                                      is_media_pointer)
+        if isinstance(self.index, StructuredMarqoIndex):
+            declared = self.index.field_map.get(child_field)
+            if declared is None:
+                return None
+            return {FieldType.ImagePointer: Modality.IMAGE,
+                    FieldType.AudioPointer: Modality.AUDIO,
+                    FieldType.VideoPointer: Modality.VIDEO}.get(declared.type)
+        treat_images = getattr(self.index,
+                               "treat_urls_and_pointers_as_images", False)
+        treat_media = bool(getattr(self.index,
+                                   "treat_urls_and_pointers_as_media",
+                                   False))
+        if not (treat_images or treat_media) or not is_media_pointer(content):
+            return None  # never sniff on a URL-as-text index
+        modality = infer_modality(content)
+        if modality == Modality.IMAGE and treat_images:
+            return Modality.IMAGE
+        if modality in (Modality.AUDIO, Modality.VIDEO) and treat_media:
+            return modality
+        return None
 
     def _treats_as_media(self, field: str, value: str) -> bool:
         """Is this string field a media pointer to be embedded as
@@ -503,6 +546,15 @@ class AddDocumentsHandler:
 
     def add_documents(self) -> dict:
         collector = AddDocumentsResponseCollector()
+        if isinstance(self.index, StructuredMarqoIndex) and \
+                self.params.tensor_fields is not None:
+            # reference structured_add_document_handler.py:48-51 —
+            # request-level 400 before any per-doc processing (NOT one
+            # error item per document inside a 200)
+            raise InvalidArgumentError(
+                "Cannot specify 'tensorFields' when adding documents to a "
+                "structured index. Tensor fields are defined in the index "
+                "settings.")
         if not isinstance(self.index, StructuredMarqoIndex) and \
                 self.params.tensor_fields is None:
             # reference unstructured_validation.py:118-121 — request-level
@@ -547,12 +599,10 @@ class AddDocumentsHandler:
         # plan: validate fields, chunk, gather embedding work
         plans: List[Tuple[str, dict, Dict[str, dict]]] = []
         existing_tensors: Dict[str, Dict[str, list]] = {}
+        # per-request state initialized in __init__ (one handler instance
+        # per request); _existing_multimodal_params is the only field not
+        # set there because it only exists during add_documents
         self._existing_multimodal_params: Dict[str, dict] = {}
-        self._positions: Dict[str, int] = {}
-        # docs whose _id was generated report id "" in error items
-        # (reference AddDocumentsResponseCollector, test_add_documents_
-        # handler.py:405-414: a generated id is never revealed on failure)
-        self._generated_ids: set = set()
         for _pos, doc_id, doc in docs_to_process:
             try:
                 self._validate_structured_fields(doc)
@@ -623,6 +673,12 @@ class AddDocumentsHandler:
             # top encode batch bucket). The reference runs these stages
             # strictly serially (add_documents_handler.py:123-181).
             from concurrent.futures import ThreadPoolExecutor
+            # grow the schema for the WHOLE request up front — identical
+            # request-level semantics to the sync path: a
+            # TooManyFieldsError must fire before ANY sub-batch is fed,
+            # not after earlier chunks were already persisted (schema
+            # growth depends only on field names, known pre-vectorise)
+            self._maybe_grow_semi_structured_schema(plans)
             futures = []
             with ThreadPoolExecutor(max_workers=1) as worker:
                 for i in range(0, len(plans), sub):
@@ -658,7 +714,7 @@ class AddDocumentsHandler:
         # one key is not re-entrant across threads
         with metrics.time("add_documents.vectorise.resolve"):
             embeddings = handle()
-        self._maybe_grow_semi_structured_schema(chunk)
+        # schema growth already ran request-wide before the pipeline began
         metrics.start("add_documents.engine._bulk")
         self._feed_plans(chunk, embeddings, collector)
         metrics.stop("add_documents.engine._bulk")
@@ -769,25 +825,17 @@ class AddDocumentsHandler:
         images, failed_docs = self._download_images(plans, collector)
         plans[:] = [p for p in plans if p[0] not in failed_docs]
 
-        def _is_image_child(content: str) -> bool:
-            from marqo_tpu.tensor_search.add_docs import (infer_modality,
-                                                          is_media_pointer)
-            return (getattr(self.index, "treat_urls_and_pointers_as_images",
-                            False) and is_media_pointer(content)
-                    and infer_modality(content) == Modality.IMAGE)
+        def _is_image_child(child: str, content: str) -> bool:
+            return self._child_media_modality(child, content) == \
+                Modality.IMAGE
 
-        def _av_child_modality(content: str):
-            """AUDIO/VIDEO when the subfield content is a media pointer on
-            a media-treating index, else None (reference supports audio/
-            video multimodal subfields, tensor_fields_container.py:245-248:
-            they chunk like top-level fields and their subfield embedding
-            is the mean of clip embeddings)."""
-            from marqo_tpu.tensor_search.add_docs import (infer_modality,
-                                                          is_media_pointer)
-            if not getattr(self.index, "treat_urls_and_pointers_as_media",
-                           False) or not is_media_pointer(content):
-                return None
-            modality = infer_modality(content)
+        def _av_child_modality(child: str, content: str):
+            """AUDIO/VIDEO when the subfield should be embedded as media,
+            else None (reference supports audio/video multimodal
+            subfields, tensor_fields_container.py:245-248: they chunk like
+            top-level fields and their subfield embedding is the mean of
+            clip embeddings)."""
+            modality = self._child_media_modality(child, content)
             return modality if modality in (Modality.AUDIO,
                                             Modality.VIDEO) else None
 
@@ -861,8 +909,8 @@ class AddDocumentsHandler:
                     # children embedded individually then combined
                     child_failed = False
                     for child, content in plan["sub_content"].items():
-                        av = _av_child_modality(content)
-                        if _is_image_child(content):
+                        av = _av_child_modality(child, content)
+                        if _is_image_child(child, content):
                             image_slots.append(
                                 (assigned_id, field + "::" + child, 0))
                             to_embed_images.append(images[content])
@@ -976,7 +1024,14 @@ class AddDocumentsHandler:
                             key = (assigned_id, field + "::" + child)
                             rows = grouped.pop(key, None)
                             if rows is None:
-                                rows = image_grouped.pop(key)
+                                rows = image_grouped.pop(key, None)
+                            if not rows:
+                                # a child that produced ZERO chunks (e.g.
+                                # a degenerate/empty waveform chunks to
+                                # []) simply contributes nothing — the
+                                # combine runs over present subfields, it
+                                # must not KeyError the whole batch
+                                continue
                             # multi-row children (audio/video clips) use
                             # the clip-mean as the subfield embedding
                             # (reference tensor_fields_container.py:320-323)
@@ -1140,21 +1195,21 @@ class AddDocumentsHandler:
         """Threaded fetch of every image pointer in the batch; docs whose
         media fail to download are failed individually."""
         from marqo_tpu.tensor_search.add_docs import (
-            infer_modality, is_media_pointer,
             threaded_download_and_preprocess_content)
         pointers: List[str] = []
         pointer_docs: Dict[str, List[str]] = defaultdict(list)
-        treat_media = getattr(self.index,
-                              "treat_urls_and_pointers_as_images", False)
         for assigned_id, _doc, field_plans in plans:
             for field, plan in field_plans.items():
                 if plan["kind"] == "image":
                     pointers.append(plan["pointer"])
                     pointer_docs[plan["pointer"]].append(assigned_id)
-                elif plan["kind"] == "multimodal" and treat_media:
-                    for content in plan["sub_content"].values():
-                        if is_media_pointer(content) and \
-                                infer_modality(content) == Modality.IMAGE:
+                elif plan["kind"] == "multimodal":
+                    # same structured-declared-type / unstructured-flag
+                    # rule the embed step uses — a child that will embed
+                    # as an image must be in the download map
+                    for child, content in plan["sub_content"].items():
+                        if self._child_media_modality(child, content) == \
+                                Modality.IMAGE:
                             pointers.append(content)
                             pointer_docs[content].append(assigned_id)
         if not pointers:

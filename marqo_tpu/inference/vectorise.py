@@ -131,7 +131,11 @@ def _used_memory_gib(device: Device) -> float:
 def _device_threshold_gib(device: Device) -> float:
     var = ("MARQO_MAX_CPU_MODEL_MEMORY" if device == Device.CPU
            else "MARQO_MAX_TPU_MODEL_MEMORY")
-    return configs.read_env_vars_and_defaults_floats(var) or 4.0
+    value = configs.read_env_vars_and_defaults_floats(var)
+    # explicit `is None` check: `or` would silently rewrite an explicit 0
+    # (force-reject caching) to the fallback, and mask the defaults-table
+    # value whenever the var is set to an empty string
+    return 4.0 if value is None else float(value)
 
 
 def _check_memory_threshold_for_model(device: Device, model_size: float,
@@ -223,8 +227,11 @@ def _update_available_models(model_cache_key: str, model_name: str,
                              model_auth=None) -> EmbeddingModel:
     """Thread-locked model load with busy rejection + LRU eviction
     (reference _update_available_models, s2_inference.py:286-337)."""
-    if model_cache_key in _available_models:
-        entry = _available_models[model_cache_key]
+    # atomic read: a concurrent eviction between a separate membership
+    # check and item access would KeyError a call that should simply
+    # have reloaded the model
+    entry = _available_models.get(model_cache_key)
+    if entry is not None:
         entry["most_recently_used_time"] = datetime.datetime.now()
         return entry["model"]
 
@@ -408,10 +415,18 @@ def vectorise_async(model_name: str,
     if not misses:
         return lambda: results
 
+    # same MARQO_MAX_VECTORISE_BATCH_SIZE contract as the sync path
+    # (validated either way — an invalid value must be rejected on this
+    # path too, and a configured cap must chunk the dispatch, not
+    # silently encode the whole sub-batch in one call)
+    max_batch = _get_max_vectorise_batch_size()
+    miss_contents = [contents[i] for i in misses]
+    resolvers = []
     try:
-        resolver = model.encode_async([contents[i] for i in misses],
-                                      normalize=normalize_embeddings,
-                                      modality=modality)
+        for start in range(0, len(miss_contents), max_batch):
+            resolvers.append(model.encode_async(
+                miss_contents[start:start + max_batch],
+                normalize=normalize_embeddings, modality=modality))
     except VectoriseError:
         raise
     except Exception as e:
@@ -421,7 +436,7 @@ def vectorise_async(model_name: str,
 
     def resolve() -> List[List[float]]:
         try:
-            encoded = resolver()
+            encoded = [row for r in resolvers for row in r()]
         except VectoriseError:
             raise
         except Exception as e:
@@ -491,15 +506,19 @@ def get_loaded_models() -> dict:
 def eject_model(model_name: str, device: str) -> dict:
     """Remove a model from the cache (reference s2_inference.py:774)."""
     dev = Device.normalize(device)
-    to_remove = [key for key, entry in _available_models.items()
-                 if key.split("||")[0] == model_name
-                 and entry["model"].device == dev]
-    if not to_remove:
-        raise ModelNotInCacheError(
-            f"The model_name `{model_name}` device `{device}` is not cached or found")
-    for key in to_remove:
-        del _available_models[key]
-        _drop_scheduler(key)
+    # under the loader lock: a load in progress iterates
+    # _available_models (eviction/memory accounting) — an unlocked del
+    # here is a 'dict changed size during iteration' 500 on that thread
+    with _lock:
+        to_remove = [key for key, entry in _available_models.items()
+                     if key.split("||")[0] == model_name
+                     and entry["model"].device == dev]
+        if not to_remove:
+            raise ModelNotInCacheError(
+                f"The model_name `{model_name}` device `{device}` is not cached or found")
+        for key in to_remove:
+            del _available_models[key]
+            _drop_scheduler(key)
     return {"result": "success",
             "message": f"successfully eject model_name `{model_name}` "
                        f"from device `{dev.value}`"}
@@ -514,8 +533,9 @@ def _drop_scheduler(cache_key: str) -> None:
 
 def clear_loaded_models() -> None:
     from marqo_tpu.inference.batch_scheduler import clear_schedulers
-    _available_models.clear()
-    clear_schedulers()
+    with _lock:
+        _available_models.clear()
+        clear_schedulers()
 
 
 def clear_inference_cache() -> None:

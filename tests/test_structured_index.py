@@ -70,10 +70,14 @@ class TestStructuredIndex:
         assert res["items"][0]["status"] == 400
 
     def test_tensor_fields_param_rejected(self, config):
+        # request-level 400 before any per-doc processing (reference
+        # structured_add_document_handler.py:48-51), not error items
+        # inside a 200
+        from marqo_tpu.core.exceptions import InvalidArgumentError
         params = AddDocsParams(index_name="s-index", docs=DOCS,
                                tensor_fields=["title"])
-        res = tensor_search.add_documents(config, params)
-        assert res["errors"] is True
+        with pytest.raises(InvalidArgumentError, match="tensorFields"):
+            tensor_search.add_documents(config, params)
 
     def test_filterable_fields_enforced_in_search(self, config):
         _add(config)
