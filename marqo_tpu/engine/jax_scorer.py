@@ -55,6 +55,12 @@ class JaxExactScorer:
         or None when the device path shouldn't be used."""
         if matrix.shape[0] < MIN_ROWS_FOR_DEVICE or not device_available():
             return None
+        if self.metric not in ("dotproduct", "euclidean", "angular",
+                               "prenormalized-angular"):
+            # hamming/geodegrees: no device kernel — the else-branch below
+            # would silently score prenorm-angular; use the numpy exact
+            # path instead
+            return None
         try:
             import jax
             import jax.numpy as jnp

@@ -191,12 +191,17 @@ class NativeHnsw:
         self.cell_dtype = cell_dtype
         if cell_dtype not in CELL_IDS:
             raise ValueError(f"unsupported cell dtype: {cell_dtype}")
+        if metric not in METRIC_IDS:
+            # fail LOUDLY: silently defaulting to prenorm-angular would
+            # return wrong neighbors for hamming/geodegrees indexes
+            raise ValueError(f"metric `{metric}` has no native distance "
+                             "kernel (exact scoring handles it)")
         if _handle is not None:
             self._handle = _handle
         else:
             self._handle = lib.hnsw_create(
                 dim, m, ef_construction,
-                METRIC_IDS.get(metric, 0), CELL_IDS[cell_dtype], seed)
+                METRIC_IDS[metric], CELL_IDS[cell_dtype], seed)
 
     def _base_ptr(self, store: np.ndarray, min_rows: int):
         if store.ndim != 2 or store.shape[1] != self.dim:

@@ -160,7 +160,13 @@ class _FieldTensors:
     def _ensure_hnsw(self):
         if self._hnsw is None:
             try:
-                from marqo_tpu.engine.native import NativeHnsw, native_available
+                from marqo_tpu.engine.native import (METRIC_IDS, NativeHnsw,
+                                                     native_available)
+                if self.metric not in METRIC_IDS:
+                    # hamming/geodegrees have no native distance kernel:
+                    # stay on the exact numpy path (correct, slower)
+                    # rather than silently scoring with the wrong metric
+                    return None
                 if native_available():
                     m, efc = self._hnsw_params
                     hnsw = NativeHnsw(self.dimensions, m=m,
@@ -184,7 +190,9 @@ class _FieldTensors:
 
     def add(self, doc_id: str, chunks: List[str], embeddings) -> None:
         emb = np.asarray(embeddings, dtype=np.float32)
-        if emb.ndim == 1:
+        if emb.ndim == 1 and emb.size:
+            # promote a single 1-D vector to (1, dim); an EMPTY list is a
+            # valid zero-chunk payload, not a (1, 0) matrix
             emb = emb[None, :]
         if emb.shape[0] != len(chunks):
             raise InvalidArgumentError(
@@ -562,6 +570,16 @@ class StoreEngine:
             doc = shard.docs.get(doc_id)
             return dict(doc) if doc is not None else None
 
+    def _get_ref(self, index_name: str, doc_id: str) -> Optional[dict]:
+        """Read-only reference WITHOUT the defensive copy — for the
+        score-modifier hot path, which reads a couple of numeric fields
+        per scored doc (feed replaces the doc dict wholesale under the
+        shard lock, so a reference read stays internally consistent).
+        Callers must not mutate the result."""
+        shard = self._shard_for(index_name, doc_id)
+        with shard.lock:
+            return shard.docs.get(doc_id)
+
     def get_tensors(self, index_name: str, doc_id: str) -> Dict[str, list]:
         shard = self._shard_for(index_name, doc_id)
         with shard.lock:
@@ -709,7 +727,13 @@ class StoreEngine:
             docs = []
             tensor_meta = {}
             binary: Dict[str, np.ndarray] = {}
-            shards = self._shards(name)
+            try:
+                shards = self._shards(name)
+                descriptor_json = self._descriptors[name].to_json()
+            except (IndexNotFoundError, KeyError):
+                # index deleted concurrently mid-pass: skip it — it must
+                # not abort the snapshots of every index sorted after it
+                continue
             for shard_idx, shard in enumerate(shards):
                 # one lock hold per shard: docs + tensors are mutually
                 # consistent (feed() updates both under this same lock)
@@ -740,7 +764,7 @@ class StoreEngine:
             payload = {
                 "snapshot_id": snapshot_id,
                 "n_shards": len(shards),
-                "descriptor": self._descriptors[name].to_json(),
+                "descriptor": descriptor_json,
                 "docs": docs,
                 "tensor_meta": tensor_meta,
                 # durable mutation sequence: restore resumes the counter so
@@ -1023,23 +1047,44 @@ class StoreEngine:
                     for d, s in lexical_scores.items()}
 
         if retrieval_method == "tensor" and ranking_method == "lexical":
-            # retrieve by tensor, rank those docs by lexical score
+            # retrieve by tensor TOP-K, rank those docs by lexical score.
+            # The truncation is the whole point of the mode: the exact
+            # path scores every row, and without it the result degrades
+            # to a pure global lexical ranking (validated combinations
+            # attach score_modifiers_lexical to the RANKING leg here —
+            # hybrid_parameters _validate_combinations)
+            top_tensor = sorted(tensor_scores.items(),
+                                key=lambda kv: -kv[1][0])[:max_leg]
             lexical_raw = self._lexical_leg(
                 index_name, or_phrases, and_phrases,
                 searchable_fields_lexical, search_filter,
                 global_stats=global_stats)
-            scored = {d: (lexical_raw.get(d, (0.0, None))[0], h)
-                      for d, (s, h) in tensor_scores.items()}
+            scored = {}
+            for d, (_s, h) in top_tensor:
+                lex = lexical_raw.get(d, (0.0, None))[0]
+                if score_modifiers_lexical:
+                    lex = self._modify_score(index_name, d, lex,
+                                             score_modifiers_lexical)
+                scored[d] = (lex, h)
             return self._finalize(index_name, scored, limit, offset, None,
                                   attributes_to_retrieve, expose_facets,
                                   leg="hybrid")
         if retrieval_method == "lexical" and ranking_method == "tensor":
+            # retrieve by lexical TOP-K, rank those docs by tensor score
+            # (with the ranking leg's score modifiers applied)
+            top_lexical = sorted(lexical_scores.items(),
+                                 key=lambda kv: -kv[1])[:max_leg]
             query = np.asarray(vector, dtype=np.float32)
             tensor_raw = self._tensor_leg(
                 index_name, query, searchable_fields_tensor, search_filter,
                 ef_search, None, approximate=approximate)
-            scored = {d: tensor_raw.get(d, (0.0, None))
-                      for d in lexical_scores}
+            scored = {}
+            for d, _s in top_lexical:
+                ts, h = tensor_raw.get(d, (0.0, None))
+                if score_modifiers_tensor:
+                    ts = self._modify_score(index_name, d, ts,
+                                            score_modifiers_tensor)
+                scored[d] = (ts, h)
             return self._finalize(index_name, scored, limit, offset, None,
                                   attributes_to_retrieve, expose_facets,
                                   leg="hybrid")
@@ -1109,7 +1154,6 @@ class StoreEngine:
         structured_vespa_index.py:672-688; max aggregation). Approximate
         mode routes through the native HNSW once the field is large enough;
         exact mode is a full matrix scan."""
-        descriptor = self._descriptors.get(index_name)
         shards = self._shards(index_name)
         best: Dict[str, float] = {}
         best_chunk: Dict[str, dict] = {}
@@ -1265,7 +1309,9 @@ class StoreEngine:
         """new_score = score · Π(mult_field·weight) + Σ(add_field·weight)
         (reference modify() rank expression,
         structured_vespa_schema.py:255-263)."""
-        doc = self.get(index_name, doc_id) or {}
+        # reference read (no copy): called once per scored doc on the
+        # query hot path
+        doc = self._get_ref(index_name, doc_id) or {}
         mult = 1.0
         add = 0.0
         for mod in modifiers:

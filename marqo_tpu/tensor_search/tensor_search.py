@@ -471,7 +471,10 @@ def _default_ef_search(ef_search: Optional[int], limit: int,
                 f"efSearch `{ef_search}` must be ≥ limit+offset "
                 f"`{limit + offset}`")
         return ef_search
-    default = configs.read_env_vars_and_defaults_ints("MARQO_DEFAULT_EF_SEARCH")
+    # `or 2000`: an env var set to '' reads as None (configs contract) —
+    # max(None, int) would TypeError every default-ef search into a 500
+    default = configs.read_env_vars_and_defaults_ints(
+        "MARQO_DEFAULT_EF_SEARCH") or 2000
     return max(default, limit + offset)
 
 
@@ -594,7 +597,12 @@ def _hybrid_search(config, index, text, context, limit, offset, ef_search,
         score_modifiers_tensor=mods_tensor,
         score_modifiers_lexical=mods_lexical,
         ef_search=_default_ef_search(ef_search, limit, offset),
-        approximate=True if approximate is None else approximate,
+        # same operator default the TENSOR path honors — a hybrid tensor
+        # leg must not silently keep the HNSW when
+        # MARQO_DEFAULT_APPROXIMATE_SEARCH=FALSE forces exact scoring
+        approximate=(configs.read_env_vars_and_defaults_bool(
+            "MARQO_DEFAULT_APPROXIMATE_SEARCH")
+            if approximate is None else approximate),
         attributes_to_retrieve=attributes_to_retrieve,
         expose_facets=expose_facets)
     return {"hits": [_hit_to_dict(h, show_highlights, SEARCH_METHOD_HYBRID)
