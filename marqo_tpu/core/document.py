@@ -139,11 +139,10 @@ class Document:
                               "error": "'_id' is a required field but it "
                                        "does not exist, or is not a string"})
                 continue
-            stored = self.config.engine.get(index.schema_name, doc_id)
-            if stored is None:
+            if self.config.engine.get(index.schema_name, doc_id) is None:
                 errors = True
                 items.append({"_id": doc_id, "status": 404,
-                              "error": f"Document does not exist in the index"})
+                              "error": "Document does not exist in the index"})
                 continue
             bad = None
             updates = {}
@@ -177,16 +176,18 @@ class Document:
                 errors = True
                 items.append({"_id": doc_id, "status": 400, "error": bad})
                 continue
-            merged = {**stored, **updates}
-            tensors = {}
-            for field_name, entries in self.config.engine.get_tensors(
-                    index.schema_name, doc_id).items():
-                tensors[field_name] = {
-                    "chunks": [e["chunk"] for e in entries],
-                    "embeddings": [e["embedding"] for e in entries],
-                }
-            self.config.engine.feed(index.schema_name, doc_id, merged, tensors)
-            items.append({"_id": doc_id, "status": 200})
+            # atomic merge under the engine's shard lock — a get/merge/
+            # feed read-modify-write here would lose a concurrent
+            # add_documents or partial update between the read and the
+            # write (Vespa partial updates are atomic per document), and
+            # would needlessly round-trip every tensor
+            if self.config.engine.update(index.schema_name, doc_id, updates):
+                items.append({"_id": doc_id, "status": 200})
+            else:
+                # deleted between the existence check and the update
+                errors = True
+                items.append({"_id": doc_id, "status": 404,
+                              "error": "Document does not exist in the index"})
         return {
             "errors": errors,
             "index_name": index_name,

@@ -224,6 +224,14 @@ class RemoteStoreEngine:
                              params={"tensors": "true"})
         return body.get("tensors", {})
 
+    def update(self, index_name: str, doc_id: str, updates: dict) -> bool:
+        """Atomic partial update on the engine node (server-side merge
+        under the shard lock). Returns False when the doc doesn't exist."""
+        return bool(self._request(
+            "POST",
+            f"/engine/indexes/{index_name}/docs/{quote(doc_id, safe='')}/update",
+            {"updates": updates}).get("found"))
+
     def delete(self, index_name: str, doc_id: str) -> bool:
         return bool(self._request(
             "DELETE", f"/engine/indexes/{index_name}/docs/{quote(doc_id, safe='')}"

@@ -46,7 +46,8 @@ class _ShardGroup:
 
     def write_all(self, fn_name: str, *args, **kwargs):
         """Apply a mutation on every replica; succeed if ≥1 replica acks
-        (failed replicas are flagged for the auto-heal sweep).
+        (failed replicas are flagged for the auto-heal sweep). Returns the
+        per-replica return values of the acking replicas.
 
         Exception: a 507 feed-block from ANY replica fails the write with
         that 507 — Vespa blocks the whole cluster's feed when one content
@@ -56,11 +57,10 @@ class _ShardGroup:
         anti-entropy reconciles once space frees."""
         from marqo_tpu.engine.client import EngineHTTPError
         errors = []
-        ok = 0
+        results = []
         for replica in self.replicas:
             try:
-                getattr(replica, fn_name)(*args, **kwargs)
-                ok += 1
+                results.append(getattr(replica, fn_name)(*args, **kwargs))
             except Exception as e:
                 errors.append(e)
                 logger.warning(f"Replica write {fn_name} failed on "
@@ -69,15 +69,15 @@ class _ShardGroup:
             (e for e in errors
              if isinstance(e, EngineHTTPError) and e.status == 507), None)
         if feed_block is not None:
-            if ok:
+            if results:
                 self.degraded = True
             raise feed_block
-        if ok == 0:
+        if not results:
             raise BackendCommunicationError(
                 f"All replicas failed {fn_name}: {errors[0]}")
         if errors:
             self.degraded = True
-        return ok
+        return results
 
     def read_one(self, fn_name: str, *args, **kwargs):
         """Round-robin read with failover across replicas (a timed-out
@@ -206,9 +206,17 @@ class ClusterEngine:
         return self._shard_for(doc_id).read_one("get_tensors", index_name,
                                                 doc_id)
 
+    def update(self, index_name: str, doc_id: str, updates: dict) -> bool:
+        acks = self._shard_for(doc_id).write_all("update", index_name,
+                                                 doc_id, updates)
+        return any(acks)
+
     def delete(self, index_name: str, doc_id: str) -> bool:
+        # any(): per-replica found flags — deleting an absent doc must
+        # report found=False (in-process store.delete parity), not "some
+        # replica acked the call"
         acks = self._shard_for(doc_id).write_all("delete", index_name, doc_id)
-        return bool(acks)
+        return any(acks)
 
     def delete_all(self, index_name: str) -> int:
         deleted = 0

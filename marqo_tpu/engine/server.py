@@ -161,6 +161,16 @@ def build_engine_app(engine: StoreEngine):
             result["tensors"] = engine.get_tensors(name, doc_id)
         return result
 
+    @app.post("/engine/indexes/{name}/docs/{doc_id}/update")
+    def update_doc(request: Request):
+        if not isinstance(request.body, dict) or \
+                not isinstance(request.body.get("updates"), dict):
+            raise InvalidArgumentError("Body must carry an `updates` object")
+        found = engine.update(request.path_params["name"],
+                              request.path_params["doc_id"],
+                              request.body["updates"])
+        return {"found": found}
+
     @app.delete("/engine/indexes/{name}/docs/{doc_id}")
     def delete_doc(request: Request):
         found = engine.delete(request.path_params["name"],

@@ -321,6 +321,28 @@ class _Shard:
                 self._tensor_store(field).add(
                     doc_id, payload["chunks"], payload["embeddings"])
 
+    def update(self, doc_id: str, updates: dict) -> bool:
+        """Merge ``updates`` into the stored fields atomically, leaving
+        tensors untouched (the Vespa partial-update contract: metadata
+        assign ops never disturb the document's tensor attributes).
+        Returns False when the document does not exist."""
+        with self.lock:
+            current = self.docs.get(doc_id)
+            if current is None:
+                return False
+            merged = dict(current)
+            merged.update(updates)
+            # replace wholesale, never mutate in place: _get_ref readers
+            # hold references to the old dict
+            self.docs[doc_id] = merged
+            for field, value in updates.items():
+                if field in self.lexical:
+                    self.lexical[field].remove(doc_id)
+                if self._is_lexical_field(field, value):
+                    text = " ".join(value) if isinstance(value, list) else value
+                    self._lexical_index(field).add(doc_id, text)
+            return True
+
     def delete(self, doc_id: str) -> bool:
         with self.lock:
             existed = doc_id in self.docs
@@ -458,6 +480,8 @@ class StoreEngine:
                 if op == "feed":
                     self.feed(rec["index"], rec["doc_id"], rec["fields"],
                               rec["tensors"])
+                elif op == "update":
+                    self.update(rec["index"], rec["doc_id"], rec["updates"])
                 elif op == "delete":
                     self.delete(rec["index"], rec["doc_id"])
                 elif op == "delete_all":
@@ -563,6 +587,30 @@ class StoreEngine:
                            "doc_id": doc_id, "fields": fields,
                            "tensors": tensors or {}})
         self._mutated(index_name)
+
+    def update(self, index_name: str, doc_id: str, updates: dict) -> bool:
+        """Atomic partial update: merge ``updates`` into the stored fields
+        under the shard lock (reference: Vespa partial updates are atomic
+        per document — document.py:107-170 builds assign updates; a
+        get/merge/feed read-modify-write would lose concurrent writes).
+        Tensors are preserved. Returns False when the doc doesn't exist."""
+        if not self._in_recovery():
+            # same write gate as feed(): Vespa feed-block applies to
+            # put AND update operations (only removes are exempt)
+            from marqo_tpu.core.exceptions import EngineOutOfSpaceError
+            from marqo_tpu.engine.resources import watcher
+            reason = watcher().feed_block_reason()
+            if reason is not None:
+                raise EngineOutOfSpaceError(f"Feed blocked: {reason}")
+        shard = self._shard_for(index_name, doc_id)
+        with shard.lock:  # see feed(): log order == apply order per doc
+            found = shard.update(doc_id, updates)
+            if found and self._wal is not None:
+                self._log({"op": "update", "index": index_name,
+                           "doc_id": doc_id, "updates": updates})
+        if found:
+            self._mutated(index_name)
+        return found
 
     def get(self, index_name: str, doc_id: str) -> Optional[dict]:
         shard = self._shard_for(index_name, doc_id)

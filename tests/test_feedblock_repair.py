@@ -145,7 +145,8 @@ class TestWriteAllFeedBlock:
         ok = _StubReplica()
         down = _StubReplica(ConnectionError("refused"))
         group = self._group([ok, down])
-        assert group.write_all("feed", "idx", "d1", {}) == 1
+        # one per-replica result from the surviving replica
+        assert len(group.write_all("feed", "idx", "d1", {})) == 1
         assert group.degraded is True
         group2 = self._group([_StubReplica(ConnectionError("refused"))])
         with pytest.raises(BackendCommunicationError):
