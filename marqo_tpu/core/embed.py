@@ -9,10 +9,7 @@ import time
 from enum import Enum
 from typing import Dict, List, Optional, Union
 
-import numpy as np
-
 from marqo_tpu.core.exceptions import InvalidArgumentError
-from marqo_tpu.inference import vectorise as inference
 
 
 class EmbedContentType(str, Enum):
@@ -34,11 +31,11 @@ class Embed:
         index = self.config.index_meta_cache.get_index(index_name)
 
         if content_type in (EmbedContentType.Query, "query"):
-            prefix = index.model.get_text_query_prefix()
+            prefix_override = None  # index default query prefix
         elif content_type in (EmbedContentType.Document, "document"):
-            prefix = index.model.get_text_chunk_prefix()
+            prefix_override = index.model.get_text_chunk_prefix()
         elif content_type is None:
-            prefix = ""
+            prefix_override = ""
         else:
             raise InvalidArgumentError(
                 f"Invalid content_type `{content_type}`. Must be one of "
@@ -48,27 +45,18 @@ class Embed:
         if not items:
             raise InvalidArgumentError("Embed content list cannot be empty")
 
-        dims = index.model.get_dimension()
+        # one vector per item, each computed by the SAME pipeline a search
+        # query goes through (reference embed.py:85-109 builds
+        # BulkSearchQueryEntity per item and calls run_vectorise_pipeline):
+        # media-pointer keys embed as media, prefixes apply to text only,
+        # weighted parts mean-merge — embed(x) == the query vector for x.
+        from marqo_tpu.tensor_search.tensor_search import compute_query_vector
         embeddings: List[List[float]] = []
         for item in items:
-            if isinstance(item, str):
-                if self._is_image_pointer(index, item):
-                    embeddings.append(self._embed_image(
-                        index, item, device, model_auth,
-                        media_download_headers))
-                    continue
-                vectors = inference.vectorise(
-                    model_name=index.model.name,
-                    content=[prefix + item],
-                    model_properties=(index.model.properties
-                                      if index.model.custom else None),
-                    device=device,
-                    normalize_embeddings=index.normalize_embeddings,
-                    model_auth=model_auth, enable_cache=True)
-                embeddings.append(vectors[0])
-            elif isinstance(item, dict):
+            if isinstance(item, dict):
                 if not item:
-                    raise InvalidArgumentError("Embed content dict cannot be empty")
+                    raise InvalidArgumentError(
+                        "Embed content dict cannot be empty")
                 for key, weight in item.items():
                     # reference EmbedRequest pydantic validation: weighted
                     # dict values must be floats ("value is not a valid
@@ -81,54 +69,17 @@ class Embed:
                         raise InvalidArgumentError(
                             f"value is not a valid float for weighted "
                             f"content key `{key}`")
-                texts = [prefix + t for t in item]
-                weights = list(item.values())
-                vectors = inference.vectorise(
-                    model_name=index.model.name, content=texts,
-                    model_properties=(index.model.properties
-                                      if index.model.custom else None),
-                    device=device,
-                    normalize_embeddings=index.normalize_embeddings,
-                    model_auth=model_auth, enable_cache=True)
-                acc = np.zeros((dims,), dtype=np.float32)
-                for vec, w in zip(vectors, weights):
-                    acc += np.asarray(vec, dtype=np.float32) * float(w)
-                if index.normalize_embeddings:
-                    norm = float(np.linalg.norm(acc))
-                    if norm > 0:
-                        acc /= norm
-                embeddings.append(acc.tolist())
-            else:
+            elif not isinstance(item, str):
                 raise InvalidArgumentError(
                     f"Embed content items must be strings or weighted dicts, "
                     f"got {type(item).__name__}")
+            embeddings.append(compute_query_vector(
+                index, item, context=None, device=device,
+                text_query_prefix=prefix_override, model_auth=model_auth,
+                media_download_headers=media_download_headers))
 
         return {
             "content": content,
             "embeddings": embeddings,
             "processingTimeMs": (time.perf_counter() - start) * 1000,
         }
-
-    @staticmethod
-    def _is_image_pointer(index, item: str) -> bool:
-        from marqo_tpu.inference.types import Modality
-        from marqo_tpu.tensor_search.add_docs import (infer_modality,
-                                                      is_media_pointer)
-        return (getattr(index, "treat_urls_and_pointers_as_images", False)
-                and is_media_pointer(item)
-                and infer_modality(item) == Modality.IMAGE)
-
-    @staticmethod
-    def _embed_image(index, pointer: str, device, model_auth,
-                     media_download_headers=None) -> List[float]:
-        from marqo_tpu.inference.types import Modality
-        from marqo_tpu.ops.image_ops import host_decode
-        from marqo_tpu.tensor_search.add_docs import fetch_content
-        image = host_decode(fetch_content(pointer, media_download_headers))
-        vectors = inference.vectorise(
-            model_name=index.model.name, content=[image],
-            model_properties=(index.model.properties
-                              if index.model.custom else None),
-            device=device, normalize_embeddings=index.normalize_embeddings,
-            model_auth=model_auth, modality=Modality.IMAGE)
-        return vectors[0]

@@ -161,3 +161,52 @@ class TestEmbedValidation:
     def test_embed_non_string_non_dict_item(self, config):
         with pytest.raises(InvalidArgumentError):
             config.embed.embed_content("embed-index", content=[42])
+
+
+class TestEmbedQueryPipelineParity:
+    """Embed must be the SAME pipeline as query vectorisation (reference
+    embed.py:85-109 → run_vectorise_pipeline): weighted parts mean-merge
+    even without normalization, and media-pointer keys embed as media."""
+
+    def test_weighted_dict_matches_search_without_normalization(self):
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        cfg.index_management.create_index(
+            IndexSettings(model="test", normalizeEmbeddings=False)
+            .to_marqo_index("embed-nonorm"))
+        cfg.index_meta_cache.populate()
+        query = {"alpha beta": 0.7, "gamma delta": 0.3}
+        search_vec = _captured_query_vector(cfg, "embed-nonorm", query)
+        embed_res = cfg.embed.embed_content("embed-nonorm", content=[query])
+        # sum-merge instead of mean-merge diverges exactly here: identical
+        # direction, 2x the magnitude
+        assert np.allclose(embed_res["embeddings"][0], search_vec, atol=1e-6)
+
+    def test_image_pointer_in_weighted_dict_embeds_as_image(self, tmp_path):
+        from PIL import Image
+        inference.clear_loaded_models()
+        cfg = Config()
+        cfg.index_management.bootstrap()
+        clip_props = {"type": "clip", "dimensions": 24, "random_init": True,
+                      "image_size": 32, "architecture": {"patch_size": 8}}
+        cfg.index_management.create_index(
+            IndexSettings(model="my-test-clip", modelProperties=clip_props,
+                          treatUrlsAndPointersAsImages=True)
+            .to_marqo_index("embed-img"))
+        cfg.index_meta_cache.populate()
+        path = tmp_path / "red.png"
+        Image.new("RGB", (32, 32), color=(230, 20, 20)).save(path)
+        pointer = str(path)
+        # weighted dict with ONLY the image pointer == plain image embed
+        solo = cfg.embed.embed_content("embed-img", content=[pointer])
+        weighted = cfg.embed.embed_content("embed-img",
+                                           content=[{pointer: 1.0}])
+        assert np.allclose(weighted["embeddings"][0], solo["embeddings"][0],
+                           atol=1e-6)
+        # and both differ from a true text embedding
+        text_vec = cfg.embed.embed_content("embed-img",
+                                           content=["not a pointer at all"])
+        assert not np.allclose(weighted["embeddings"][0],
+                               text_vec["embeddings"][0], atol=1e-3)
+        inference.clear_loaded_models()
