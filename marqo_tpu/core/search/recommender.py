@@ -91,9 +91,17 @@ class Recommender:
                         f'"{index_name}". Available tensor fields: '
                         f'{", ".join(valid)}')
 
-        method = (InterpolationMethod(interpolation_method)
-                  if interpolation_method
-                  else self._default_interpolation(index))
+        try:
+            method = (InterpolationMethod(interpolation_method)
+                      if interpolation_method
+                      else self._default_interpolation(index))
+        except ValueError:
+            # reference: pydantic-validated enum on the request model — an
+            # unknown method is the caller's 400, not a server error
+            raise InvalidArgumentError(
+                f"Invalid interpolation method `{interpolation_method}`. "
+                f"Must be one of "
+                f"{[m.value for m in InterpolationMethod]}")
         interpolator = from_interpolation_method(method)
 
         vectors: List[List[float]] = []
@@ -117,7 +125,11 @@ class Recommender:
                 continue
             for vec in doc_vectors:
                 vectors.append(vec)
-                vector_weights.append(float(weights[doc_id]) / len(doc_vectors))
+                # every chunk vector carries the document's FULL weight
+                # (reference recommender.py:141-142 extends
+                # [weight] * len(vector_list) — no per-chunk division, so
+                # many-chunk documents pull the interpolation harder)
+                vector_weights.append(float(weights[doc_id]))
         if missing:
             raise api_exceptions.InvalidArgError(
                 f"The following document IDs were not found: "

@@ -181,3 +181,36 @@ class TestRecommenderDefaults:
                             api_exceptions.InvalidArgError)):
             config.recommender.recommend(
                 INDEX, ["1", "2"], tensor_fields=["not_a_real_field"])
+
+
+class TestRecommenderWeighting:
+    def test_invalid_interpolation_method_is_400(self, config):
+        with pytest.raises(InvalidArgumentError, match="bogus"):
+            config.recommender.recommend(
+                INDEX, ["1"], interpolation_method="bogus")
+
+    def test_chunk_vectors_carry_full_doc_weight(self, config, monkeypatch):
+        """Reference recommender.py:141-142: every chunk vector of a doc
+        gets the doc's FULL weight ([weight] * len(vector_list)) — no
+        per-chunk division, so many-chunk docs pull harder."""
+        captured = {}
+        from marqo_tpu.core.utils import vector_interpolation as vi
+        real = vi.Lerp.interpolate
+
+        def spy(self, vectors, weights=None):
+            captured["weights"] = list(weights)
+            return real(self, vectors, weights)
+
+        monkeypatch.setattr(vi.Lerp, "interpolate", spy)
+        # force multi-chunk: feed a doc with two chunks directly
+        index = config.index_meta_cache.get_index(INDEX)
+        tensors = config.engine.get_tensors(index.schema_name, "1")
+        field, entries = next(iter(tensors.items()))
+        emb = entries[0]["embedding"]
+        config.engine.feed(index.schema_name, "multi", {"title": "two chunks"},
+                           {field: {"chunks": ["a", "b"],
+                                    "embeddings": [emb, emb]}})
+        config.recommender.recommend(
+            INDEX, {"multi": 0.5, "1": 1.0}, interpolation_method="lerp",
+            exclude_input_documents=False)
+        assert sorted(captured["weights"]) == [0.5, 0.5, 1.0]
