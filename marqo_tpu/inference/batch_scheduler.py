@@ -22,6 +22,10 @@ from marqo_tpu.logging import get_logger
 logger = get_logger(__name__)
 
 
+class SchedulerShutdown(RuntimeError):
+    """The scheduler was shut down (model eject) with requests in flight."""
+
+
 class _Pending:
     __slots__ = ("contents", "event", "result", "error")
 
@@ -57,6 +61,11 @@ class BatchScheduler:
         """Blocking: enqueue and wait for the scheduler to process."""
         pending = _Pending(list(contents))
         with self._lock:
+            if self._stop.is_set():
+                # model ejected between lookup and enqueue — the caller
+                # (vectorise) re-resolves a scheduler rather than hanging
+                # the full timeout on a queue nobody will drain
+                raise SchedulerShutdown("Batch scheduler was shut down")
             self._queue.append(pending)
             self._queued_items += len(pending.contents)
             fire_now = self._queued_items >= self.max_batch
@@ -98,6 +107,16 @@ class BatchScheduler:
         self._stop.set()
         self._wakeup.set()
         self._thread.join(timeout=2)
+        # fail any waiter whose batch was never drained (enqueued before
+        # the stop flag landed) — otherwise each hangs its full timeout
+        with self._lock:
+            stranded = self._queue
+            self._queue = []
+            self._queued_items = 0
+        for pending in stranded:
+            pending.error = SchedulerShutdown(
+                "Batch scheduler was shut down")
+            pending.event.set()
 
 
 _schedulers: Dict[str, BatchScheduler] = {}

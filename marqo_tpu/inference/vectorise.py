@@ -465,13 +465,20 @@ def _encode(model: EmbeddingModel, cache_key: str, contents: List[Any],
         all(isinstance(c, str) for c in contents))
     if not use_scheduler:
         return model.encode(contents, normalize=normalize, modality=modality)
-    from marqo_tpu.inference.batch_scheduler import get_scheduler
-    scheduler = get_scheduler(
-        cache_key,
-        lambda batch: model.encode(batch, normalize=True,
-                                   modality=Modality.TEXT),
-        max_batch=256, max_wait_ms=2.0)
-    return scheduler.encode(contents)
+    from marqo_tpu.inference.batch_scheduler import (SchedulerShutdown,
+                                                     get_scheduler)
+    encode_fn = lambda batch: model.encode(batch, normalize=True,
+                                           modality=Modality.TEXT)
+    for _ in range(2):
+        scheduler = get_scheduler(cache_key, encode_fn,
+                                  max_batch=256, max_wait_ms=2.0)
+        try:
+            return scheduler.encode(contents)
+        except SchedulerShutdown:
+            # model ejected concurrently; this call still holds a live
+            # model reference — re-resolve once, then encode directly
+            continue
+    return model.encode(contents, normalize=normalize, modality=modality)
 
 
 def _float_list(arr) -> List[List[float]]:

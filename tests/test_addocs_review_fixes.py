@@ -192,3 +192,47 @@ class TestThresholdZeroHonored:
         from marqo_tpu.inference.types import Device
         monkeypatch.setenv("MARQO_MAX_TPU_MODEL_MEMORY", "0")
         assert inference._device_threshold_gib(Device.TPU) == 0.0
+
+
+class TestSchedulerShutdownStranding:
+    def test_shutdown_fails_stranded_waiters_immediately(self):
+        """A waiter whose batch was never drained must fail at shutdown,
+        not hang its full 60s timeout (model eject during serving)."""
+        import threading
+        import time
+
+        import numpy as np
+
+        from marqo_tpu.inference.batch_scheduler import (BatchScheduler,
+                                                         SchedulerShutdown)
+        block = threading.Event()
+
+        def slow_encode(batch):
+            block.wait(5)
+            return np.zeros((len(batch), 4), dtype=np.float32)
+
+        sched = BatchScheduler(slow_encode, max_batch=1000, max_wait_ms=1.0)
+        errors = []
+
+        def waiter():
+            try:
+                sched.encode(["x"], timeout=30)
+            except Exception as e:
+                errors.append(e)
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        time.sleep(0.05)  # let it enqueue (loop may or may not drain it)
+        start = time.perf_counter()
+        sched.shutdown()
+        block.set()
+        t.join(timeout=8)
+        assert not t.is_alive()
+        assert time.perf_counter() - start < 8
+        # the waiter either got a result pre-shutdown or a SchedulerShutdown
+        if errors:
+            assert isinstance(errors[0], SchedulerShutdown)
+        # new enqueues are rejected outright
+        import pytest as _pytest
+        with _pytest.raises(SchedulerShutdown):
+            sched.encode(["y"], timeout=1)
