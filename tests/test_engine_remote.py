@@ -76,7 +76,9 @@ class TestRemoteEngine:
         docs = [{"id": f"batch{i}", "fields": {"n": i}} for i in range(20)]
         results = remote.feed_batch("r-idx", docs)
         assert all(r["status"] == 200 for r in results)
-        assert remote.doc_count("r-idx") >= 22
+        # >= 20, not an exact/offset count: the module fixture is shared
+        # and -k subsets may skip the earlier feeds
+        assert remote.doc_count("r-idx") >= 20
 
     def test_delete(self, remote):
         assert remote.delete("r-idx", "batch0") is True
