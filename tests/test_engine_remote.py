@@ -73,11 +73,13 @@ class TestRemoteEngine:
         assert len(tensors["title"][0]["embedding"]) == 4
 
     def test_feed_batch_concurrent(self, remote):
+        # self-sufficient: -k subsets may skip the DDL/feed tests above
+        if not remote.has_index("r-idx"):
+            remote.create_index(IndexDescriptor(name="r-idx",
+                                                model_dimensions=4))
         docs = [{"id": f"batch{i}", "fields": {"n": i}} for i in range(20)]
         results = remote.feed_batch("r-idx", docs)
         assert all(r["status"] == 200 for r in results)
-        # >= 20, not an exact/offset count: the module fixture is shared
-        # and -k subsets may skip the earlier feeds
         assert remote.doc_count("r-idx") >= 20
 
     def test_delete(self, remote):
