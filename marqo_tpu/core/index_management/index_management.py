@@ -109,7 +109,23 @@ class IndexManagement:
                         f"Index {index.name} already exists")
             for index in indexes:
                 self._store.save(index)
-                self._engine.create_index(descriptor_from_marqo_index(index))
+                try:
+                    self._engine.create_index(
+                        descriptor_from_marqo_index(index))
+                except core_exceptions.IndexExistsError:
+                    # engine already holds the schema (orphan from a prior
+                    # partial delete, or a bootstrap re-deploy) — adopting
+                    # it matches bootstrap's idempotent semantics
+                    logger.warning(f"Engine already has index {index.name}; "
+                                   f"adopting existing schema")
+                except Exception:
+                    # compensate: a failed engine deploy must not leave a
+                    # settings-store entry that makes every retry fail with
+                    # IndexExistsError while the engine has no index
+                    # (reference: bootstrap_vespa re-deploys missing engine
+                    # indexes on restart; we repair at the failure site)
+                    self._store.delete(index.name)
+                    raise
                 logger.info(f"Created index {index.name} "
                             f"(type={index.type.value}, model={index.model.name})")
             return indexes

@@ -154,3 +154,42 @@ class TestCoordinatorRestart:
                             json={"name": "s", "owner": "w2", "limit": 1,
                                   "ttl": 300})
             assert r.json()["acquired"] is True  # fail-open after restart
+
+
+class TestCreateCompensation:
+    def test_failed_engine_deploy_rolls_back_settings(self):
+        """A failed engine create must not strand a settings entry that
+        makes every retry 409 while the engine has no index."""
+        from marqo_tpu.api.models.index_settings import IndexSettings
+        from marqo_tpu.core.exceptions import (BackendCommunicationError,
+                                               IndexNotFoundError)
+        from marqo_tpu.core.index_management.index_management import \
+            IndexManagement
+        from marqo_tpu.core.index_management.settings_store import \
+            IndexSettingsStore
+        from marqo_tpu.engine.store import StoreEngine
+
+        engine = StoreEngine()
+        mgmt = IndexManagement(engine, IndexSettingsStore())
+        mgmt.settings_store.bootstrap()
+        index = IndexSettings(model="random").to_marqo_index("comp-idx")
+
+        real_create = engine.create_index
+        calls = {"n": 0}
+
+        def flaky_create(descriptor):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise BackendCommunicationError("engine down")
+            return real_create(descriptor)
+
+        engine.create_index = flaky_create
+        with pytest.raises(BackendCommunicationError):
+            mgmt.create_index(index)
+        # settings rolled back: the name is free again
+        with pytest.raises(IndexNotFoundError):
+            mgmt.get_index("comp-idx")
+        # retry succeeds once the engine recovers
+        created = mgmt.create_index(index)
+        assert created.name == "comp-idx"
+        assert engine.has_index(mgmt.get_index("comp-idx").schema_name)
